@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (no driver-side collect of full
+results — measures the distributed plan, not result serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: The headline set: one per operator family — scan/agg (q1), joins
+#: (equi/interval/asof), windows (rank/sessionize), sequence assembly
+#: (the reference's core capability), graph closure, and the LLM-pipeline
+#: operators (dedup, similarity, text).
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_equi_inner",
+    "j6_interval_join",
+    "j7_asof_join",
+    "a2_hourly_mean",
+    "w1_latest_order",
+    "w7_sessionize",
+    "seq_user_sequence",
+    "r1_transitive_closure",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "sim_cosine_topk",
+    "t_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from cehrbert_data_spark.queries import all_queries
+    from cehrbert_data_spark.session import build_session
+
+    spark = build_session("bench")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All built-in hash aggregates (map-side partial aggregation for free). The
+"exactness" discipline: money-like sums are computed on DECIMAL casts so
+results are order-independent — a requirement for cross-engine equivalence
+checks and for reproducible pipelines at any parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    decimal_type: str = "decimal(20,6)",
+) -> DataFrame:
+    """A2: dedup-by-hour averaging (hourly lab means,
+    reference: utils/spark_utils.py:1102-1115).
+
+    Groups by ``keys`` + calendar date + hour-of-day and returns the earliest
+    timestamp and the mean value in the bucket. The mean is an exact decimal
+    sum divided by the count (order-independent across partitions).
+    """
+    sum_exact = F.sum(F.col(value).cast(decimal_type))
+    return (
+        df.groupBy(
+            *keys,
+            F.to_date(ts).alias("bucket_date"),
+            F.hour(ts).alias("bucket_hour"),
+        )
+        .agg(
+            F.min(ts).alias("first_ts"),
+            (sum_exact.cast("double") / F.count(value)).alias("mean_value"),
+            F.count(value).alias("n"),
+        )
+    )
+
+
+def distinct_frequency_filter(
+    df: DataFrame, group_col: str, distinct_col: str, min_count: int
+) -> DataFrame:
+    """A5: keep groups seen by ≥ N distinct entities (concepts seen by ≥N
+    patients, reference: apps/generate_included_concept_list.py:105-111)."""
+    return (
+        df.groupBy(group_col)
+        .agg(F.countDistinct(distinct_col).alias("freq"))
+        .where(F.col("freq") >= min_count)
+    )
+
+
+def winsorize_bounds(
+    df: DataFrame, keys: Sequence[str], value: str, lower: float = 0.01, upper: float = 0.99
+) -> DataFrame:
+    """A7: per-group percentile clipping bounds
+    (reference: queries/measurement_queries.py:26-27). Uses the exact
+    ``percentile`` aggregate (linear interpolation); swap to
+    ``percentile_approx`` at very large group cardinalities."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"percentile({value}, {lower})").alias("lower_bound"),
+        F.expr(f"percentile({value}, {upper})").alias("upper_bound"),
+        F.count(value).alias("n"),
+    )
+
+
+def exact_sum(col: str | Column, scale: str = "decimal(20,4)") -> Column:
+    """Order-independent sum of a double column via decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def exact_avg(col: str | Column, scale: str = "decimal(20,6)") -> Column:
+    """Order-independent mean: exact decimal sum / count, divided as doubles
+    so any two engines computing it bit-match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double") / F.count(c)

@@ -1,0 +1,69 @@
+"""Iterative / recursive computation (SURVEY.md §2.11).
+
+R1: transitive closure over an edge list by frontier BFS — Spark (< 4.0 SQL)
+has no recursive CTE, so this is a driver loop of DataFrame joins, exactly
+the shape of the reference's ancestry builder
+(reference: utils/vocab_utils.py:4-64). Each iteration checkpoints the
+frontier: without the barrier the lineage doubles per hop and planning time
+explodes; with it each hop is one shuffle join at cluster scale.
+
+R2: closure lookup against a precomputed ancestor table — a single join,
+always preferred when the closure exists (utils/vocab_utils.py:67-89).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """All reachable (src, dst, distance) pairs of a DAG edge list.
+
+    distance starts at 1 for direct edges. Stops when an iteration adds no new
+    pairs (anti-join against the accumulated closure, then ``isEmpty``).
+    """
+    closure = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1).alias("distance")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = closure
+    step = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+
+    for _ in range(max_iterations):
+        candidates = (
+            frontier.join(step, frontier["dst"] == step["e_src"])
+            .select(
+                frontier["src"].alias("src"),
+                step["e_dst"].alias("dst"),
+                (frontier["distance"] + 1).alias("distance"),
+            )
+            .distinct()
+        )
+        # Keep only genuinely new (src, dst) pairs; a shorter path wins because
+        # BFS discovers pairs in distance order.
+        new_pairs = candidates.join(closure, ["src", "dst"], "left_anti")
+        new_pairs = new_pairs.localCheckpoint(eager=True)
+        if new_pairs.isEmpty():
+            break
+        closure = closure.unionByName(new_pairs).localCheckpoint(eager=True)
+        frontier = new_pairs
+    return closure
+
+
+def descendants(
+    ancestor_table: DataFrame,
+    seeds: DataFrame,
+    ancestor_col: str = "ancestor_concept_id",
+    descendant_col: str = "descendant_concept_id",
+    seed_col: str = "concept_id",
+) -> DataFrame:
+    """R2: descendant set via a precomputed closure table — one semi-join."""
+    return ancestor_table.join(
+        seeds.select(F.col(seed_col).alias(ancestor_col)).distinct(),
+        ancestor_col,
+    ).select(F.col(descendant_col).alias(seed_col)).distinct()

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exactness baseline. Embeddings are
+    quantized to integers (×1000, round) so dot products are exact integer
+    sums: order-independent, bit-identical across engines, and still
+    ~3 decimal places of cosine precision.
+  * LSH-bucketed (random-hyperplane sign bits) — the scale path: candidate
+    generation is an equi-join on bucket keys; hyperplanes derive
+    deterministically from md5 so buckets are reproducible anywhere.
+
+At 100 TB the broadcast side is the (small) query set; the corpus side never
+shuffles for brute force (map-side join + per-partition partial top-k via the
+aggregate), and shuffles only bucket keys for LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.text import md5_long
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """array<float> → array<long> by round(x*scale): exact arithmetic from
+    here on."""
+    return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_quantized_norm(df: DataFrame, vec_col: str, out_vec: str = "ivec") -> DataFrame:
+    """Attach the quantized vector and its exact squared norm."""
+    q = quantize(F.col(vec_col))
+    return df.withColumn(out_vec, q).withColumn(
+        "inorm2", int_dot(F.col(out_vec), F.col(out_vec))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k of each query vector against the corpus.
+
+    Returns (q_id, n_id, cosine, rank). The query side is broadcast; the
+    cosine is exact-int dot / (sqrt·sqrt) so ranking ties are impossible
+    except for genuinely equal quantized cosines (then id-tie-broken).
+    """
+    c = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("ivec").alias("n_vec"), F.col("inorm2").alias("n_norm2")
+    )
+    q = with_quantized_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("ivec").alias("q_vec"), F.col("inorm2").alias("q_norm2")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("n_id") != F.col("q_id"))
+    cos = (
+        int_dot(F.col("q_vec"), F.col("n_vec")).cast("double")
+        / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("n_norm2")))
+    )
+    scored = pairs.select("q_id", "n_id", cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def hyperplane_component(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1000, 1000]:
+    md5-derived, so identical in any engine."""
+    return md5_long(F.concat_ws("_", plane, dim), 48) % 2001 - 1000
+
+
+def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) -> DataFrame:
+    """Sign-bit LSH bucket per vector: bucket = Σ (dot(v, plane_p) > 0) << p.
+
+    The plane component for (p, d) is a deterministic md5 derivation; the dot
+    product is exact integer arithmetic over the quantized vector.
+    """
+    q = with_quantized_norm(df, vec_col)
+    planes = df.sparkSession.range(num_planes).select(F.col("id").alias("p"))
+    exploded = q.select(
+        F.col(id_col).alias("id"), F.posexplode("ivec").alias("d", "x")
+    )
+    contrib = exploded.crossJoin(F.broadcast(planes)).select(
+        "id",
+        "p",
+        (F.col("x") * hyperplane_component(F.col("p"), F.col("d"))).alias("c"),
+    )
+    dots = contrib.groupBy("id", "p").agg(F.sum("c").alias("dot"))
+    # shiftleft by a column requires the SQL form (the Python helper only
+    # accepts an int bit count).
+    return dots.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) -> DataFrame:
+    """ANN candidate pairs: vectors sharing an LSH bucket (id_a < id_b)."""
+    buckets = lsh_bucket(df, id_col, vec_col, num_planes)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.bucket").alias("bucket")
+    )

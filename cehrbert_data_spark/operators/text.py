@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-native column expressions (no Python UDFs): tokenization, shingling,
+quality scoring, stopword/language heuristics, deterministic hashing and
+document fingerprinting. Hashes derive from ``md5`` so any engine can verify
+them (cross-engine oracle-checkable), and are stable across Spark versions —
+unlike ``hash``/``xxhash64`` whose seeds are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list used by the language/stopword heuristic.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+#: BPE-ish tokenizer: word pieces, digit runs, or single non-space symbols.
+TOKEN_REGEX = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (empty-string safe)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def regex_tokens(text: Column) -> Column:
+    """Regex token stream (word / number / symbol pieces)."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)
+
+
+def shingles(word_arr: Column, k: int = 3) -> Column:
+    """k-word shingles: ['a b c', 'b c d', ...] — the unit of MinHash /
+    Jaccard dedup. Uses a native transform over an index sequence."""
+    n = F.size(word_arr)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i, k))
+    )
+
+
+def md5_long(col: Column, bits: int = 60) -> Column:
+    """First ``bits`` bits of md5 as a non-negative BIGINT — the portable
+    deterministic hash used by minhash/simhash/fingerprints."""
+    hex_digits = bits // 4
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
+
+
+def stopword_ratio(word_arr: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    n_stop = F.size(F.filter(word_arr, lambda w: F.array_contains(sw, w)))
+    return n_stop.cast("double") / F.greatest(F.size(word_arr), F.lit(1))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/word/token counts, mean word
+    length, distinct-word ratio, stopword ratio. All exact int/ratio math."""
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    n_chars = F.length(text_col)
+    total_word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        F.size(regex_tokens(F.col(text_col))).alias("q_n_tokens"),
+        (total_word_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias(
+            "q_mean_word_len"
+        ),
+        (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(n_words, F.lit(1))
+        ).alias("q_distinct_ratio"),
+        stopword_ratio(w).alias("q_stopword_ratio"),
+    )
+
+
+def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive document fingerprint: position-weighted sum of word
+    hashes (a distributable analogue of a rolling hash — summable, so it
+    aggregates without a sequential scan)."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w))
+    weighted = F.zip_with(
+        w,
+        idx,
+        lambda word, i: ((i % 16) + 1) * (md5_long(word, 48) % 1_000_003),
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (total % mod).alias("fingerprint")
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: per-language stopword hit rate,
+    argmax → predicted label ('unknown' below a confidence floor)."""
+    w = words(F.col(text_col))
+    en = stopword_ratio(w, EN_STOPWORDS)
+    return df.select(
+        "*",
+        en.alias("lid_en_score"),
+        F.when(en >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lid_predicted"
+        ),
+    )

@@ -1,0 +1,90 @@
+"""Window operators: deterministic ranking, prev-value, sessionization.
+
+SURVEY.md §2.5 — the densest part of the reference. Every helper takes
+explicit partition keys: the engine REFUSES unpartitioned (global) windows,
+the reference's main scale hazard (SURVEY.md §4 — e.g.
+cohorts/spark_app_base.py:507, tools/ehrshot_to_omop.py:488). Use
+``operators.ids.dense_ids`` for global id assignment instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _require_partition(partition_by: Sequence) -> list:
+    parts = list(partition_by)
+    if not parts:
+        raise ValueError(
+            "global (unpartitioned) windows shuffle everything to one "
+            "partition; partition the window or use operators.ids.dense_ids"
+        )
+    return parts
+
+
+def ordered_rank(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    out: str = "rank",
+    kind: str = "row_number",
+) -> DataFrame:
+    """W1/W2/W3: row_number / dense_rank / rank over a deterministic multi-key
+    order (the reference's 5-key orderings, utils/spark_utils.py:357-365)."""
+    fn = {"row_number": F.row_number, "dense_rank": F.dense_rank, "rank": F.rank}[kind]
+    w = Window.partitionBy(*_require_partition(partition_by)).orderBy(*order_by)
+    return df.withColumn(out, fn().over(w))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    n: int = 1,
+) -> DataFrame:
+    """O2: keep the best ``n`` rows per group (rank-1 dedup,
+    reference: cohorts/spark_app_base.py:517-520)."""
+    ranked = ordered_rank(df, partition_by, order_by, out="__rn")
+    return ranked.where(F.col("__rn") <= n).drop("__rn")
+
+
+def prev_value(
+    df: DataFrame,
+    col: str | Column,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    out: str = "prev",
+    offset: int = 1,
+) -> DataFrame:
+    """W4: previous value within a partition (prev visit end,
+    reference: utils/spark_utils.py:1004-1010)."""
+    w = Window.partitionBy(*_require_partition(partition_by)).orderBy(*order_by)
+    return df.withColumn(out, F.lag(col, offset).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    ts: str | Column,
+    gap: Column,
+    out: str = "session_id",
+) -> DataFrame:
+    """W7: split an ordered stream into sessions at gaps exceeding ``gap``.
+
+    The new-session flag is a lagged time-delta comparison; the session id is
+    its running sum over an explicit rows-frame — the reference's visit-merge
+    sessionization (tools/connect_omop_visit.py:44-49). ``gap`` is a Column
+    expression compared against ``ts - lag(ts)`` in seconds, e.g.
+    ``F.lit(24*3600)``. Sessions are numbered from 0 within each partition.
+    """
+    parts = _require_partition(partition_by)
+    w = Window.partitionBy(*parts).orderBy(*order_by)
+    ts_col = F.col(ts) if isinstance(ts, str) else ts
+    delta = ts_col.cast("double") - F.lag(ts_col).over(w).cast("double")
+    is_new = F.when(delta > gap, F.lit(1)).otherwise(F.lit(0))
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out, F.sum(is_new).over(frame))

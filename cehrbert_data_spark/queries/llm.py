@@ -1,0 +1,292 @@
+"""LLM-training-data pipeline queries over documents/embeddings.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force cosine + LSH buckets), text analysis (quality, language,
+tokens, fingerprints), multimodal metadata. Every hash derives from md5 so
+DuckDB can verify the same computation (see operators.text.md5_long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cehrbert_data_spark.operators.multimodal import attach_media_metadata
+from cehrbert_data_spark.operators.similarity import cosine_topk, lsh_bucket
+from cehrbert_data_spark.operators.text import (
+    fingerprint,
+    language_scores,
+    quality_features,
+)
+from cehrbert_data_spark.sources.readers import read_table
+
+# DuckDB rendering of operators.text.md5_long(col, bits).
+def _md5_long_sql(expr: str, bits: int = 60) -> str:
+    return f"CAST(('0x' || SUBSTRING(md5({expr}), 1, {bits // 4})) AS BIGINT)"
+
+
+# --- text analysis -----------------------------------------------------------
+
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_words",
+        "q_n_tokens",
+        "q_mean_word_len",
+        "q_distinct_ratio",
+        "q_stopword_ratio",
+    )
+
+
+T_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS q_n_chars,
+       LEN(words) AS q_n_words,
+       LEN(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS q_n_tokens,
+       CAST(LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x))) AS DOUBLE)
+         / GREATEST(LEN(words), 1) AS q_mean_word_len,
+       CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / GREATEST(LEN(words), 1) AS q_distinct_ratio,
+       CAST(LEN(LIST_FILTER(words, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+         / GREATEST(LEN(words), 1) AS q_stopword_ratio
+FROM w
+"""
+
+
+def t_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return language_scores(docs).select("doc_id", "lang", "lid_en_score", "lid_predicted")
+
+
+T_LANGUAGE_SQL = """
+WITH w AS (
+  SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(LEN(LIST_FILTER(words, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+           / GREATEST(LEN(words), 1) AS lid_en_score
+  FROM w
+)
+SELECT doc_id, lang, lid_en_score,
+       CASE WHEN lid_en_score >= 0.05 THEN 'en' ELSE 'unknown' END AS lid_predicted
+FROM s
+"""
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+T_FINGERPRINT_SQL = f"""
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+)
+SELECT doc_id,
+       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words)),
+                i -> ((i % 16) + 1) * ({_md5_long_sql('words[i]', 48)} % 1000003)))
+         % 1000000007 AS fingerprint
+FROM w
+"""
+
+
+# --- dedup ---------------------------------------------------------------------
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+D_EXACT_SQL = """
+SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.2)
+
+
+D_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT id,
+         ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 2
+),
+sizes AS (SELECT id, COUNT(*) AS n_shingles FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_shared, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0.2
+"""
+
+
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, band_size=2)
+
+
+D_MINHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 2
+),
+sig AS (
+  SELECT id, h.h AS h, MIN({_md5_long_sql("CONCAT(h.h, '|', shingle)")}) AS minhash
+  FROM sh, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS h) h
+  GROUP BY id, h.h
+),
+banded AS (
+  -- h // 2, not CAST(h / 2 AS INT): DuckDB's / is float division and its
+  -- cast rounds, which would misassign odd h to the next band.
+  SELECT id, CAST(h // 2 AS INT) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_key
+  FROM sig GROUP BY id, CAST(h // 2 AS INT)
+)
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=48)
+
+
+D_SIMHASH_SQL = f"""
+WITH wc AS (
+  SELECT doc_id AS id, word, COUNT(*) AS cnt, {_md5_long_sql('word', 48)} AS wh
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+bit_signs AS (
+  SELECT id, b.bit AS bit,
+         SUM(CASE WHEN (wh >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM wc, (SELECT UNNEST(GENERATE_SERIES(0, 47)) AS bit) b
+  GROUP BY id, b.bit
+)
+SELECT id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM bit_signs GROUP BY id
+"""
+
+
+# --- similarity search ------------------------------------------------------------
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+
+
+SIM_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+),
+pairs AS (
+  SELECT qv.vec_id AS q_id, nv.vec_id AS n_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv.ivec)),
+              i -> qv.ivec[i] * nv.ivec[i])) AS DOUBLE)
+           / (SQRT(qv.norm2) * SQRT(nv.norm2)) AS cosine
+  FROM normed qv, normed nv
+  WHERE qv.vec_id < 5 AND nv.vec_id != qv.vec_id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM pairs
+) WHERE rank <= 10
+"""
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_bucket(emb, "vec_id", "embedding", num_planes=8)
+
+
+SIM_LSH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+contrib AS (
+  SELECT id, p.p AS p,
+         SUM(ivec[d] * ({_md5_long_sql("CONCAT(p.p, '_', d - 1)", 48)} % 2001 - 1000)) AS dot
+  FROM q, UNNEST(GENERATE_SERIES(1, LEN(ivec))) AS g(d), (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS p) p
+  GROUP BY id, p.p
+)
+SELECT id, SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS bucket
+FROM contrib GROUP BY id
+"""
+
+
+# --- multimodal metadata -------------------------------------------------------------
+
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat document text payloads as opaque binary media and compute the
+    codec-free metadata contract; aggregate per source."""
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    meta = attach_media_metadata(docs, "payload", "text/plain")
+    return meta.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("media_meta.byte_len")).alias("total_bytes"),
+        F.countDistinct(F.col("media_meta.digest")).alias("n_distinct_payloads"),
+    )
+
+
+MM_META_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents GROUP BY source
+"""
+
+
+QUERIES = {
+    "t_quality": (t_quality, T_QUALITY_SQL),
+    "t_language": (t_language, T_LANGUAGE_SQL),
+    "t_fingerprint": (t_fingerprint, T_FINGERPRINT_SQL),
+    "d_exact_dedup": (d_exact_dedup, D_EXACT_SQL),
+    "d_ngram_jaccard": (d_ngram_jaccard, D_JACCARD_SQL),
+    "d_minhash_lsh": (d_minhash_lsh, D_MINHASH_SQL),
+    "d_simhash": (d_simhash, D_SIMHASH_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
+    "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
+    "mm_media_meta": (mm_media_meta, MM_META_SQL),
+}

@@ -1,0 +1,742 @@
+"""Relational operator battery over the TPC-H-ish testdata tables.
+
+Each query exercises one operator family from SURVEY.md §2 through the
+library in ``cehrbert_data_spark.operators`` and has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.aggregations import (
+    distinct_frequency_filter,
+    exact_avg,
+    exact_sum,
+    hourly_mean,
+    winsorize_bounds,
+)
+from cehrbert_data_spark.operators.joins import (
+    anti_filter,
+    asof_join,
+    interval_join,
+    semi_filter,
+    with_scalar_max,
+)
+from cehrbert_data_spark.operators.windows import (
+    ordered_rank,
+    prev_value,
+    sessionize,
+    top_n_per_group,
+)
+from cehrbert_data_spark.sources.readers import read_table
+
+
+# --- A1: multi-function hash aggregation (TPC-H Q1 shape) -------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,6)"
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- P1/P2/P4/P5/P6/P7: projection, rename, cast, filters -------------------
+
+def p_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_extendedprice") < 20000, F.lit("low"))
+        .when(F.col("l_extendedprice") < 60000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        li.where(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("long").alias("line_no"),
+            band.alias("price_band"),
+            F.coalesce(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+        )
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("okey").alias("n_orders"),
+            exact_sum("disc", "decimal(20,6)").alias("sum_disc"),
+        )
+    )
+
+
+P_FILTER_SQL = """
+WITH f AS (
+  SELECT l_orderkey AS okey,
+         CAST(l_linenumber AS BIGINT) AS line_no,
+         CASE WHEN l_extendedprice < 20000 THEN 'low'
+              WHEN l_extendedprice < 60000 THEN 'mid'
+              ELSE 'high' END AS price_band,
+         COALESCE(l_discount, 0.0) AS disc
+  FROM lineitem
+  WHERE l_quantity BETWEEN 10 AND 20
+    AND l_returnflag IN ('A', 'R')
+    AND l_shipdate IS NOT NULL
+)
+SELECT price_band, COUNT(*) AS n_rows, COUNT(DISTINCT okey) AS n_orders,
+       CAST(SUM(CAST(disc AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc
+FROM f GROUP BY price_band
+"""
+
+
+# --- J1: equi inner join ----------------------------------------------------
+
+def j1_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- J2: left outer join ----------------------------------------------------
+
+def j2_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+J2_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# --- J3: left semi (EXISTS) -------------------------------------------------
+
+def j3_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        semi_filter(cust, f_orders, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+J3_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY c_nationkey
+"""
+
+
+# --- J4: left anti (NOT EXISTS) ---------------------------------------------
+
+def j4_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    order_keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        anti_filter(cust, order_keys, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+J4_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --- J5: scalar-broadcast cross join ----------------------------------------
+
+def j5_scalar_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    with_max = with_scalar_max(part, "p_retailprice", "max_price")
+    return with_max.where(
+        F.col("p_retailprice") >= 0.95 * F.col("max_price")
+    ).select("p_partkey", "p_retailprice", "max_price")
+
+
+J5_SQL = """
+SELECT p_partkey, p_retailprice, m.max_price
+FROM part, (SELECT MAX(p_retailprice) AS max_price FROM part) m
+WHERE p_retailprice >= 0.95 * m.max_price
+"""
+
+
+# --- J6: interval (range) join ----------------------------------------------
+
+def j6_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipments within 7 days of ordering: equi-key (orderkey) + point-in-
+    range, the reference's event-within-visit-span shape
+    (utils/spark_utils.py:740-747)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    od = orders.select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority", "o_orderdate"
+    )
+    sh = li.select(F.col("l_orderkey").alias("k"), "l_shipdate", "l_linenumber")
+    joined = interval_join(
+        sh,
+        od,
+        on="k",
+        point=sh["l_shipdate"],
+        lower=od["o_orderdate"],
+        upper=F.expr("o_orderdate + INTERVAL 7 DAYS"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("k").alias("n_orders"),
+    )
+
+
+J6_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_matches, COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderpriority
+"""
+
+
+# --- J7: as-of join (nearest match after range join) ------------------------
+
+def j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First shipment per order within a year of ordering — interval join
+    then rank-1 per left row (the reference's best-candidate-visit match,
+    utils/spark_utils.py:748-752)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    od = orders.select(F.col("o_orderkey").alias("k"), "o_orderdate")
+    sh = li.select(F.col("l_orderkey").alias("k"), "l_shipdate", "l_linenumber")
+    matched = asof_join(
+        od,
+        sh,
+        on="k",
+        point=sh["l_shipdate"],
+        lower=od["o_orderdate"],
+        upper=F.expr("o_orderdate + INTERVAL 365 DAYS"),
+        metric=[F.col("l_shipdate").asc(), F.col("l_linenumber").asc()],
+        left_key="k",
+    )
+    return matched.select(
+        F.col("k").alias("o_orderkey"), "l_shipdate", "l_linenumber"
+    )
+
+
+J7_SQL = """
+SELECT o_orderkey, l_shipdate, l_linenumber FROM (
+  SELECT o.o_orderkey, l.l_shipdate, l.l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey ORDER BY l.l_shipdate, l.l_linenumber) AS rn
+  FROM orders o JOIN lineitem l
+    ON l.l_orderkey = o.o_orderkey
+   AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 365 DAY
+) WHERE rn = 1
+"""
+
+
+# --- J8: self join ------------------------------------------------------------
+
+def j8_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_regionkey").alias("regionkey"),
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+        )
+    )
+
+
+J8_SQL = """
+SELECT a.n_regionkey AS regionkey, a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+# --- J10: theta join on date arithmetic --------------------------------------
+
+def j10_theta_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join on date arithmetic (the reference's DATEDIFF-window
+    outcome join, prediction_cohorts/hospitalization.py:40-43): lineitems
+    shipped 0–3 days after their order."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    od = orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority", "o_orderdate")
+    sh = li.select(F.col("l_orderkey").alias("k"), "l_shipdate")
+    cond = (od["k"] == sh["k"]) & (
+        F.datediff(F.to_date(sh["l_shipdate"]), F.to_date(od["o_orderdate"])).between(0, 3)
+    )
+    return (
+        od.join(sh, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+J10_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_pairs
+FROM orders o JOIN lineitem l
+  ON o.o_orderkey = l.l_orderkey
+ AND DATEDIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) BETWEEN 0 AND 3
+GROUP BY o.o_orderpriority
+"""
+
+
+# --- A2: hourly-bucket mean ---------------------------------------------------
+
+def a2_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return hourly_mean(events, ["user_id"], "ts", "value")
+
+
+A2_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS bucket_date, EXTRACT(HOUR FROM ts) AS bucket_hour,
+       MIN(ts) AS first_ts,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+       COUNT(value) AS n
+FROM events
+GROUP BY user_id, CAST(ts AS DATE), EXTRACT(HOUR FROM ts)
+"""
+
+
+# --- A5: distinct-entity frequency filter -------------------------------------
+
+def a5_freq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    part_cust = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(F.col("l_partkey").alias("partkey"), "o_custkey")
+    return distinct_frequency_filter(part_cust, "partkey", "o_custkey", 10)
+
+
+A5_SQL = """
+SELECT l_partkey AS partkey, COUNT(DISTINCT o_custkey) AS freq
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_partkey HAVING COUNT(DISTINCT o_custkey) >= 10
+"""
+
+
+# --- A6: conditional aggregation ----------------------------------------------
+
+def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    high = F.sum(F.when(F.col("value") > 10.0, 1).otherwise(0))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        high.alias("n_high"),
+        (high.cast("double") / F.count(F.lit(1))).alias("high_rate"),
+    )
+
+
+A6_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS n_high,
+       CAST(SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_rate
+FROM events GROUP BY event_type
+"""
+
+
+# --- A7: percentile (winsorization bounds) --------------------------------------
+
+def a7_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    bounds = winsorize_bounds(li, ["l_returnflag"], "l_extendedprice")
+    return bounds.select(
+        "l_returnflag",
+        F.round("lower_bound", 6).alias("lower_bound"),
+        F.round("upper_bound", 6).alias("upper_bound"),
+        "n",
+    )
+
+
+A7_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.01), 6) AS lower_bound,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS upper_bound,
+       COUNT(l_extendedprice) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- A8: moment statistics (exact, order-independent) ----------------------------
+
+def a8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    s = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+    sq = F.sum(
+        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,6)")
+    ).cast("double")
+    n = F.count("o_totalprice")
+    mean = s / n
+    var = (sq - s * s / n) / (n - 1)
+    # std rounded to 6 decimals: the squared-term double→decimal cast rounds
+    # HALF_UP in Spark vs HALF_EVEN in DuckDB, a 1-ulp wobble.
+    return orders.groupBy("o_orderstatus").agg(
+        mean.alias("mean_price"),
+        F.round(F.sqrt(var), 6).alias("std_price"),
+        n.alias("n"),
+    )
+
+
+A8_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o_totalprice) AS mean_price,
+       ROUND(SQRT((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             - CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               * CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o_totalprice))
+            / (COUNT(o_totalprice) - 1)), 6) AS std_price,
+       COUNT(o_totalprice) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- W1/O2: row_number top-1 per group -------------------------------------------
+
+def w1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return top_n_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        n=1,
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+W1_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --- W2: dense_rank ---------------------------------------------------------------
+
+def w2_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    sup = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            ).alias("revenue_d")
+        )
+    )
+    ranked = ordered_rank(
+        rev,
+        ["s_nationkey"],
+        [F.col("revenue_d").desc(), F.col("s_suppkey").asc()],
+        out="rank_in_nation",
+        kind="dense_rank",
+    )
+    return ranked.where(F.col("rank_in_nation") <= 3).select(
+        "s_nationkey",
+        "s_suppkey",
+        F.col("revenue_d").cast("double").alias("revenue"),
+        "rank_in_nation",
+    )
+
+
+W2_SQL = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS revenue_d
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+)
+SELECT s_nationkey, s_suppkey, CAST(revenue_d AS DOUBLE) AS revenue, rank_in_nation FROM (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue_d DESC, s_suppkey) AS rank_in_nation
+  FROM rev
+) WHERE rank_in_nation <= 3
+"""
+
+
+# --- W4: lag ------------------------------------------------------------------------
+
+def w4_days_since_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    with_prev = prev_value(
+        orders,
+        "o_orderdate",
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        out="prev_date",
+    )
+    return with_prev.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+W4_SQL = """
+SELECT o_orderkey, o_custkey,
+       DATEDIFF('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --- W5/W6: first_value & max-over-partition -----------------------------------------
+
+def w5_first_and_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    w_ord = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_part = W.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderdate").over(w_ord).alias("first_order_date"),
+        F.max("o_totalprice").over(w_part).alias("max_price_of_cust"),
+        F.count(F.lit(1)).over(w_part).alias("n_orders_of_cust"),
+    )
+
+
+W5_SQL = """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order_date,
+       MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS max_price_of_cust,
+       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders_of_cust
+FROM orders
+"""
+
+
+# --- W7: sessionization (running-sum window over explicit frame) ----------------------
+
+def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        events,
+        ["user_id"],
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        ts="ts",
+        gap=F.lit(1800.0),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+W7_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --- U1/U5: set operations --------------------------------------------------------------
+
+def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    big_purchases = events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 15.0)
+    ).select("event_id", "user_id", "event_type")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "event_type"
+    )
+    return (
+        big_purchases.unionByName(errors)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+U1_SQL = """
+WITH u AS (
+  SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase' AND value > 15.0
+  UNION
+  SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
+)
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM u GROUP BY event_type
+"""
+
+
+def u5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+U5_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --- §2.8: scalar function battery -------------------------------------------------------
+
+def f_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.to_date("ts").alias("dt"),
+        F.date_add(F.to_date("ts"), 7).alias("dt_plus7"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        (F.col("value") % 5).alias("val_mod"),
+        F.floor(F.col("value") / 3).alias("val_div"),
+        F.abs(F.col("value") - 10).alias("val_absdiff"),
+        F.ceil(F.col("value")).alias("val_ceil"),
+    )
+
+
+F_DATETIME_SQL = """
+SELECT event_id,
+       EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS m,
+       EXTRACT(DAY FROM ts) AS d, EXTRACT(HOUR FROM ts) AS h,
+       CAST(ts AS DATE) AS dt,
+       CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS dt_plus7,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s,
+       value % 5 AS val_mod,
+       CAST(FLOOR(value / 3) AS BIGINT) AS val_div,
+       ABS(value - 10) AS val_absdiff,
+       CAST(CEIL(value) AS BIGINT) AS val_ceil
+FROM events
+"""
+
+
+def f_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit("_"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowel"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.col("p_name").startswith("a").cast("boolean").alias("starts_a"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+F_STRING_SQL = """
+SELECT p_partkey,
+       p_brand || '_' || p_type AS brand_type,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       STRING_SPLIT(p_type, ' ')[1] AS type_head,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       UPPER(p_brand) AS brand_upper,
+       STARTS_WITH(p_name, 'a') AS starts_a,
+       LENGTH(p_name) AS name_len
+FROM part
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "p_filter_project": (p_filter_project, P_FILTER_SQL),
+    "j1_equi_inner": (j1_equi_inner, J1_SQL),
+    "j2_left_outer": (j2_left_outer, J2_SQL),
+    "j3_semi": (j3_semi, J3_SQL),
+    "j4_anti": (j4_anti, J4_SQL),
+    "j5_scalar_max": (j5_scalar_max, J5_SQL),
+    "j6_interval_join": (j6_interval, J6_SQL),
+    "j7_asof_join": (j7_asof, J7_SQL),
+    "j8_self_join": (j8_self_join, J8_SQL),
+    "j10_theta_datediff": (j10_theta_datediff, J10_SQL),
+    "a2_hourly_mean": (a2_hourly_mean, A2_SQL),
+    "a5_freq_filter": (a5_freq_filter, A5_SQL),
+    "a6_conditional_agg": (a6_conditional_agg, A6_SQL),
+    "a7_winsorize": (a7_winsorize, A7_SQL),
+    "a8_stats": (a8_stats, A8_SQL),
+    "w1_latest_order": (w1_latest_order, W1_SQL),
+    "w2_dense_rank": (w2_dense_rank, W2_SQL),
+    "w4_days_since_prev": (w4_days_since_prev, W4_SQL),
+    "w5_first_and_span": (w5_first_and_span, W5_SQL),
+    "w7_sessionize": (w7_sessionize, W7_SQL),
+    "u1_union": (u1_union, U1_SQL),
+    "u5_distinct": (u5_distinct, U5_SQL),
+    "f_scalar_datetime": (f_scalar_datetime, F_DATETIME_SQL),
+    "f_scalar_string": (f_scalar_string, F_STRING_SQL),
+}

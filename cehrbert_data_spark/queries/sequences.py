@@ -1,0 +1,97 @@
+"""Sequence-assembly queries — the reference's core capability (D7) mapped to
+the testdata event stream: deterministic in-group ordering, ATT gap tokens,
+and nested-array sequence packing (reference: utils/spark_utils.py:428-632).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.functions.temporal import att_token, att_token_sql
+from cehrbert_data_spark.operators.windows import prev_value
+from cehrbert_data_spark.sources.readers import read_table
+
+
+def seq_att_gap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATT token distribution over inter-order day gaps per customer.
+
+    Mirrors the reference's inter-visit ATT insertion
+    (decorators/artificial_time_token_decorator.py:158-196) with the
+    cehr_bert bucketing nativized as a CASE expression (vs. the reference's
+    Python UDF, patient_event_decorator_base.py:93-102).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    with_prev = prev_value(
+        orders,
+        "o_orderdate",
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        out="prev_date",
+    )
+    gaps = with_prev.where(F.col("prev_date").isNotNull()).select(
+        F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).alias("day_gap")
+    )
+    return gaps.select(att_token(F.col("day_gap")).alias("att_token")).groupBy(
+        "att_token"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SEQ_ATT_SQL = f"""
+WITH gaps AS (
+  SELECT DATEDIFF('day',
+                  CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS day_gap
+  FROM orders
+)
+SELECT {att_token_sql('day_gap')} AS att_token, COUNT(*) AS n
+FROM gaps WHERE day_gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def seq_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-user event sequence as parallel sorted arrays.
+
+    The reference packs ``sort_array(collect_set(struct(...)))`` and explodes
+    struct fields into parallel arrays (utils/spark_utils.py:599-631). Same
+    shape here: order encoded in the struct's leading fields (ts, event_id)
+    so the array sort is the deterministic 5-key ordering.
+    """
+    events = read_table(spark, sf_dir, "events")
+    packed = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+    )
+    return packed.select(
+        "user_id",
+        F.col("seq.event_type").alias("event_types"),
+        F.col("seq.event_id").alias("event_ids"),
+        F.size("seq").alias("num_of_events"),
+        F.size(F.array_distinct(F.col("seq.event_type"))).alias("num_of_types"),
+    )
+
+
+SEQ_USER_SQL = """
+SELECT user_id,
+       LIST(event_type ORDER BY ts, event_id) AS event_types,
+       LIST(event_id ORDER BY ts, event_id) AS event_ids,
+       COUNT(*) AS num_of_events,
+       COUNT(DISTINCT event_type) AS num_of_types
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "seq_att_gap_tokens": (seq_att_gap_tokens, SEQ_ATT_SQL),
+    "seq_user_sequence": (seq_user_sequence, SEQ_USER_SQL),
+}

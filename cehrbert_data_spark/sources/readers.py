@@ -1,0 +1,143 @@
+"""Readers: parquet / CSV / JDBC scans + schema normalization.
+
+Covers the reference's source surface (SURVEY.md §2.1):
+  S1 parquet scan                  (reference: utils/spark_utils.py:247)
+  S2 recursive parquet scan        (decorators/patient_event_decorator_base.py:45-49)
+  S3/S4 partitioned JDBC scan      (tools/download_omop_tables.py:29-66)
+  S5/S6 CSV scans                  (tools/ehrshot_to_omop.py:795-800, tools/extract_features.py:88-91)
+plus the cast-on-read normalization the whole reference depends on
+(``preprocess_domain_table``, utils/spark_utils.py:240-296): lowercase all
+column names, cast ``*date*``→date and ``*datetime*``→timestamp, rename the
+CDM 5.2 ``discharge_to_concept_id`` → 5.3 ``discharged_to_concept_id``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1: plain parquet directory/file scan."""
+    return spark.read.parquet(path)
+
+
+def read_parquet_recursive(spark: SparkSession, path: str) -> DataFrame:
+    """S2: re-load a checkpoint tree written by nested jobs."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def _nanos_timestamp_fields(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long (``spark.sql.legacy.parquet.nanosAsLong``); we restore timestamps."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            return []
+        path = files[0]
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one named testdata/OMOP table under ``sf_dir``.
+
+    Accepts both ``<dir>/<name>.parquet`` (driver testdata layout) and
+    ``<dir>/<name>/`` (OMOP directory-per-table layout). Nanosecond parquet
+    timestamps are truncated to Spark's microsecond timestamps (matching
+    DuckDB's TIMESTAMP_NS → TIMESTAMP semantics).
+    """
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    path = file_path if os.path.exists(file_path) else dir_path
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_fields(path):
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S5 (explicit schema) / S6 (inference) CSV scan."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    num_partitions: int = 16,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S3+S4: range-partitioned JDBC scan bounded by a pushed-down MAX(pk).
+
+    The upper bound is fetched with a scalar subquery executed on the database
+    (reference: tools/download_omop_tables.py:29-46) so the range partitions
+    split the real key space, not a guess.
+    """
+    props = properties or {}
+    bound_reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", f"(SELECT MAX({partition_column}) AS mx FROM {table}) b"
+    )
+    for k, v in props.items():
+        bound_reader = bound_reader.option(k, v)
+    upper = bound_reader.load().collect()[0][0] or 1
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", 1)
+        .option("upperBound", int(upper))
+        .option("numPartitions", num_partitions)
+    )
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# CDM 5.2 → 5.3 renames applied on read (reference: utils/spark_utils.py:262-265).
+_CDM_RENAMES = {"discharge_to_concept_id": "discharged_to_concept_id"}
+
+
+def normalize_domain_table(df: DataFrame) -> DataFrame:
+    """Cast-on-read normalization of a raw (often all-string) domain table.
+
+    Mirrors ``preprocess_domain_table`` semantics
+    (reference: utils/spark_utils.py:240-296):
+      * lowercase every column name
+      * any column whose name contains ``datetime`` → timestamp
+      * else any column whose name contains ``date`` → date
+      * CDM rename map applied last.
+
+    A single ``select`` keeps this one projection node that Catalyst folds
+    into the scan (column pruning + pushdown still apply).
+    """
+    cols = []
+    for field in df.schema.fields:
+        name = field.name.lower()
+        col = F.col(f"`{field.name}`")
+        if "datetime" in name:
+            col = col.cast(T.TimestampType())
+        elif "date" in name:
+            col = col.cast(T.DateType())
+        cols.append(col.alias(_CDM_RENAMES.get(name, name)))
+    return df.select(cols)

@@ -1,0 +1,64 @@
+"""Sinks: parquet overwrite, train/test split sink, checkpoint barrier.
+
+SURVEY.md §2.1:
+  S7  overwrite parquet sink   (reference: utils/spark_utils.py:1120)
+  S8  split sink               (cohorts/spark_app_base.py:586-604)
+  S10 checkpoint-to-parquet    (decorators/patient_event_decorator_base.py:38-43)
+  S11 random person split      (tools/download_omop_tables.py:134-141)
+
+At 100 TB the split sink is a single shuffle-free ``partitionBy`` write (one
+pass over the data) rather than the reference's two filtered full scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S7: overwrite parquet. ``partition_by`` enables partition pruning for
+    downstream readers (e.g. bucket-by-person layouts at scale)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_split(df: DataFrame, splits: DataFrame, path: str, person_col: str = "person_id") -> None:
+    """S8: join a ``(person_id, split)`` table and write ``split=train/`` and
+    ``split=test/`` partitions in ONE pass (vs. the reference's two filtered
+    writes, cohorts/spark_app_base.py:586-604)."""
+    joined = df.join(splits.select(person_col, "split"), person_col)
+    joined.write.mode("overwrite").partitionBy("split").parquet(path)
+
+
+def checkpoint_barrier(df: DataFrame, path: str | None = None) -> DataFrame:
+    """S10: cut lineage and freeze nondeterministic ids.
+
+    The reference writes+re-reads parquet
+    (patient_event_decorator_base.py:38-43) because ids minted with
+    ``monotonically_increasing_id`` / global windows are only stable after
+    materialization. ``localCheckpoint(eager=True)`` achieves the same
+    determinism barrier without a round-trip through the object store; pass
+    ``path`` to keep the reference's durable-checkpoint behavior.
+    """
+    if path is None:
+        return df.localCheckpoint(eager=True)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def random_person_split(
+    persons: DataFrame, train_fraction: float = 0.8, seed: int = 42
+) -> DataFrame:
+    """S11: 80/20 person-level split, seed 42
+    (reference: tools/download_omop_tables.py:134-141). Returns
+    ``(person_id, split)`` with split in {'train','test'}."""
+    from pyspark.sql import functions as F
+
+    train, test = persons.select("person_id").distinct().randomSplit(
+        [train_fraction, 1.0 - train_fraction], seed=seed
+    )
+    return train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )

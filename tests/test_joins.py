@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.joins import (
+    anti_filter,
+    asof_join,
+    interval_join,
+    semi_filter,
+    with_scalar_max,
+)
+
+
+def _dt(day, hour=0):
+    return datetime.datetime(2020, 1, day, hour)
+
+
+def test_semi_and_anti(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k: int, v: string")
+    keys = spark.createDataFrame([(1,), (3,), (3,)], "k: int")
+    assert sorted(r["v"] for r in semi_filter(df, keys, "k").collect()) == ["a", "c"]
+    assert [r["v"] for r in anti_filter(df, keys, "k").collect()] == ["b"]
+
+
+def test_with_scalar_max(spark):
+    df = spark.createDataFrame([(1,), (7,), (3,)], "v: int")
+    out = with_scalar_max(df, "v", "mx").collect()
+    assert all(r["mx"] == 7 for r in out) and len(out) == 3
+
+
+def test_interval_join_bounds_inclusive(spark):
+    events = spark.createDataFrame(
+        [(1, _dt(1)), (1, _dt(2)), (1, _dt(5)), (2, _dt(2))],
+        "pid: int, ts: timestamp",
+    )
+    visits = spark.createDataFrame(
+        [(1, 100, _dt(1), _dt(2)), (1, 101, _dt(4), _dt(6))],
+        "pid: int, vid: int, lo: timestamp, hi: timestamp",
+    )
+    out = interval_join(
+        events, visits, "pid", events["ts"], visits["lo"], visits["hi"]
+    ).collect()
+    got = sorted((r["ts"].day, r["vid"]) for r in out)
+    # day1, day2 fall in visit 100 (inclusive bounds); day5 in 101; pid=2 drops.
+    assert got == [(1, 100), (2, 100), (5, 101)]
+
+
+def test_asof_join_picks_best_metric(spark):
+    events = spark.createDataFrame(
+        [(1, 10, _dt(3))], "pid: int, eid: int, ts: timestamp"
+    )
+    visits = spark.createDataFrame(
+        [(1, 100, _dt(1), _dt(6)), (1, 101, _dt(2), _dt(6))],
+        "pid: int, vid: int, lo: timestamp, hi: timestamp",
+    )
+    out = asof_join(
+        events,
+        visits,
+        "pid",
+        events["ts"],
+        visits["lo"],
+        visits["hi"],
+        metric=[F.col("lo").desc(), F.col("vid")],
+        left_key="eid",
+    ).collect()
+    # Latest-starting covering visit wins.
+    assert [(r["eid"], r["vid"]) for r in out] == [(10, 101)]

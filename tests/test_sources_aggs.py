@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.aggregations import (
+    distinct_frequency_filter,
+    hourly_mean,
+    winsorize_bounds,
+)
+from cehrbert_data_spark.sources.readers import normalize_domain_table
+from cehrbert_data_spark.sources.writers import (
+    checkpoint_barrier,
+    random_person_split,
+    write_split,
+)
+
+
+def test_normalize_domain_table(spark):
+    df = spark.createDataFrame(
+        [("2020-01-02", "2020-01-02 03:04:05", "7", "1")],
+        "Visit_Start_DATE: string, visit_start_DATETIME: string, "
+        "discharge_to_concept_id: string, visit_occurrence_id: string",
+    )
+    out = normalize_domain_table(df)
+    assert out.columns == [
+        "visit_start_date",
+        "visit_start_datetime",
+        "discharged_to_concept_id",
+        "visit_occurrence_id",
+    ]
+    row = out.collect()[0]
+    assert row["visit_start_date"] == datetime.date(2020, 1, 2)
+    assert row["visit_start_datetime"] == datetime.datetime(2020, 1, 2, 3, 4, 5)
+
+
+def test_hourly_mean(spark):
+    rows = [
+        (1, datetime.datetime(2020, 1, 1, 10, 0), 1.0),
+        (1, datetime.datetime(2020, 1, 1, 10, 30), 3.0),
+        (1, datetime.datetime(2020, 1, 1, 11, 0), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "pid: int, ts: timestamp, v: double")
+    out = {r["bucket_hour"]: r["mean_value"] for r in hourly_mean(df, ["pid"], "ts", "v").collect()}
+    assert out == {10: 2.0, 11: 10.0}
+
+
+def test_distinct_frequency_filter(spark):
+    df = spark.createDataFrame(
+        [("c1", 1), ("c1", 2), ("c1", 2), ("c2", 1)], "concept: string, person: int"
+    )
+    out = distinct_frequency_filter(df, "concept", "person", 2).collect()
+    assert [(r["concept"], r["freq"]) for r in out] == [("c1", 2)]
+
+
+def test_winsorize_bounds(spark):
+    df = spark.createDataFrame([(1, float(v)) for v in range(1, 101)], "g: int, v: double")
+    r = winsorize_bounds(df, ["g"], "v").collect()[0]
+    assert r["lower_bound"] == 1.99
+    assert r["upper_bound"] == 99.01
+    assert r["n"] == 100
+
+
+def test_random_person_split_and_split_sink(spark, tmp_path):
+    persons = spark.createDataFrame([(i,) for i in range(100)], "person_id: int")
+    splits = random_person_split(persons)
+    counts = {r["split"]: r["count"] for r in splits.groupBy("split").count().collect()}
+    assert counts["train"] + counts["test"] == 100
+    assert counts["train"] > counts["test"]
+
+    data = persons.withColumn("payload", F.col("person_id") * 2)
+    out_dir = os.path.join(str(tmp_path), "out")
+    write_split(data, splits, out_dir)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 100
+    assert set(back.select("split").distinct().toPandas()["split"]) == {"train", "test"}
+
+
+def test_checkpoint_barrier(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "v: int")
+    assert checkpoint_barrier(df).count() == 2
+    durable = checkpoint_barrier(df, os.path.join(str(tmp_path), "ckpt"))
+    assert durable.count() == 2

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cehrbert_data_spark.operators.similarity import (
+    cosine_topk,
+    int_dot,
+    lsh_candidate_pairs,
+    quantize,
+)
+from cehrbert_data_spark.operators.text import fingerprint, quality_features
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (4, "completely different text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: int, text: string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup_groups(_docs(spark), "doc_id", "text").collect()
+    by_n = sorted((r["n_docs"], r["keep_id"]) for r in out)
+    assert by_n == [(1, 3), (1, 4), (2, 1)]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", k=3, threshold=0.2).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] < 1.0
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_exact_dup_collides_all_bands(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", k=3, num_hashes=16, band_size=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_bands"] for r in pairs}
+    assert got[(1, 2)] == 8  # identical docs collide in every band
+
+
+def test_simhash_identical_and_stable(spark):
+    out = {r["id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    again = {r["id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert out == again  # deterministic (md5-derived, seed-free)
+
+
+def test_fingerprint_deterministic(spark):
+    df = _docs(spark).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    out = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert out[1] == out[2] and out[1] != out[4]
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the the the")], "doc_id: int, text: string")
+    r = quality_features(df).collect()[0]
+    assert r["q_n_words"] == 3
+    assert r["q_distinct_ratio"] == 1 / 3
+    assert r["q_stopword_ratio"] == 1.0
+
+
+def test_int_dot_and_cosine_topk(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id: int, embedding: array<float>",
+    )
+    d = df.select(
+        int_dot(quantize(F.col("embedding")), quantize(F.col("embedding"))).alias("n2")
+    ).collect()
+    assert d[0]["n2"] == 1000 * 1000
+    top = cosine_topk(df, df.where(F.col("vec_id") == 0), "vec_id", "embedding", k=1).collect()
+    assert [(r["q_id"], r["n_id"], r["rank"]) for r in top] == [(0, 1, 1)]
+
+
+def test_lsh_candidate_pairs_self_consistent(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-5.0, 1.0, -2.0])],
+        "vec_id: int, embedding: array<float>",
+    )
+    pairs = lsh_candidate_pairs(df, "vec_id", "embedding").collect()
+    assert ((0, 1) in {(r["id_a"], r["id_b"]) for r in pairs})

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.windows import (
+    ordered_rank,
+    prev_value,
+    sessionize,
+    top_n_per_group,
+)
+
+
+def _events(spark):
+    rows = [
+        (1, datetime.datetime(2020, 1, 1, 0, 0), "a"),
+        (1, datetime.datetime(2020, 1, 1, 5, 0), "b"),
+        (1, datetime.datetime(2020, 1, 3, 6, 0), "c"),   # > 24h gap -> new session
+        (1, datetime.datetime(2020, 1, 3, 7, 0), "d"),
+        (2, datetime.datetime(2020, 1, 1, 0, 0), "e"),
+    ]
+    return spark.createDataFrame(rows, "pid: int, ts: timestamp, tag: string")
+
+
+def test_sessionize_gap_split(spark):
+    out = sessionize(
+        _events(spark), ["pid"], [F.col("ts")], "ts", F.lit(24 * 3600)
+    ).collect()
+    sess = {r["tag"]: r["session_id"] for r in out}
+    assert sess == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 0}
+
+
+def test_ordered_rank_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20), (2, 5)], "g: int, v: int"
+    )
+    dense = ordered_rank(df, ["g"], [F.col("v")], out="r", kind="dense_rank").collect()
+    got = sorted((r["g"], r["v"], r["r"]) for r in dense)
+    assert got == [(1, 10, 1), (1, 10, 1), (1, 20, 2), (2, 5, 1)]
+
+
+def test_top_n_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "x"), (1, 1, "keep"), (2, 2, "keep")], "g: int, v: int, tag: string"
+    )
+    out = top_n_per_group(df, ["g"], [F.col("v").asc()], n=1).collect()
+    assert sorted(r["tag"] for r in out) == ["keep", "keep"]
+    assert "__rn" not in out[0].asDict()
+
+
+def test_prev_value(spark):
+    df = spark.createDataFrame([(1, 1, "a"), (1, 2, "b"), (1, 3, "c")], "g: int, o: int, v: string")
+    out = prev_value(df, "v", ["g"], [F.col("o")], out="p").collect()
+    got = {r["v"]: r["p"] for r in out}
+    assert got == {"a": None, "b": "a", "c": "b"}
+
+
+def test_global_window_refused(spark):
+    df = spark.createDataFrame([(1,)], "g: int")
+    with pytest.raises(ValueError, match="global"):
+        ordered_rank(df, [], [F.col("g")])
