@@ -1,0 +1,382 @@
+"""D5/D6 — visit re-linking, artificial visits, sessionized consolidation.
+
+D5 (reference: utils/spark_utils.py:662-825): events with no (or dangling)
+visit_occurrence_id are re-linked to a covering visit by an interval join +
+earliest-start as-of rank; the remainder get artificial visits (one per
+(person, date)) with ids strictly above the existing max.
+
+D6 (reference: tools/connect_omop_visit.py:12-224): merge fragmented visits —
+sessionize same-class visits whose gap is under a threshold, elect the first
+visit of each session as master, widen the master's span to the session's
+min-start/max-end, remap and drop the absorbed visits.
+
+Scale notes: every join here carries a person_id equality key (hash/SMJ, no
+cartesian). Artificial-visit ids are minted with a broadcast max + rank within
+(person, date) partitions — the reference's global `rank().over(W.orderBy(...))`
+(spark_utils.py:771-775) is a single-partition shuffle, replaced by
+monotonic ids + checkpoint preserving the "new ids > max existing" contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cehrbert_data_spark.operators.windows import sessionize
+
+
+def construct_artificial_visits(
+    patient_events: DataFrame,
+    visit_occurrence: DataFrame,
+    duplicate_records: bool = False,
+    disconnect_problem_list_records: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-link orphan events to covering visits, then mint artificial visits
+    for the rest (reference: utils/spark_utils.py:662-825). Returns
+    (refreshed_patient_events, visit_occurrence ∪ artificial_visits)."""
+    visit = (
+        visit_occurrence.select(
+            F.col("person_id"),
+            F.col("visit_occurrence_id"),
+            F.col("visit_concept_id"),
+            F.coalesce("visit_start_datetime", F.to_timestamp("visit_start_date")).alias(
+                "visit_start_datetime"
+            ),
+            F.coalesce(
+                "visit_end_datetime", F.to_timestamp(F.date_add(F.col("visit_end_date"), 1))
+            ).alias("visit_end_datetime"),
+        )
+        .withColumn("visit_start_lower_bound", F.expr("visit_start_datetime - INTERVAL 1 DAYS"))
+        .withColumn("visit_end_upper_bound", F.expr("visit_end_datetime + INTERVAL 1 DAYS"))
+    )
+
+    if disconnect_problem_list_records:
+        # Events dated outside their visit's ±1-day bounds lose the link
+        # (spark_utils.py:697-726).
+        updated = (
+            patient_events.join(
+                visit.select(
+                    "visit_occurrence_id", "visit_start_lower_bound", "visit_end_upper_bound"
+                ),
+                "visit_occurrence_id",
+                "left_outer",
+            )
+            .withColumn(
+                "visit_occurrence_id",
+                F.when(
+                    F.col("datetime").between(
+                        F.col("visit_start_lower_bound"), F.col("visit_end_upper_bound")
+                    ),
+                    F.col("visit_occurrence_id"),
+                ).otherwise(F.lit(None).cast(T.IntegerType())),
+            )
+            .withColumn(
+                "visit_concept_id",
+                F.when(
+                    F.col("visit_occurrence_id").isNotNull(), F.col("visit_concept_id")
+                ).otherwise(F.lit(0).cast(T.IntegerType())),
+            )
+            .drop("visit_start_lower_bound", "visit_end_upper_bound")
+        )
+        patient_events = (
+            updated.where(F.col("visit_occurrence_id").isNull()).unionByName(patient_events)
+            if duplicate_records
+            else updated
+        )
+
+    events_to_fix = patient_events.where(F.col("visit_occurrence_id").isNull()).withColumn(
+        "record_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+
+    # As-of: earliest-starting visit covering the event datetime
+    # (spark_utils.py:740-752) — person_id equality keeps this a hash join.
+    candidates = (
+        events_to_fix.drop("visit_occurrence_id").alias("event")
+        .join(
+            visit.alias("visit"),
+            (F.col("event.person_id") == F.col("visit.person_id"))
+            & F.col("event.datetime").between(
+                F.col("visit.visit_start_datetime").cast(T.DateType()).cast(T.TimestampType()),
+                F.expr("visit.visit_end_datetime + INTERVAL 1 DAY - INTERVAL 1 SECOND"),
+            ),
+            "left_outer",
+        )
+        .withColumn(
+            "matching_rank",
+            F.row_number().over(
+                W.partitionBy("event.record_id").orderBy("visit.visit_start_datetime")
+            ),
+        )
+        .where(F.col("matching_rank") == 1)
+        .select(
+            [
+                F.col("event." + c).alias(c)
+                for c in events_to_fix.columns
+                if c not in ("visit_occurrence_id", "visit_concept_id")
+            ]
+            + [F.col("visit.visit_occurrence_id").alias("visit_occurrence_id")]
+            # Only carry the matched visit's concept id when the input events
+            # had that column — otherwise the re-linked branch would gain a
+            # column the untouched branch lacks and the final union breaks.
+            + (
+                [F.col("visit.visit_concept_id").alias("visit_concept_id")]
+                if "visit_concept_id" in events_to_fix.columns
+                else []
+            )
+        )
+    )
+    linked = candidates.where(F.col("visit_occurrence_id").isNotNull())
+    orphans = candidates.where(F.col("visit_occurrence_id").isNull())
+
+    # One artificial visit per (person, date); ids strictly above the max.
+    max_id = visit.select(F.max("visit_occurrence_id").alias("__max_id"))
+    new_visit_ids = (
+        orphans.select("person_id", "date")
+        .distinct()
+        .crossJoin(F.broadcast(max_id))
+        .withColumn(
+            "visit_occurrence_id", F.col("__max_id") + F.monotonically_increasing_id() + 1
+        )
+        .drop("__max_id")
+        .localCheckpoint(eager=True)
+    )
+    orphans_with_visits = orphans.drop("visit_occurrence_id").join(
+        new_visit_ids, ["person_id", "date"]
+    )
+
+    artificial_agg = (
+        orphans_with_visits.groupBy("visit_occurrence_id", "person_id")
+        .agg(
+            F.min("datetime").alias("visit_start_datetime"),
+            F.max("datetime").alias("visit_end_datetime"),
+        )
+        .select(
+            F.col("visit_occurrence_id"),
+            F.col("person_id"),
+            F.lit(0).alias("visit_concept_id"),
+            F.to_date("visit_start_datetime").alias("visit_start_date"),
+            F.col("visit_start_datetime"),
+            F.to_date("visit_end_datetime").alias("visit_end_date"),
+            F.col("visit_end_datetime"),
+        )
+    )
+    # Pad to the full visit_occurrence schema with typed nulls
+    # (spark_utils.py:802-806).
+    existing = artificial_agg.columns
+    padding = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in visit_occurrence.schema
+        if f.name not in existing
+    ]
+    artificial_visits = artificial_agg.select([F.col(c) for c in existing] + padding).select(
+        visit_occurrence.columns
+    )
+
+    refreshed = (
+        patient_events.where(F.col("visit_occurrence_id").isNotNull())
+        .unionByName(linked.drop("record_id"))
+        .unionByName(orphans_with_visits.drop("record_id"))
+    )
+    return refreshed, visit_occurrence.unionByName(artificial_visits)
+
+
+def _consolidate(
+    visit_to_fix: DataFrame,
+    visit_occurrence: DataFrame,
+    hour_diff_threshold: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Sessionize one visit class and absorb each session into its first
+    visit (reference: tools/connect_omop_visit.py:12-119)."""
+    prepared = (
+        visit_to_fix.withColumn(
+            "visit_end_datetime",
+            F.coalesce("visit_end_datetime", F.col("visit_end_date").cast(T.TimestampType())),
+        )
+        .withColumn(
+            "visit_end_datetime",
+            F.when(
+                F.col("visit_end_datetime") > F.col("visit_start_datetime"),
+                F.col("visit_end_datetime"),
+            ).otherwise(F.col("visit_start_datetime")),
+        )
+        .withColumn(
+            "visit_order",
+            F.row_number().over(
+                W.partitionBy("person_id").orderBy("visit_start_datetime", "visit_occurrence_id")
+            ),
+        )
+    )
+    # Session break when the start-to-prev-end gap exceeds the threshold —
+    # note the gap is start-vs-PREVIOUS-END, so the generic sessionize (which
+    # compares one timestamp to its own lag) is specialized here.
+    prepared = (
+        prepared.withColumn(
+            "prev_visit_end_datetime",
+            F.lag("visit_end_datetime").over(W.partitionBy("person_id").orderBy("visit_order")),
+        )
+        .withColumn(
+            "hour_diff",
+            F.coalesce(
+                (
+                    F.unix_timestamp("visit_start_datetime")
+                    - F.unix_timestamp("prev_visit_end_datetime")
+                )
+                / 3600,
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "visit_partition",
+            F.sum((F.col("hour_diff") > hour_diff_threshold).cast("int")).over(
+                W.partitionBy("person_id")
+                .orderBy("visit_order")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "is_master_visit",
+            F.row_number().over(
+                W.partitionBy("person_id", "visit_partition").orderBy("visit_order")
+            )
+            == 1,
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    master_visit = (
+        prepared.alias("visit")
+        .join(
+            prepared.where(F.col("is_master_visit")).alias("master"),
+            (F.col("visit.person_id") == F.col("master.person_id"))
+            & (F.col("visit.visit_partition") == F.col("master.visit_partition")),
+        )
+        .groupBy(
+            F.col("master.person_id").alias("person_id"),
+            F.col("master.visit_partition").alias("visit_partition"),
+            F.col("master.visit_occurrence_id").alias("visit_occurrence_id"),
+        )
+        .agg(
+            F.min("visit.visit_start_date").alias("visit_start_date"),
+            F.min("visit.visit_start_datetime").alias("visit_start_datetime"),
+            F.max("visit.visit_end_date").alias("visit_end_date"),
+            F.max("visit.visit_end_datetime").alias("visit_end_datetime"),
+        )
+    )
+    visit_mapping = (
+        master_visit.alias("master")
+        .join(
+            prepared.alias("visit"),
+            (F.col("master.person_id") == F.col("visit.person_id"))
+            & (F.col("master.visit_partition") == F.col("visit.visit_partition")),
+        )
+        .where(F.col("master.visit_occurrence_id") != F.col("visit.visit_occurrence_id"))
+        .select(
+            F.col("master.person_id").alias("person_id"),
+            F.col("master.visit_partition").alias("visit_partition"),
+            F.col("master.visit_occurrence_id").alias("master_visit_occurrence_id"),
+            F.col("visit.visit_occurrence_id").alias("visit_occurrence_id"),
+        )
+    )
+
+    span_cols = [
+        "visit_occurrence_id", "visit_start_date", "visit_end_date",
+        "visit_start_datetime", "visit_end_datetime",
+    ]
+    other_cols = [c for c in visit_occurrence.columns if c not in span_cols]
+    fixed = (
+        visit_occurrence.alias("visit")
+        .join(
+            master_visit.alias("master"),
+            F.col("master.visit_occurrence_id") == F.col("visit.visit_occurrence_id"),
+            "left_outer",
+        )
+        .select(
+            [
+                F.coalesce(F.col(f"master.{c}"), F.col(f"visit.{c}")).alias(c)
+                for c in span_cols
+            ]
+            + [F.col(f"visit.{c}").alias(c) for c in other_cols]
+        )
+        .join(visit_mapping.select("visit_occurrence_id"), "visit_occurrence_id", "left_anti")
+    )
+    return fixed, visit_mapping
+
+
+INPATIENT_CONSOLIDATION_CONCEPT_IDS = [9201, 262]
+
+
+def consolidate_visits(
+    visit_occurrence: DataFrame,
+    inpatient_hour_threshold: int = 24,
+    outpatient_hour_threshold: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """D6 three-step consolidation (reference: connect_omop_visit.py:122-224):
+    1. merge inpatient visits whose gap ≤ threshold;
+    2. absorb outpatient visits that start inside an inpatient stay;
+    3. merge same-day outpatient visits.
+    Returns (fixed visit_occurrence, mapping of absorbed → master ids)."""
+    span = ["person_id", "visit_occurrence_id", "visit_start_date",
+            "visit_start_datetime", "visit_end_date", "visit_end_datetime"]
+
+    # step 1: inpatient sessions
+    inpatient = visit_occurrence.where(
+        F.col("visit_concept_id").isin(INPATIENT_CONSOLIDATION_CONCEPT_IDS)
+    ).select(span)
+    visit_occurrence, mapping1 = _consolidate(
+        inpatient, visit_occurrence, inpatient_hour_threshold
+    )
+
+    # step 2: outpatient visits inside an inpatient stay collapse into it
+    inpatient = visit_occurrence.where(
+        F.col("visit_concept_id").isin(INPATIENT_CONSOLIDATION_CONCEPT_IDS)
+    ).select(span)
+    outpatient = visit_occurrence.where(
+        ~F.col("visit_concept_id").isin(INPATIENT_CONSOLIDATION_CONCEPT_IDS)
+    ).select(span)
+    mapping2 = (
+        inpatient.alias("in")
+        .join(
+            outpatient.alias("out"),
+            (F.col("in.person_id") == F.col("out.person_id"))
+            & (F.col("in.visit_start_datetime") < F.col("out.visit_start_datetime"))
+            & (F.col("out.visit_start_datetime") < F.col("in.visit_end_datetime")),
+        )
+        .groupBy(F.col("out.visit_occurrence_id").alias("visit_occurrence_id"))
+        .agg(F.min("in.visit_occurrence_id").alias("master_visit_occurrence_id"))
+    )
+    visit_occurrence = visit_occurrence.join(
+        mapping2.select("visit_occurrence_id"), "visit_occurrence_id", "left_anti"
+    )
+
+    # step 3: outpatient sessions
+    outpatient = visit_occurrence.where(
+        ~F.col("visit_concept_id").isin(INPATIENT_CONSOLIDATION_CONCEPT_IDS)
+    ).select(span)
+    visit_occurrence, mapping3 = _consolidate(
+        outpatient, visit_occurrence, outpatient_hour_threshold
+    )
+
+    mapping_cols = ["visit_occurrence_id", "master_visit_occurrence_id"]
+    mapping = (
+        mapping1.select(mapping_cols)
+        .unionByName(mapping2.select(mapping_cols))
+        .unionByName(mapping3.select(mapping_cols))
+    )
+    return visit_occurrence, mapping
+
+
+def remap_visit_ids(domain_table: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Point events at their master visit after consolidation."""
+    return (
+        domain_table.join(
+            F.broadcast(mapping.select("visit_occurrence_id", "master_visit_occurrence_id")),
+            "visit_occurrence_id",
+            "left_outer",
+        )
+        .withColumn(
+            "visit_occurrence_id",
+            F.coalesce("master_visit_occurrence_id", "visit_occurrence_id"),
+        )
+        .drop("master_visit_occurrence_id")
+    )

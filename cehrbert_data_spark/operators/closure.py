@@ -22,15 +22,26 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """All reachable (src, dst, distance) pairs of a DAG edge list.
 
     distance starts at 1 for direct edges. Stops when an iteration adds no new
     pairs (anti-join against the accumulated closure, then ``isEmpty``).
+    ``seeds`` (single-column DataFrame of source ids) restricts the closure to
+    paths starting at those ids — the reference's seeded ancestry BFS
+    (utils/vocab_utils.py:4-64) — so the per-hop join grows with the seeded
+    subgraph, not the whole edge set.
     """
-    closure = edges.select(
+    level_1 = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1).alias("distance")
-    ).distinct().localCheckpoint(eager=True)
+    )
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        level_1 = level_1.join(
+            F.broadcast(seeds.select(F.col(seed_col).alias("src")).distinct()), "src"
+        )
+    closure = level_1.distinct().localCheckpoint(eager=True)
     frontier = closure
     step = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
 
