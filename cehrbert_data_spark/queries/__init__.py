@@ -14,12 +14,12 @@ Cross-engine exactness discipline (why results hash-match bit-for-bit):
 
 from __future__ import annotations
 
-from cehrbert_data_spark.queries import relational, sequences, graph, llm
+from cehrbert_data_spark.queries import relational, sequences, graph, llm, clinical
 
 
 def all_queries():
     merged = {}
-    for mod in (relational, sequences, graph, llm):
+    for mod in (relational, sequences, graph, llm, clinical):
         for name, (fn, _) in mod.QUERIES.items():
             merged[name] = fn
     return merged
@@ -27,7 +27,7 @@ def all_queries():
 
 def all_oracles():
     merged = {}
-    for mod in (relational, sequences, graph, llm):
+    for mod in (relational, sequences, graph, llm, clinical):
         for name, (_, sql) in mod.QUERIES.items():
             if sql is not None:
                 merged[name] = sql
