@@ -56,12 +56,15 @@ def transitive_closure(
             .distinct()
         )
         # Keep only genuinely new (src, dst) pairs; a shorter path wins because
-        # BFS discovers pairs in distance order.
+        # BFS discovers pairs in distance order. Only the per-hop delta is
+        # checkpointed — the accumulated closure is a union of materialized
+        # deltas, so its lineage stays one union deep and needs no barrier of
+        # its own (halves the per-iteration jobs vs checkpointing both).
         new_pairs = candidates.join(closure, ["src", "dst"], "left_anti")
         new_pairs = new_pairs.localCheckpoint(eager=True)
         if new_pairs.isEmpty():
             break
-        closure = closure.unionByName(new_pairs).localCheckpoint(eager=True)
+        closure = closure.unionByName(new_pairs)
         frontier = new_pairs
     return closure
 

@@ -17,6 +17,19 @@ from pyspark.sql import functions as F
 
 from cehrbert_data_spark.operators.text import md5_long, shingles, words
 
+#: Mersenne prime 2^31−1 for universal minhash derivation: with a,b < p and
+#: x < p the product a·x + b stays under 2^62 — no BIGINT overflow in any
+#: engine.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_h, b_h) pairs for mh_h = (a_h·x + b_h) mod p."""
+    return [
+        ((h * 2_654_435_761 + 1) % MINHASH_P, (h * 40_503 + 12_345) % MINHASH_P)
+        for h in range(num_hashes)
+    ]
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: md5(text) → (digest, n_docs, keep_id) where
@@ -28,15 +41,20 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — shared base for Jaccard and MinHash."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(words(F.col(text_col)), k)).alias("shingle"),
-        )
-        .distinct()
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs — shared base for Jaccard and MinHash.
+
+    ``distinct=True`` (set semantics) shuffles the full shingle text — needed
+    for Jaccard's intersection counts. MinHash passes ``distinct=False``:
+    min() is duplicate-insensitive, so the dedup shuffle is pure waste there.
+    """
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(words(F.col(text_col)), k)).alias("shingle"),
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def ngram_jaccard_pairs(
@@ -79,19 +97,23 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """(id, h, minhash): ``num_hashes`` seed-prefixed md5 min-hashes per doc."""
-    sh = doc_shingles(df, id_col, text_col, k)
-    seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("h"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "id",
-            "h",
-            md5_long(F.concat_ws("|", F.col("h"), F.col("shingle"))).alias("mh"),
-        )
-        .groupBy("id", "h")
-        .agg(F.min("mh").alias("minhash"))
+    """Wide signature row (id, mh_0..mh_{n-1}): ``num_hashes`` universal-hash
+    min-hashes per doc.
+
+    ONE md5 per shingle; the ``num_hashes`` hash functions are cheap affine
+    derivations mh_h = (a_h·x + b_h) mod p over the md5 value (universal
+    hashing, p = 2^31−1) — integer arithmetic any engine reproduces exactly.
+    One shuffle keyed on id with parallel min-aggregates (map-side partial
+    aggregation); no seeds-crossJoin multiplying shingle rows, no n× md5.
+    """
+    sh = doc_shingles(df, id_col, text_col, k, distinct=False).withColumn(
+        "x", md5_long(F.col("shingle")) % MINHASH_P
     )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh_{h}")
+        for h, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -104,22 +126,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket-join on
     (band, band_key), emit distinct (id_a < id_b) pairs with the number of
-    colliding bands (collision probability ≈ 1-(1-s^band_size)^bands)."""
+    colliding bands (collision probability ≈ 1-(1-s^band_size)^bands).
+
+    Banding unpivots the wide signature with ``stack`` — a narrow generator,
+    no shuffle; the only shuffles are the signature groupBy and the
+    pair-count groupBy. The bucket join is a plain equi-join on
+    (band, band_key).
+    """
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    banded = (
-        sig.withColumn("band", (F.col("h") / band_size).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("h"), F.col("minhash")))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-            ).alias("band_key")
-        )
+    n_bands = num_hashes // band_size
+    stack_args = []
+    for b in range(n_bands):
+        cols = [f"mh_{h}" for h in range(b * band_size, (b + 1) * band_size)]
+        key = "concat_ws(',', " + ", ".join(f"CAST({c} AS STRING)" for c in cols) + ")"
+        stack_args.append(f"{b}, {key}")
+    banded = sig.selectExpr(
+        "id", f"stack({n_bands}, {', '.join(stack_args)}) AS (band, band_key)"
     )
     a = banded.alias("a")
     b = banded.alias("b")

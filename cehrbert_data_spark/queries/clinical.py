@@ -201,8 +201,55 @@ def a3_count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 A3_SQL = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
 
 
+# --- D9: lab prevalence through the real stats operator ---------------------
+
+_TYPE_ID = "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 3 WHEN 'purchase' THEN 4 WHEN 'error' THEN 5 END"
+
+
+def d9_lab_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the events stream onto the measurement shape and run the real
+    ``omop.stats.lab_prevalence``: value>50 → numeric lab, else categorical."""
+    from cehrbert_data_spark.omop.stats import lab_prevalence
+
+    ev = read_table(spark, sf_dir, "events")
+    measurement = ev.select(
+        F.col("user_id").alias("person_id"),
+        F.expr(_TYPE_ID).alias("measurement_concept_id"),
+        F.when(F.col("value") > 50, F.col("value")).alias("value_as_number"),
+        F.when(F.col("value") <= 50, F.lit(99)).alias("value_as_concept_id"),
+    )
+    concept = ev.select(
+        F.expr(_TYPE_ID).alias("concept_id"),
+        F.col("event_type").alias("concept_name"),
+    ).distinct()
+    return lab_prevalence(measurement, concept)
+
+
+D9_SQL = f"""
+WITH m AS (
+  SELECT user_id AS person_id,
+         {_TYPE_ID} AS measurement_concept_id,
+         event_type AS concept_name,
+         CASE WHEN value > 50 THEN value END AS value_as_number,
+         CASE WHEN value <= 50 THEN 99 END AS value_as_concept_id
+  FROM events
+)
+SELECT measurement_concept_id, concept_name,
+       COUNT(*) AS freq,
+       COUNT(DISTINCT person_id) AS person_count,
+       CAST(SUM(CASE WHEN value_as_number IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS numeric_percentage,
+       CAST(SUM(CASE WHEN value_as_concept_id IS NOT NULL AND value_as_concept_id <> 0
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS categorical_percentage
+FROM m
+WHERE measurement_concept_id <> 0
+GROUP BY measurement_concept_id, concept_name
+"""
+
+
 QUERIES = {
     "c_label_cohort": (c_label_cohort, C_LABEL_SQL),
+    "d9_lab_prevalence": (d9_lab_prevalence, D9_SQL),
     "j9_not_exists": (j9_not_exists, J9_SQL),
     "w3_rank_with_gaps": (w3_rank_with_gaps, W3_SQL),
     "w6_partition_max": (w6_partition_max, W6_SQL),

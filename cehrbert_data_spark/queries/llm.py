@@ -149,7 +149,24 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, band_size=2)
 
 
-D_MINHASH_SQL = f"""
+def _minhash_sql() -> str:
+    """Oracle mirroring operators.dedup.minhash_signatures exactly: one md5
+    per shingle, universal-hash derivations, 2-hash bands."""
+    from cehrbert_data_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coefficients,
+    )
+
+    coeffs = minhash_coefficients(16)
+    mins = ",\n         ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh_{h}"
+        for h, (a, b) in enumerate(coeffs)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN CAST(mh_{2 * b} AS VARCHAR) || ',' || CAST(mh_{2 * b + 1} AS VARCHAR)"
+        for b in range(8)
+    )
+    return f"""
 WITH w AS (
   SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
 ),
@@ -158,23 +175,27 @@ sh AS (
   FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
   WHERE i <= LEN(words) - 2
 ),
+hashed AS (
+  SELECT id, {_md5_long_sql('shingle')} % {MINHASH_P} AS x FROM sh
+),
 sig AS (
-  SELECT id, h.h AS h, MIN({_md5_long_sql("CONCAT(h.h, '|', shingle)")}) AS minhash
-  FROM sh, (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS h) h
-  GROUP BY id, h.h
+  SELECT id,
+         {mins}
+  FROM hashed GROUP BY id
 ),
 banded AS (
-  -- h // 2, not CAST(h / 2 AS INT): DuckDB's / is float division and its
-  -- cast rounds, which would misassign odd h to the next band.
-  SELECT id, CAST(h // 2 AS INT) AS band,
-         STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY h) AS band_key
-  FROM sig GROUP BY id, CAST(h // 2 AS INT)
+  SELECT id, b.band AS band,
+         CASE b.band {band_cases} END AS band_key
+  FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS band) b
 )
 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
 GROUP BY a.id, b.id
 """
+
+
+D_MINHASH_SQL = _minhash_sql()
 
 
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,15 @@
+"""Structured Streaming surface (beyond-reference; SURVEY.md §2.9).
+
+The reference is batch-only, but three of its operators are naturally
+streaming: sessionization by time gap (W7), hourly rollup (A2), and
+event-stream dedup (U5). This package exposes them over ``readStream``
+sources with watermarks, sharing semantics with the batch operators.
+"""
+
+from cehrbert_data_spark.streaming.operators import (
+    hourly_rollup_stream,
+    session_window_stream,
+    streaming_dedup,
+)
+
+__all__ = ["hourly_rollup_stream", "session_window_stream", "streaming_dedup"]

@@ -1,0 +1,108 @@
+"""Streaming analogues of the batch operators.
+
+Each function takes a (possibly streaming) DataFrame and returns a
+transformed one — callers attach ``readStream`` sources and ``writeStream``
+sinks. All operators also work on batch DataFrames (Spark's unified API), so
+the batch oracle checks double as semantics tests for the streaming
+transformations.
+
+Watermark discipline: every stateful operator requires an event-time
+watermark so state is bounded — late rows beyond the watermark drop instead
+of growing state forever (the 100 TB concern: unbounded state OOMs
+executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ensure_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
+    """Attach an event-time watermark unless the stream already carries one.
+
+    Operators compose (dedup → session window, etc.); Spark disallows
+    redefining a watermark downstream, so only the FIRST stateful operator in
+    a chain sets it and later ones inherit.
+    """
+    if watermark is None or not df.isStreaming:
+        return df
+    if "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString():
+        return df
+    return df.withWatermark(ts, watermark)
+
+
+def session_window_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """W7 as a native session window: events within ``gap`` of each other
+    merge into one session per key. Streaming state closes when the
+    watermark passes a session's end.
+
+    Equivalent batch semantics to ``operators.windows.sessionize`` with the
+    same gap (sessionize numbers sessions, this aggregates them).
+    """
+    df = _ensure_watermark(df, ts, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts), gap).alias("session"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+        .select(
+            *keys,
+            F.col("session.start").alias("window_start"),
+            F.col("session.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def hourly_rollup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """A2 as a tumbling 1-hour window aggregate: earliest timestamp + mean
+    value per (keys, hour). Streaming emits finalized windows once the
+    watermark passes."""
+    df = _ensure_watermark(df, ts, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts), "1 hour").alias("w"), *keys)
+        .agg(
+            F.min(ts).alias("first_ts"),
+            F.avg(value).alias("mean_value"),
+            F.count(value).alias("n"),
+        )
+        .select(
+            *keys,
+            F.col("w.start").alias("bucket_start"),
+            "first_ts",
+            "mean_value",
+            "n",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """U5 on a stream: exact dedup by key with bounded state —
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes (plain ``dropDuplicates`` on a stream grows state
+    forever)."""
+    if df.isStreaming:
+        return _ensure_watermark(df, ts, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -1,0 +1,83 @@
+"""Streaming operators driven through a real micro-batch stream (rate-less:
+a file stream over a temp parquet dir) and checked against batch semantics."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.streaming import (
+    hourly_rollup_stream,
+    session_window_stream,
+    streaming_dedup,
+)
+
+
+def _events(spark):
+    rows = [
+        (1, datetime.datetime(2020, 1, 1, 10, 0), 1.0),
+        (1, datetime.datetime(2020, 1, 1, 10, 10), 3.0),
+        (1, datetime.datetime(2020, 1, 1, 12, 0), 10.0),
+        (2, datetime.datetime(2020, 1, 1, 10, 5), 5.0),
+    ]
+    return spark.createDataFrame(rows, "uid: int, ts: timestamp, v: double")
+
+
+def test_session_window_batch_semantics(spark):
+    out = session_window_stream(_events(spark), ["uid"], "ts", gap="30 minutes")
+    got = sorted((r["uid"], r["n_events"]) for r in out.collect())
+    assert got == [(1, 2), (1, 1), (2, 1)] or got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_hourly_rollup_batch_semantics(spark):
+    out = hourly_rollup_stream(_events(spark), ["uid"], "ts", "v")
+    got = {(r["uid"], r["bucket_start"].hour): r["mean_value"] for r in out.collect()}
+    assert got == {(1, 10): 2.0, (1, 12): 10.0, (2, 10): 5.0}
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    out_dir = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _events(spark).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("uid int, ts timestamp, v double").parquet(src)
+    )
+    rolled = hourly_rollup_stream(stream, ["uid"], "ts", "v")
+    q = (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # With availableNow + watermark, windows finalize only when later data
+    # arrives — append mode may emit nothing for a single static batch, but
+    # the query must run and commit without error.
+    assert q.lastProgress is not None
+
+    # complete-mode aggregation to memory sink observes the actual values
+    q2 = (
+        rolled.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = {
+        (r["uid"], r["bucket_start"].hour): r["mean_value"]
+        for r in spark.sql("SELECT * FROM rollup_mem").collect()
+    }
+    assert got == {(1, 10): 2.0, (1, 12): 10.0, (2, 10): 5.0}
+
+
+def test_streaming_dedup_batch(spark):
+    df = _events(spark).unionByName(_events(spark))
+    assert streaming_dedup(df, ["uid", "ts"], "ts").count() == 4
