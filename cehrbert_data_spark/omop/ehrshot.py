@@ -1,0 +1,302 @@
+"""D10 — EHRSHOT → OMOP conversion (event-stream CSV to CDM tables).
+
+The EHRSHOT export is one long event stream: (patient_id, start, end,
+code "VOCAB/CODE", value, unit, visit_id, omop_table). Conversion =
+(1) pivot person rows into the demographics table, (2) map codes/units/
+answers to concepts via vocabulary joins, (3) reconstruct visit ids
+(link-by-span, then artificial visits), (4) priority-dedup visits.
+
+Semantics source: tools/ehrshot_to_omop.py (person pivot :107-194,
+unit/answer maps with rank-1 dedup :197-285, value typing :288-363,
+code→concept join :366-419, visit reconstruction :422-591, visit priority
+dedup :744-783).
+
+Scale deviations: record ids are ``monotonically_increasing_id`` behind a
+checkpoint (the reference uses row_number over a global window — a
+single-partition shuffle, tools/ehrshot_to_omop.py:488); artificial visit
+ids are dense-ranked per (patient, date) over a hash-partitioned window plus
+a broadcast max, preserving "new ids > max real id".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cehrbert_data_spark.operators.ids import dense_ids
+
+EHRSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("_c0", T.StringType()),
+        T.StructField("patient_id", T.IntegerType()),
+        T.StructField("start", T.TimestampType()),
+        T.StructField("end", T.TimestampType()),
+        T.StructField("code", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("visit_id", T.StringType()),
+        T.StructField("omop_table", T.StringType()),
+    ]
+)
+
+INPATIENT_CODES = ["Visit/IP", "Visit/ERIP"]
+BIRTH_CODE = "SNOMED/3950001"
+NUMERIC_PATTERN = r"^[+-]?\d*\.?\d+$"
+
+
+def convert_code_to_omop_concept(data: DataFrame, concept: DataFrame, field: str) -> DataFrame:
+    """'VOCAB/CODE' → concept_id via (vocabulary_id, concept_code) join;
+    unmapped codes get concept_id 0 (reference: ehrshot_to_omop.py:366-419)."""
+    out_cols = [data[c] for c in data.columns] + [
+        F.coalesce(concept["concept_id"], F.lit(0)).alias("concept_id")
+    ]
+    keyed = data.withColumn("vocabulary_id", F.split(field, "/")[0]).withColumn(
+        "concept_code", F.split(field, "/")[1]
+    )
+    return keyed.join(
+        concept,
+        (keyed["vocabulary_id"] == concept["vocabulary_id"])
+        & (keyed["concept_code"] == concept["concept_code"]),
+        "left_outer",
+    ).select(out_cols)
+
+
+def _rank1_lookup(
+    values: DataFrame, concept: DataFrame, value_col: str, match_col: str,
+    domain: str, out_col: str,
+) -> DataFrame:
+    """Distinct values → first matching concept (rank-1 on concept_id),
+    default 0 — shared by unit and answer mapping."""
+    lookup = (
+        values.select(value_col).distinct()
+        .join(
+            concept.where(F.col("domain_id") == domain),
+            values[value_col] == concept[match_col],
+            "left_outer",
+        )
+        .select(values[value_col], F.coalesce(concept["concept_id"], F.lit(0)).alias(out_col))
+        .withColumn(
+            "__order", F.row_number().over(W.partitionBy(value_col).orderBy(out_col))
+        )
+        .where(F.col("__order") == 1)
+        .drop("__order")
+    )
+    return lookup
+
+
+def map_unit(data: DataFrame, concept: DataFrame) -> DataFrame:
+    """unit string → OMOP 'Unit' concept (reference: :197-238)."""
+    return data.join(
+        F.broadcast(_rank1_lookup(data, concept, "unit", "concept_code", "Unit", "unit_concept_id")),
+        "unit",
+        "left_outer",
+    )
+
+
+def map_answer(data: DataFrame, concept: DataFrame) -> DataFrame:
+    """categorical value → OMOP 'Meas Value' concept (reference: :241-285)."""
+    return data.join(
+        F.broadcast(
+            _rank1_lookup(data, concept, "value", "concept_name", "Meas Value", "value_as_concept_id")
+        ),
+        "value",
+        "left_outer",
+    )
+
+
+def extract_value(data: DataFrame, concept: DataFrame) -> DataFrame:
+    """Type the mixed value column: numeric → value_as_number + unit concept;
+    categorical → value_as_concept_id; null stays null (reference: :288-363)."""
+    df = data.withColumn(
+        "is_numeric", F.regexp_extract(F.col("value"), NUMERIC_PATTERN, 0) != ""
+    )
+    numeric = map_unit(
+        df.where(F.col("is_numeric"))
+        .withColumn("value_as_number", F.col("value").cast(T.FloatType()))
+        .withColumn("value_as_concept_id", F.lit(None).cast(T.IntegerType())),
+        concept,
+    )
+    categorical = map_answer(
+        df.where(~F.col("is_numeric"))
+        .withColumn("unit_concept_id", F.lit(None).cast(T.IntegerType()))
+        .withColumn("value_as_number", F.lit(None).cast(T.FloatType())),
+        concept,
+    )
+    other = (
+        df.where(F.col("is_numeric").isNull())
+        .withColumn("unit_concept_id", F.lit(None).cast(T.IntegerType()))
+        .withColumn("value_as_number", F.lit(None).cast(T.FloatType()))
+        .withColumn("value_as_concept_id", F.lit(None).cast(T.IntegerType()))
+    )
+    return (
+        numeric.unionByName(categorical).unionByName(other)
+        .withColumnRenamed("value", "value_source_value")
+        .withColumnRenamed("unit", "unit_source_value")
+        .drop("is_numeric")
+    )
+
+
+def create_omop_person(ehr_shot_data: DataFrame, concept: DataFrame) -> DataFrame:
+    """Pivot the person event rows into the OMOP person table
+    (reference: :107-194): birth from SNOMED/3950001, gender/ethnicity/race
+    from code prefixes."""
+    person_rows = ehr_shot_data.where(F.col("omop_table") == "person")
+    birth = person_rows.where(F.col("code") == BIRTH_CODE).select(
+        F.col("patient_id").alias("person_id"),
+        F.col("start").alias("birth_datetime"),
+        F.year("start").alias("year_of_birth"),
+        F.month("start").alias("month_of_birth"),
+        F.dayofmonth("start").alias("day_of_birth"),
+    )
+
+    def demographic(prefix: str, concept_out: str, source_out: str) -> DataFrame:
+        return convert_code_to_omop_concept(
+            person_rows.where(F.col("code").startswith(prefix)), concept, "code"
+        ).select(
+            F.col("patient_id").alias("person_id"),
+            F.col("concept_id").cast(T.IntegerType()).alias(concept_out),
+            F.col("code").alias(source_out),
+        )
+
+    return (
+        birth.join(demographic("Gender", "gender_concept_id", "gender_source_value"),
+                   "person_id", "left_outer")
+        .join(demographic("Ethnicity", "ethnicity_concept_id", "ethnicity_source_value"),
+              "person_id", "left_outer")
+        .join(demographic("Race", "race_concept_id", "race_source_value"),
+              "person_id", "left_outer")
+    )
+
+
+def drop_duplicate_visits(data: DataFrame) -> DataFrame:
+    """Keep one row per visit_id by code priority: IP/ERIP > ER > rest
+    (reference: :744-783)."""
+    priority = F.when(F.col("code").isin(INPATIENT_CODES), 1).otherwise(
+        F.when(F.col("code") == "Visit/ER", 2).otherwise(3)
+    )
+    return (
+        data.withColumn("__priority", priority)
+        .withColumn(
+            "__rank", F.row_number().over(W.partitionBy("visit_id").orderBy("__priority"))
+        )
+        .where(F.col("__rank") == 1)
+        .drop("__rank", "__priority")
+    )
+
+
+def generate_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
+    """Reconstruct visit ids for the event stream (reference: :422-591):
+
+    1. real visits = omop_table == 'visit_occurrence';
+    2. non-visit records link to the nearest covering inpatient visit
+       (smallest |visit.start − record.start|);
+    3. remaining orphans (except person rows) get artificial ids — one per
+       (patient, start date), all strictly above the max real id;
+    4. artificial visit rows are appended for the new ids.
+
+    Invariants (the reference's own unit-test contract): every non-person
+    record has a visit_id; each artificial id covers exactly one patient;
+    artificial ids > max real id.
+    """
+    real_visits = (
+        data.where(F.col("omop_table") == "visit_occurrence")
+        .withColumn("visit_start_date", F.col("start").cast(T.DateType()))
+        .withColumn(
+            "visit_end_date",
+            F.coalesce(F.col("end").cast(T.DateType()), F.col("visit_start_date")),
+        )
+    )
+    domain_records = (
+        data.where(F.col("omop_table") != "visit_occurrence")
+        .withColumn("record_id", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+
+    inpatient = real_visits.where(F.col("code").isin(INPATIENT_CODES))
+    linked = (
+        domain_records.alias("domain")
+        .join(
+            inpatient.alias("visit"),
+            (F.col("domain.patient_id") == F.col("visit.patient_id"))
+            & F.col("domain.start").between(F.col("visit.start"), F.col("visit.end")),
+            "left_outer",
+        )
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                W.partitionBy("domain.record_id").orderBy(
+                    F.abs(F.unix_timestamp("visit.start") - F.unix_timestamp("domain.start"))
+                )
+            ),
+        )
+        .where(F.col("__rank") == 1)
+        .select(
+            [F.col("domain." + c).alias(c) for c in domain_records.columns if c != "visit_id"]
+            + [F.coalesce(F.col("visit.visit_id"), F.col("domain.visit_id")).alias("visit_id")]
+        )
+    )
+
+    max_visit_id = real_visits.select(
+        F.max(F.col("visit_id").cast(T.LongType())).alias("__max_visit_id")
+    )
+    orphans = (
+        linked.where(F.col("visit_id").isNull())
+        .where(F.col("omop_table") != "person")
+        .crossJoin(F.broadcast(max_visit_id))
+    )
+    # Dense ids per (patient, date): hash-partition by patient, rank the few
+    # dates inside, then offset by a per-patient base computed from a compact
+    # distinct-date frame (no global single-partition window).
+    orphan_dates = orphans.select(
+        "patient_id", F.col("start").cast(T.DateType()).alias("__date")
+    ).distinct()
+    orphan_dates = dense_ids(
+        orphan_dates, [F.col("patient_id"), F.col("__date")], out="__date_seq"
+    )
+    orphans = (
+        orphans.withColumn("__date", F.col("start").cast(T.DateType()))
+        .join(orphan_dates, ["patient_id", "__date"])
+        .withColumn(
+            "new_visit_id", (F.col("__date_seq") + F.col("__max_visit_id")).cast(T.LongType())
+        )
+        .drop("visit_id", "__date", "__date_seq", "__max_visit_id")
+    )
+
+    fixed_records = (
+        linked.alias("domain")
+        .join(
+            orphans.select("record_id", "new_visit_id").alias("orphan"),
+            "record_id",
+            "left_outer",
+        )
+        .withColumn(
+            "visit_id",
+            F.coalesce(F.col("new_visit_id"), F.col("domain.visit_id").cast(T.LongType())),
+        )
+        .drop("new_visit_id")
+    )
+
+    artificial_visits = (
+        orphans.groupBy("patient_id", "new_visit_id")
+        .agg(F.min("start").alias("start"), F.max(F.coalesce("end", "start")).alias("end"))
+        .select(
+            F.lit(None).cast(T.StringType()).alias("_c0"),
+            "patient_id",
+            "start",
+            "end",
+            F.lit("Visit/OMOP4822036").alias("code"),
+            F.lit(None).cast(T.StringType()).alias("value"),
+            F.lit(None).cast(T.StringType()).alias("unit"),
+            F.col("new_visit_id").cast(T.StringType()).alias("visit_id"),
+            F.lit("visit_occurrence").alias("omop_table"),
+        )
+    )
+
+    real_with_ids = real_visits.drop("visit_start_date", "visit_end_date")
+    base_cols = [c for c in data.columns]
+    return (
+        fixed_records.select([F.col(c).cast("string").alias(c) if c == "visit_id" else F.col(c) for c in base_cols])
+        .unionByName(real_with_ids.select(base_cols))
+        .unionByName(artificial_visits.select(base_cols))
+    )

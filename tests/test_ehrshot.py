@@ -1,0 +1,139 @@
+"""EHRSHOT→OMOP conversion: the reference's own unit-test contract
+(visit counts per patient, artificial ids > max real id, priority dedup,
+person pivot, code mapping, value typing)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.omop.ehrshot import (
+    convert_code_to_omop_concept,
+    create_omop_person,
+    drop_duplicate_visits,
+    extract_value,
+    generate_visit_id,
+)
+
+
+def _ts(m, d, h=0):
+    return datetime.datetime(2020, m, d, h)
+
+
+def _concept(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Gender", "Gender", "F", "female"),
+            (2, "Race", "Race", "White", "white"),
+            (3, "Unit", "UCUM", "mg", "milligram"),
+            (4, "Meas Value", "LOINC", "POS", "Positive"),
+            (5, "Condition", "SNOMED", "1234", "some condition"),
+        ],
+        "concept_id: int, domain_id: string, vocabulary_id: string, "
+        "concept_code: string, concept_name: string",
+    )
+
+
+def _stream(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "_c0: string, patient_id: int, start: timestamp, end: timestamp, "
+        "code: string, value: string, unit: string, visit_id: string, "
+        "omop_table: string",
+    )
+
+
+def test_code_mapping_and_value_typing(spark):
+    concept = _concept(spark)
+    data = _stream(
+        spark,
+        [
+            (None, 1, _ts(1, 1), None, "SNOMED/1234", "5.5", "mg", None, "measurement"),
+            (None, 1, _ts(1, 1), None, "SNOMED/1234", "Positive", None, None, "measurement"),
+            (None, 1, _ts(1, 1), None, "SNOMED/9999", None, None, None, "measurement"),
+        ],
+    )
+    mapped = convert_code_to_omop_concept(data, concept, "code")
+    got = {r["value"]: r["concept_id"] for r in mapped.collect()}
+    assert got["5.5"] == 5 and got[None] == 0  # unmapped code -> 0
+
+    typed = extract_value(data, concept)
+    rows = {r["value_source_value"]: r for r in typed.collect()}
+    assert rows["5.5"]["value_as_number"] == 5.5
+    assert rows["5.5"]["unit_concept_id"] == 3
+    assert rows["Positive"]["value_as_concept_id"] == 4
+    assert rows[None]["value_as_number"] is None
+
+
+def test_create_omop_person(spark):
+    concept = _concept(spark)
+    data = _stream(
+        spark,
+        [
+            (None, 7, _ts(1, 1), None, "SNOMED/3950001", None, None, None, "person"),
+            (None, 7, _ts(1, 1), None, "Gender/F", None, None, None, "person"),
+            (None, 7, _ts(1, 1), None, "Race/White", None, None, None, "person"),
+        ],
+    )
+    person = create_omop_person(data, concept).collect()
+    assert len(person) == 1
+    p = person[0]
+    assert p["person_id"] == 7 and p["year_of_birth"] == 2020
+    assert p["gender_concept_id"] == 1 and p["race_concept_id"] == 2
+    assert p["ethnicity_concept_id"] is None  # no ethnicity row
+
+
+def test_drop_duplicate_visits_priority(spark):
+    data = _stream(
+        spark,
+        [
+            (None, 1, _ts(1, 1), _ts(1, 2), "Visit/OP", None, None, "10", "visit_occurrence"),
+            (None, 1, _ts(1, 1), _ts(1, 2), "Visit/IP", None, None, "10", "visit_occurrence"),
+            (None, 1, _ts(1, 3), None, "Visit/ER", None, None, "11", "visit_occurrence"),
+        ],
+    )
+    out = drop_duplicate_visits(data).collect()
+    by_visit = {r["visit_id"]: r["code"] for r in out}
+    assert by_visit == {"10": "Visit/IP", "11": "Visit/ER"}
+
+
+def test_generate_visit_id_invariants(spark):
+    data = _stream(
+        spark,
+        [
+            # real inpatient visit 100 spanning Jan 1-3
+            (None, 1, _ts(1, 1), _ts(1, 3), "Visit/IP", None, None, "100", "visit_occurrence"),
+            # event inside the stay -> linked to 100
+            (None, 1, _ts(1, 2), None, "SNOMED/1234", None, None, None, "condition_occurrence"),
+            # event with no covering visit -> artificial id
+            (None, 1, _ts(6, 1), None, "SNOMED/1234", None, None, None, "condition_occurrence"),
+            # second patient, orphan on the same date -> its own artificial id
+            (None, 2, _ts(6, 1), None, "SNOMED/1234", None, None, None, "condition_occurrence"),
+            # person row: birth precedes every visit span -> stays unlinked
+            # (the reference links ANY record inside a span, person included;
+            # only artificial-id minting excludes person rows)
+            (None, 1, datetime.datetime(1990, 1, 1), None, "Gender/F", None, None, None, "person"),
+        ],
+    )
+    out = generate_visit_id(data)
+    rows = out.collect()
+    non_person = [r for r in rows if r["omop_table"] == "condition_occurrence"]
+    assert all(r["visit_id"] is not None for r in non_person)
+
+    linked = [r for r in non_person if r["start"] == _ts(1, 2)]
+    assert [r["visit_id"] for r in linked] == ["100"]
+
+    artificial = [r for r in non_person if r["start"] == _ts(6, 1)]
+    ids = {r["patient_id"]: int(r["visit_id"]) for r in artificial}
+    assert all(v > 100 for v in ids.values())          # above max real id
+    assert ids[1] != ids[2]                            # one id per patient
+
+    new_visit_rows = [
+        r for r in rows
+        if r["omop_table"] == "visit_occurrence" and r["visit_id"] != "100"
+    ]
+    assert len(new_visit_rows) == 2                    # artificial visits appended
+
+    person_rows = [r for r in rows if r["omop_table"] == "person"]
+    assert person_rows and all(r["visit_id"] is None for r in person_rows)
