@@ -113,6 +113,53 @@ def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) ->
     )
 
 
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate nearest neighbors at scale: candidates share an LSH
+    bucket (equi-join — no all-pairs enumeration), then exact quantized
+    cosine ranks the candidates per query vector.
+
+    Recall trades off with ``num_planes``: more planes → smaller buckets →
+    fewer candidates. This is the scale path next to the brute-force
+    :func:`cosine_topk` baseline — the join volume is Σ bucket², not n².
+    """
+    q = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "ivec", "inorm2"
+    )
+    buckets = lsh_bucket(df, id_col, vec_col, num_planes)
+    side = q.join(buckets, q["id"] == buckets["id"]).select(
+        q["id"].alias("id"), "ivec", "inorm2", "bucket"
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    cos = (
+        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("q_id"),
+            F.col("b.id").alias("n_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) -> DataFrame:
     """ANN candidate pairs: vectors sharing an LSH bucket (id_a < id_b)."""
     buckets = lsh_bucket(df, id_col, vec_col, num_planes)

@@ -254,6 +254,53 @@ SELECT q_id, n_id, cosine, rank FROM (
 """
 
 
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: LSH-bucket candidates, exact cosine rank within."""
+    from cehrbert_data_spark.operators.similarity import lsh_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, "vec_id", "embedding", k=5, num_planes=8)
+
+
+SIM_LSH_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS (
+  SELECT id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+),
+contrib AS (
+  SELECT id, p.p AS p,
+         SUM(ivec[d] * ({_md5_long_sql("CONCAT(p.p, '_', d - 1)", 48)} % 2001 - 1000)) AS dot
+  FROM q, UNNEST(GENERATE_SERIES(1, LEN(ivec))) AS g(d), (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS p) p
+  GROUP BY id, p.p
+),
+buckets AS (
+  SELECT id, SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS bucket
+  FROM contrib GROUP BY id
+),
+sided AS (
+  SELECT n.id, n.ivec, n.norm2, b.bucket
+  FROM normed n JOIN buckets b ON n.id = b.id
+),
+pairs AS (
+  SELECT a.id AS q_id, b.id AS n_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+              i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+           / (SQRT(a.norm2) * SQRT(b.norm2)) AS cosine
+  FROM sided a JOIN sided b ON a.bucket = b.bucket AND a.id != b.id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_bucket(emb, "vec_id", "embedding", num_planes=8)
@@ -309,5 +356,6 @@ QUERIES = {
     "d_simhash": (d_simhash, D_SIMHASH_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
+    "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
 }
