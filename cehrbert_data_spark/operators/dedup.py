@@ -195,3 +195,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFr
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine) with
+    a_id < b_id and cosine >= threshold, over quantized exact-int cosine.
+
+    This is the all-pairs baseline (self cross-join, a<b triangle). The
+    100 TB scale path is the same predicate over LSH-bucket candidates
+    (similarity.lsh_candidate_pairs) — an equi-join on bucket keys instead
+    of the n² triangle; swap the pair source, keep the threshold filter.
+    """
+    from cehrbert_data_spark.operators.similarity import int_dot, with_quantized_norm
+
+    sided = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "ivec", "inorm2"
+    )
+    a, b = sided.alias("a"), sided.alias("b")
+    cos = (
+        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

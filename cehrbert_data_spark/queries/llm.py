@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.operators.dedup import (
+    embedding_neardup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -98,6 +99,40 @@ SELECT doc_id,
                 i -> ((i % 16) + 1) * ({_md5_long_sql('words[i]', 48)} % 1000003)))
          % 1000000007 AS fingerprint
 FROM w
+"""
+
+
+def t_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace words vs BPE-ish regex
+    tokens (the unit LLM data budgets are written in)."""
+    from cehrbert_data_spark.operators.text import regex_tokens, words
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(words(F.col("text"))).alias("n_words"),
+        F.size(regex_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens_per_doc"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+T_TOKENS_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_words,
+         LEN(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
+       SUM(n_tokens) AS total_tokens, AVG(n_tokens) AS avg_tokens_per_doc,
+       MAX(n_tokens) AS max_tokens
+FROM per_doc GROUP BY source
 """
 
 
@@ -322,6 +357,33 @@ FROM contrib GROUP BY id
 """
 
 
+def d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a cosine threshold."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+D_EMBED_NEARDUP_SQL = """
+WITH q AS (
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS (
+  SELECT id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+            i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+         / (SQRT(a.norm2) * SQRT(b.norm2)) AS cosine
+FROM normed a JOIN normed b ON a.id < b.id
+WHERE CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+           i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+        / (SQRT(a.norm2) * SQRT(b.norm2)) >= 0.35
+"""
+
+
 # --- multimodal metadata -------------------------------------------------------------
 
 def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +412,9 @@ QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
     "t_fingerprint": (t_fingerprint, T_FINGERPRINT_SQL),
+    "t_tokens": (t_tokens, T_TOKENS_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_SQL),
+    "d_embed_neardup": (d_embed_neardup, D_EMBED_NEARDUP_SQL),
     "d_ngram_jaccard": (d_ngram_jaccard, D_JACCARD_SQL),
     "d_minhash_lsh": (d_minhash_lsh, D_MINHASH_SQL),
     "d_simhash": (d_simhash, D_SIMHASH_SQL),

@@ -651,6 +651,124 @@ def u5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 U5_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+# --- A1/A10: multi-fn hash agg, span agg -------------------------------------------------
+
+def a1_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-function hash aggregate per group (reference A1: per-patient
+    countDistinct(visit) + count(concept) + min/max, spark_utils.py:642-645).
+    One shuffle; all functions partial-aggregate map-side."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        exact_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+A1_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders, COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_custkey
+"""
+
+
+def a10_span_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span aggregation for id generation (reference A10: artificial-visit
+    min/max datetime span, spark_utils.py:786-800)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("span_start"),
+        F.max("ts").alias("span_end"),
+        F.datediff(F.max("ts"), F.min("ts")).alias("span_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+A10_SQL = """
+SELECT user_id, event_type, MIN(ts) AS span_start, MAX(ts) AS span_end,
+       DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS span_days,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --- O1/U2+U3/W10: global top-k, positional union, SQL window ---------------------------
+
+def o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordered top-k. ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition partial top-k then a k-row merge on
+    the driver — NOT a single-partition global sort; this is the scale-safe
+    replacement for the reference's global-window row_number (W8 hazard,
+    SURVEY §4)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+O1_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def u3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional union (reference U2 ``df.union``, spark_utils.py:355) +
+    bag semantics (SQL UNION ALL, U3)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("okey"), F.lit("returned").alias("tag")
+    )
+    shipped = li.where(F.col("l_linestatus") == "F").select(
+        F.col("l_orderkey").alias("okey"), F.lit("finished").alias("tag")
+    )
+    return returned.union(shipped).groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("okey").alias("n_orders")
+    )
+
+
+U3_SQL = """
+WITH u AS (
+  SELECT l_orderkey AS okey, 'returned' AS tag FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT l_orderkey AS okey, 'finished' AS tag FROM lineitem WHERE l_linestatus = 'F'
+)
+SELECT tag, COUNT(*) AS n_rows, COUNT(DISTINCT okey) AS n_orders FROM u GROUP BY tag
+"""
+
+
+def w10_sql_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated-SQL window over a registered view (reference W10 + S9:
+    cohort queries run ROW_NUMBER() in Spark SQL against temp views,
+    e.g. cohorts/type_two_diabietes.py)."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("w10_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM w10_orders
+        ) WHERE rn = 1
+        """
+    )
+
+
+W10_SQL = """
+SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn = 1
+"""
+
+
 # --- §2.8: scalar function battery -------------------------------------------------------
 
 def f_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,7 +843,12 @@ QUERIES = {
     "j7_asof_join": (j7_asof, J7_SQL),
     "j8_self_join": (j8_self_join, J8_SQL),
     "j10_theta_datediff": (j10_theta_datediff, J10_SQL),
+    "a1_multi_agg": (a1_multi_agg, A1_SQL),
     "a2_hourly_mean": (a2_hourly_mean, A2_SQL),
+    "a10_span_agg": (a10_span_agg, A10_SQL),
+    "o1_global_topk": (o1_global_topk, O1_SQL),
+    "u3_union_all": (u3_union_all, U3_SQL),
+    "w10_sql_rownum": (w10_sql_rownum, W10_SQL),
     "a5_freq_filter": (a5_freq_filter, A5_SQL),
     "a6_conditional_agg": (a6_conditional_agg, A6_SQL),
     "a7_winsorize": (a7_winsorize, A7_SQL),
