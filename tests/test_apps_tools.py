@@ -1,0 +1,111 @@
+"""End-to-end tests for the tool apps: visit connect/update, sampling,
+prediction-time conversion (reference test model: run the app main() on a
+tiny OMOP folder and assert invariants)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.apps import (
+    connect_omop_visit,
+    convert_prediction_time,
+    sample_omop_tables,
+    update_omop_visit,
+)
+
+
+def _ts(d, h=0):
+    return datetime.datetime(2020, 1, d, h)
+
+
+@pytest.fixture()
+def omop_dir(spark, tmp_path):
+    """Tiny OMOP folder: person 1 has two inpatient visits 2h apart (merge),
+    plus an outpatient visit inside the stay (absorb); person 2 untouched."""
+    visits = spark.createDataFrame(
+        [
+            (10, 1, 9201, _ts(1).date(), _ts(1), _ts(2).date(), _ts(2, 10)),
+            (11, 1, 9201, _ts(2).date(), _ts(2, 12), _ts(4).date(), _ts(4)),
+            (12, 1, 9202, _ts(1).date(), _ts(1, 5), _ts(1).date(), _ts(1, 6)),
+            (20, 2, 9202, _ts(5).date(), _ts(5), _ts(5).date(), _ts(5, 1)),
+        ],
+        "visit_occurrence_id: long, person_id: long, visit_concept_id: int, "
+        "visit_start_date: date, visit_start_datetime: timestamp, "
+        "visit_end_date: date, visit_end_datetime: timestamp",
+    )
+    conditions = spark.createDataFrame(
+        [(100, 1, 44054006, _ts(2).date(), 11), (101, 2, 44054006, _ts(5).date(), 20)],
+        "condition_occurrence_id: long, person_id: long, condition_concept_id: long, "
+        "condition_start_date: date, visit_occurrence_id: long",
+    )
+    persons = spark.createDataFrame(
+        [(1, 1980), (2, 1990)], "person_id: long, year_of_birth: int"
+    )
+    root = tmp_path / "omop"
+    visits.write.parquet(str(root / "visit_occurrence"))
+    conditions.write.parquet(str(root / "condition_occurrence"))
+    persons.write.parquet(str(root / "person"))
+    return str(root)
+
+
+def test_connect_then_update_visit(spark, omop_dir, tmp_path):
+    out = str(tmp_path / "fixed")
+    connect_omop_visit.main(omop_dir, out, spark=spark)
+
+    fixed = spark.read.parquet(out + "/visit_occurrence")
+    mapping = spark.read.parquet(out + "/visit_mapping")
+    # visits 11 (gap 2h <= 24h) and 12 (inside stay) collapse into 10
+    kept = {r["visit_occurrence_id"] for r in fixed.collect()}
+    assert kept == {10, 20}
+    mapped = {
+        (r["visit_occurrence_id"], r["master_visit_occurrence_id"])
+        for r in mapping.collect()
+    }
+    assert mapped == {(11, 10), (12, 10)}
+    # master visit span widened to cover the absorbed visit
+    span = fixed.where("visit_occurrence_id = 10").collect()[0]
+    assert span["visit_end_datetime"] == _ts(4)
+
+    out2 = str(tmp_path / "updated")
+    written = update_omop_visit.main(omop_dir, out, out2, spark=spark)
+    assert "condition_occurrence" in written and "person" in written
+    cond = spark.read.parquet(out2 + "/condition_occurrence")
+    by_id = {r["condition_occurrence_id"]: r["visit_occurrence_id"] for r in cond.collect()}
+    assert by_id == {100: 10, 101: 20}  # 11 → master 10, 20 unchanged
+
+
+def test_sample_omop_tables(spark, omop_dir, tmp_path):
+    sample = spark.createDataFrame([(1,)], "person_id: long")
+    sample_path = str(tmp_path / "sample")
+    sample.write.parquet(sample_path)
+
+    out = str(tmp_path / "subset")
+    written = sample_omop_tables.main(sample_path, omop_dir, out, spark=spark)
+    assert set(written) == {"person", "visit_occurrence", "condition_occurrence"}
+    assert spark.read.parquet(out + "/person").count() == 1
+    visits = spark.read.parquet(out + "/visit_occurrence")
+    assert {r["person_id"] for r in visits.collect()} == {1}
+
+
+def test_convert_prediction_time(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 6, 1, 12, 30, 0))],
+        "subject_id: long, prediction_time: timestamp",
+    )
+    src = tmp_path / "in" / "cohort.parquet"
+    df.coalesce(1).write.parquet(str(src))
+
+    out_local = str(tmp_path / "local")
+    convert_prediction_time.main(str(tmp_path / "in"), out_local, mode="local",
+                                 timezone="America/New_York", spark=spark)
+    row = spark.read.parquet(out_local + "/cohort").collect()[0]
+    # 12:30 UTC == 08:30 EDT (June = daylight time)
+    assert row["prediction_time"] == datetime.datetime(2020, 6, 1, 8, 30, 0)
+
+    out_str = str(tmp_path / "str")
+    convert_prediction_time.main(str(tmp_path / "in"), out_str, mode="str", spark=spark)
+    row = spark.read.parquet(out_str + "/cohort").collect()[0]
+    assert row["prediction_time"] == "2020-06-01 12:30:00.000000"
