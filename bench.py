@@ -45,6 +45,9 @@ def main() -> None:
     from cehrbert_data_spark.session import build_session
 
     spark = build_session("bench")
+    # JVM/JIT + codegen warmup so timings measure the queries, not
+    # first-job classloading.
+    spark.range(10_000_000).selectExpr("sum(id)").collect()
     qs = all_queries()
 
     timings: dict[str, float] = {}

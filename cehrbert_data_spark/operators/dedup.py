@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cehrbert_data_spark.operators.partitioning import widen_for_fanout
 from cehrbert_data_spark.operators.text import md5_long, shingles, words
 
 #: Mersenne prime 2^31−1 for universal minhash derivation: with a,b < p and
@@ -50,7 +51,7 @@ def doc_shingles(
     for Jaccard's intersection counts. MinHash passes ``distinct=False``:
     min() is duplicate-insensitive, so the dedup shuffle is pure waste there.
     """
-    pairs = df.select(
+    pairs = widen_for_fanout(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles(words(F.col(text_col)), k)).alias("shingle"),
     )
@@ -165,7 +166,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFr
     bit arithmetic (portable across engines).
     """
     word_counts = (
-        df.select(
+        widen_for_fanout(df).select(
             F.col(id_col).alias("id"),
             F.explode(words(F.col(text_col))).alias("word"),
         )
@@ -213,7 +214,7 @@ def embedding_neardup_pairs(
     """
     from cehrbert_data_spark.operators.similarity import int_dot, with_quantized_norm
 
-    sided = with_quantized_norm(df, vec_col).select(
+    sided = with_quantized_norm(widen_for_fanout(df), vec_col).select(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
     a, b = sided.alias("a"), sided.alias("b")

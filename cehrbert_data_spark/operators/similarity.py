@@ -58,7 +58,9 @@ def cosine_topk(
     cosine is exact-int dot / (sqrt·sqrt) so ranking ties are impossible
     except for genuinely equal quantized cosines (then id-tie-broken).
     """
-    c = with_quantized_norm(corpus, vec_col).select(
+    from cehrbert_data_spark.operators.partitioning import widen_for_fanout
+
+    c = with_quantized_norm(widen_for_fanout(corpus), vec_col).select(
         F.col(id_col).alias("n_id"), F.col("ivec").alias("n_vec"), F.col("inorm2").alias("n_norm2")
     )
     q = with_quantized_norm(queries, vec_col).select(
@@ -90,7 +92,9 @@ def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) ->
     The plane component for (p, d) is a deterministic md5 derivation; the dot
     product is exact integer arithmetic over the quantized vector.
     """
-    q = with_quantized_norm(df, vec_col)
+    from cehrbert_data_spark.operators.partitioning import widen_for_fanout
+
+    q = with_quantized_norm(widen_for_fanout(df), vec_col)
     planes = df.sparkSession.range(num_planes).select(F.col("id").alias("p"))
     exploded = q.select(
         F.col(id_col).alias("id"), F.posexplode("ivec").alias("d", "x")
