@@ -109,3 +109,36 @@ def frame_sample_plan(df: DataFrame, binary_col: str, every_n: int = 30) -> Data
     n_frames = F.coalesce(F.col("media_meta.n_frames"), F.lit(0))
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_index", F.explode(idx))
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str,
+    width: int,
+    height: int,
+    resizer: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Resize media payloads via ``mapInPandas`` (Arrow batches; no per-row
+    pickling). ``resizer(payload, width, height) -> bytes`` performs the
+    pixel work; with no resizer this raises NotImplementedError at
+    plan-build time (the codec libraries are intentionally not assumed
+    present — tests inject a deterministic fake to exercise the Arrow
+    path and schema contract)."""
+    if resizer is None:
+        raise NotImplementedError(
+            "no media resizer available in this environment; inject a "
+            "resizer(bytes, w, h)->bytes (e.g. PIL-backed) to resize"
+        )
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("resized", T.BinaryType(), True)]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["resized"] = pdf[binary_col].map(
+                lambda b: resizer(bytes(b), width, height) if b is not None else None
+            )
+            yield pdf
+
+    return df.mapInPandas(_resize, schema)

@@ -8,8 +8,14 @@ sources with watermarks, sharing semantics with the batch operators.
 
 from cehrbert_data_spark.streaming.operators import (
     hourly_rollup_stream,
+    running_key_stats_stream,
     session_window_stream,
     streaming_dedup,
 )
 
-__all__ = ["hourly_rollup_stream", "session_window_stream", "streaming_dedup"]
+__all__ = [
+    "hourly_rollup_stream",
+    "running_key_stats_stream",
+    "session_window_stream",
+    "streaming_dedup",
+]

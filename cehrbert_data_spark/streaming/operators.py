@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _ensure_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
@@ -106,3 +107,79 @@ def streaming_dedup(
     if df.isStreaming:
         return _ensure_watermark(df, ts, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def running_key_stats_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, max-timestamp) carried across micro-batches, emitting
+    the updated totals every batch the key appears in.
+
+    This is the escape hatch for semantics the built-in windowed aggregates
+    can't express (cross-batch running state with custom update logic). State
+    is bounded two ways: the watermark drops late rows, and idle keys time
+    out after ``state_timeout_ms`` (GroupStateTimeout.ProcessingTimeTimeout),
+    so state size tracks the active-key working set — not the full 100 TB key
+    history.
+
+    On a batch DataFrame, falls back to the equivalent groupBy aggregate
+    (identical output for a single batch: running totals == final totals).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(k, df.schema[k].dataType) for k in keys]
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    if not df.isStreaming:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).cast("double").alias("sum_value"),
+            F.max(ts).alias("last_ts"),
+        )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("last", T.TimestampType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n, s, last = (state.get if state.exists else (lambda: (0, 0.0, None)))()
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value].sum())
+            batch_max = pdf[ts].max()
+            last = batch_max if last is None else max(last, batch_max)
+        state.update((n, s, last))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            [list(key) + [n, s, last]],
+            columns=[*keys, "n_events", "sum_value", "last_ts"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        _ensure_watermark(df, ts, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cehrbert_data_spark.streaming import (
     hourly_rollup_stream,
+    running_key_stats_stream,
     session_window_stream,
     streaming_dedup,
 )
@@ -81,3 +82,33 @@ def test_streaming_end_to_end(spark, tmp_path):
 def test_streaming_dedup_batch(spark):
     df = _events(spark).unionByName(_events(spark))
     assert streaming_dedup(df, ["uid", "ts"], "ts").count() == 4
+
+
+def test_running_key_stats_batch_fallback(spark):
+    out = running_key_stats_stream(_events(spark), ["uid"], "ts", "v")
+    got = {(r["uid"]): (r["n_events"], r["sum_value"]) for r in out.collect()}
+    assert got == {1: (3, 14.0), 2: (1, 5.0)}
+
+
+def test_running_key_stats_stream_stateful(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src2")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema("uid int, ts timestamp, v double").parquet(src)
+
+    from cehrbert_data_spark.streaming import running_key_stats_stream as rks
+
+    stats = rks(stream, ["uid"], "ts", "v")
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_mem").collect()
+    # last emitted state per key == batch totals
+    final = {}
+    for r in rows:
+        final[r["uid"]] = (r["n_events"], r["sum_value"])
+    assert final == {1: (3, 14.0), 2: (1, 5.0)}
