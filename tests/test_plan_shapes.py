@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+designed for 100 TB. These assert the load-bearing plan properties — filter
+pushdown into the parquet scan, column pruning, broadcast of small join
+sides, TakeOrderedAndProject for global top-k, map-side partial
+aggregation — so a refactor that silently degrades a plan (e.g. a filter
+that stops reaching the scan) fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from cehrbert_data_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, qs):
+    p = plan(qs["q1_pricing_summary"](spark, SF_DIR))
+    # the shipdate predicate must reach the parquet reader
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1]
+    # column pruning: the 16-column lineitem scan reads only what q1 needs
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_quantity" in read_schema
+
+
+def test_j1_small_dim_broadcasts(spark, qs):
+    p = plan(qs["j1_equi_inner"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_o1_global_topk_avoids_total_sort(spark, qs):
+    p = plan(qs["o1_global_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p  # no global sort stage
+
+
+def test_a1_partial_aggregation(spark, qs):
+    p = plan(qs["a1_multi_agg"](spark, SF_DIR))
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_" in p
+
+
+def test_w1_single_shuffle_for_window(spark, qs):
+    p = plan(qs["w1_latest_order"](spark, SF_DIR))
+    # exactly one hash-partitioning exchange feeds the window
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_whole_stage_codegen_spans(spark, qs):
+    # AQE prints its pre-execution plan without codegen wrappers, so scope it
+    # off to see the compiled spans the executed plan will actually have
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan(qs["p_filter_project"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # expressions stay JVM-side: the filter/project/agg pipeline compiles
+    # into whole-stage codegen (the '*' markers in formatted output)
+    assert "* Filter" in p and "* HashAggregate" in p
