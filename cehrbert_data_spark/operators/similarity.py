@@ -175,3 +175,84 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str, num_planes: in
     ).select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.bucket").alias("bucket")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_mod: int = 64,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization with a deterministic codebook: centroids are
+    the vectors whose id ≡ 0 (mod ``centroid_mod``) — reproducible in any
+    engine, no k-means training step. Returns (id, cid, probe_rank) for each
+    vector's ``nprobe`` nearest centroids by exact quantized cosine
+    (tie-broken on centroid id).
+
+    The centroid set is tiny (n / centroid_mod) and broadcast; assignment is
+    a map-side scored cross join — the corpus never shuffles.
+    """
+    q = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "ivec", "inorm2"
+    )
+    centroids = q.where(F.col("id") % centroid_mod == 0).select(
+        F.col("id").alias("cid"),
+        F.col("ivec").alias("cvec"),
+        F.col("inorm2").alias("cnorm2"),
+    )
+    cos = (
+        int_dot(F.col("ivec"), F.col("cvec")).cast("double")
+        / (F.sqrt(F.col("inorm2")) * F.sqrt(F.col("cnorm2")))
+    )
+    scored = q.crossJoin(F.broadcast(centroids)).select(
+        "id", "cid", cos.alias("c_cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("id", "cid", "probe_rank")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    centroid_mod: int = 64,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: candidates share an assigned centroid (inverted list),
+    exact quantized cosine ranks them per query. With ``nprobe`` > 1 each
+    query also probes its runner-up centroids (recall/cost dial).
+
+    Scale shape: the pair join is an equi-join on cid — join volume is
+    Σ |inverted list|², like the LSH path but with data-adaptive buckets;
+    no n² enumeration, and the corpus shuffles only (id, cid) keys plus the
+    candidate join.
+    """
+    q = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "ivec", "inorm2"
+    )
+    lists_ = ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=1)
+    probes = ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=nprobe)
+    corpus = q.join(lists_.select("id", "cid"), "id")
+    queries = q.join(probes.select("id", "cid"), "id")
+    a, b = queries.alias("a"), corpus.alias("b")
+    cos = (
+        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
+    )
+    pairs = a.join(
+        b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") != F.col("b.id"))
+    ).select(F.col("a.id").alias("q_id"), F.col("b.id").alias("n_id"), cos.alias("cosine"))
+    # a (query, neighbor) pair can match through several probed centroids
+    pairs = pairs.distinct()
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )

@@ -336,6 +336,61 @@ SELECT q_id, n_id, cosine, rank FROM (
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF coarse quantization (deterministic codebook, nprobe=2)."""
+    from cehrbert_data_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, centroid_mod=64, nprobe=2)
+
+
+SIM_IVF_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS (
+  SELECT id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+),
+centroids AS (
+  SELECT id AS cid, ivec AS cvec, norm2 AS cnorm2 FROM normed WHERE id % 64 = 0
+),
+scored AS (
+  SELECT n.id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.id
+           ORDER BY CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(n.ivec)),
+                         i -> n.ivec[i] * c.cvec[i])) AS DOUBLE)
+                    / (SQRT(n.norm2) * SQRT(c.cnorm2)) DESC,
+                    c.cid ASC
+         ) AS probe_rank
+  FROM normed n CROSS JOIN centroids c
+),
+corpus AS (
+  SELECT n.id, n.ivec, n.norm2, s.cid
+  FROM normed n JOIN scored s ON n.id = s.id AND s.probe_rank = 1
+),
+queries AS (
+  SELECT n.id, n.ivec, n.norm2, s.cid
+  FROM normed n JOIN scored s ON n.id = s.id AND s.probe_rank <= 2
+),
+pairs AS (
+  SELECT DISTINCT a.id AS q_id, b.id AS n_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+              i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+           / (SQRT(a.norm2) * SQRT(b.norm2)) AS cosine
+  FROM queries a JOIN corpus b ON a.cid = b.cid AND a.id != b.id
+)
+SELECT q_id, n_id, cosine, rank FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_bucket(emb, "vec_id", "embedding", num_planes=8)
@@ -421,5 +476,6 @@ QUERIES = {
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
+    "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
 }

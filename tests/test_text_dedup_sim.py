@@ -91,3 +91,29 @@ def test_lsh_candidate_pairs_self_consistent(spark):
     )
     pairs = lsh_candidate_pairs(df, "vec_id", "embedding").collect()
     assert ((0, 1) in {(r["id_a"], r["id_b"]) for r in pairs})
+
+
+def test_ivf_assign_and_topk(spark):
+    import math
+
+    from cehrbert_data_spark.operators.similarity import ivf_assign, ivf_topk
+
+    # two well-separated clusters around the two centroid-eligible ids (0, 4)
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2]),
+        (4, [0.0, 1.0]), (5, [0.1, 0.9]), (6, [0.2, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    assign = ivf_assign(df, "vec_id", "embedding", centroid_mod=4, nprobe=1)
+    got = {r["id"]: r["cid"] for r in assign.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 4: 4, 5: 4, 6: 4}
+
+    topk = ivf_topk(df, "vec_id", "embedding", k=2, centroid_mod=4, nprobe=1)
+    by_q = {}
+    for r in topk.collect():
+        by_q.setdefault(r["q_id"], []).append(r["n_id"])
+    # neighbors come from the same inverted list only (nprobe=1)
+    assert set(by_q[1]) == {0, 2}
+    assert set(by_q[5]) == {4, 6}
+    cos = {(r["q_id"], r["n_id"]): r["cosine"] for r in topk.collect()}
+    assert math.isclose(cos[(1, 0)], 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-3)
