@@ -199,6 +199,7 @@ def label_cohort(
     negative_cohort: DataFrame | None = None,
     remove_index_prediction_starts: bool = False,
     single_contribution: bool = False,
+    dense_member_ids: bool = True,
 ) -> DataFrame:
     """NestedCohortBuilder.build() label semantics
     (reference: spark_app_base.py:421-529), as DataFrame ops:
@@ -299,10 +300,28 @@ def label_cohort(
 
     # Dense member ids in (person, index, visit) order — the reference's
     # observable contract (spark_app_base.py:507).
-    labeled = labeled.withColumn(
-        "cohort_member_id",
-        F.dense_rank().over(W.orderBy("person_id", "index_date", "visit_occurrence_id")),
-    )
+    if dense_member_ids:
+        labeled = labeled.withColumn(
+            "cohort_member_id",
+            F.dense_rank().over(W.orderBy("person_id", "index_date", "visit_occurrence_id")),
+        )
+    else:
+        # Scale path: identical ids without the single-partition global
+        # window — dense 1..N over the DISTINCT (person, index, visit)
+        # triples via the two-pass ranker, joined back null-safely
+        # (visit_occurrence_id can be null in visit-less cohorts).
+        from cehrbert_data_spark.operators.ids import dense_ids
+
+        member_cols = ["person_id", "index_date", "visit_occurrence_id"]
+        triples = labeled.select(*member_cols).distinct()
+        ranked = dense_ids(
+            triples, [F.col(c) for c in member_cols], out="cohort_member_id"
+        )
+        cond = None
+        for c in member_cols:
+            eq = labeled[c].eqNullSafe(ranked[c])
+            cond = eq if cond is None else (cond & eq)
+        labeled = labeled.join(ranked, cond).drop(*[ranked[c] for c in member_cols])
 
     # One row per index date; positive label wins (spark_app_base.py:515-520).
     dedup_rank = F.row_number().over(

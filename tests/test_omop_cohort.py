@@ -126,3 +126,37 @@ def test_time_to_event_and_meds(spark):
     assert {"subject_id", "prediction_time", "boolean_value"} <= set(meds.columns)
     mrow = {r["subject_id"]: r["boolean_value"] for r in meds.collect()}
     assert mrow == {1: True, 2: False}
+
+
+def test_label_cohort_distributed_member_ids_match(spark):
+    """dense_member_ids=False (two-pass ranker) assigns the SAME ids as the
+    reference's global dense_rank — including null visit ids."""
+    import datetime
+
+    target = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2020, 1, 1), 10),
+            (1, datetime.datetime(2020, 2, 1), None),
+            (2, datetime.datetime(2020, 1, 15), 20),
+        ],
+        "person_id: long, index_date: timestamp, visit_occurrence_id: int",
+    )
+    outcome = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 10))],
+        "person_id: long, index_date: timestamp",
+    )
+    observation_period = spark.createDataFrame(
+        [(1, datetime.date(2015, 1, 1), datetime.date(2021, 12, 31)),
+         (2, datetime.date(2015, 1, 1), datetime.date(2021, 12, 31))],
+        "person_id: long, observation_period_start_date: date, "
+        "observation_period_end_date: date",
+    )
+    kwargs = dict(prediction_start_days=0, prediction_window=30)
+    ref = label_cohort(target, outcome, observation_period, **kwargs)
+    dist = label_cohort(
+        target, outcome, observation_period, dense_member_ids=False, **kwargs
+    )
+    key = lambda r: (r["person_id"], r["index_date"], r["visit_occurrence_id"])
+    ref_ids = {key(r): r["cohort_member_id"] for r in ref.collect()}
+    dist_ids = {key(r): r["cohort_member_id"] for r in dist.collect()}
+    assert ref_ids == dist_ids and len(ref_ids) == 3
