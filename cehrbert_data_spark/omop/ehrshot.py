@@ -47,19 +47,28 @@ NUMERIC_PATTERN = r"^[+-]?\d*\.?\d+$"
 
 def convert_code_to_omop_concept(data: DataFrame, concept: DataFrame, field: str) -> DataFrame:
     """'VOCAB/CODE' → concept_id via (vocabulary_id, concept_code) join;
-    unmapped codes get concept_id 0 (reference: ehrshot_to_omop.py:366-419)."""
-    out_cols = [data[c] for c in data.columns] + [
-        F.coalesce(concept["concept_id"], F.lit(0)).alias("concept_id")
-    ]
-    keyed = data.withColumn("vocabulary_id", F.split(field, "/")[0]).withColumn(
-        "concept_code", F.split(field, "/")[1]
+    unmapped codes get concept_id 0 (reference: ehrshot_to_omop.py:366-419).
+
+    The concept side is re-aliased to private columns (fresh expression ids)
+    so pipelines joining ``concept`` more than once (e.g. value typing then
+    code mapping) don't trip Spark's ambiguous-self-join detection."""
+    codes = concept.select(
+        F.col("vocabulary_id").alias("__c_vocabulary_id"),
+        F.col("concept_code").alias("__c_concept_code"),
+        F.col("concept_id").alias("__c_concept_id"),
+    )
+    keyed = data.withColumn("__vocabulary_id", F.split(field, "/")[0]).withColumn(
+        "__concept_code", F.split(field, "/")[1]
     )
     return keyed.join(
-        concept,
-        (keyed["vocabulary_id"] == concept["vocabulary_id"])
-        & (keyed["concept_code"] == concept["concept_code"]),
+        F.broadcast(codes),
+        (F.col("__vocabulary_id") == F.col("__c_vocabulary_id"))
+        & (F.col("__concept_code") == F.col("__c_concept_code")),
         "left_outer",
-    ).select(out_cols)
+    ).select(
+        *[F.col(c) for c in data.columns],
+        F.coalesce(F.col("__c_concept_id"), F.lit(0)).alias("concept_id"),
+    )
 
 
 def _rank1_lookup(

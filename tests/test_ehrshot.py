@@ -137,3 +137,63 @@ def test_generate_visit_id_invariants(spark):
 
     person_rows = [r for r in rows if r["omop_table"] == "person"]
     assert person_rows and all(r["visit_id"] is None for r in person_rows)
+
+
+def test_ehrshot_to_omop_app_end_to_end(spark, tmp_path):
+    """Full CSV → OMOP folder conversion through the CLI app."""
+    import csv as _csv
+    import os
+
+    from cehrbert_data_spark.apps import ehrshot_to_omop as app
+
+    rows = [
+        # person events for patient 1
+        ("0", 1, "1980-01-02 00:00:00", "", "SNOMED/3950001", "", "", "", "person"),
+        ("1", 1, "1980-01-02 00:00:00", "", "Gender/F", "", "", "", "person"),
+        ("2", 1, "1980-01-02 00:00:00", "", "Race/White", "", "", "", "person"),
+        # one real inpatient visit with a condition inside it
+        ("3", 1, "2020-03-01 08:00:00", "2020-03-03 08:00:00", "Visit/IP", "", "", "77", "visit_occurrence"),
+        ("4", 1, "2020-03-01 10:00:00", "", "SNOMED/1234", "", "", "", "condition_occurrence"),
+        # an orphan measurement far from the visit -> artificial visit id
+        ("5", 1, "2020-06-01 09:00:00", "", "LOINC/999", "5.5", "mg", "", "measurement"),
+    ]
+    csv_path = str(tmp_path / "events.csv")
+    with open(csv_path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["_c0", "patient_id", "start", "end", "code", "value", "unit", "visit_id", "omop_table"])
+        w.writerows(rows)
+
+    vocab_dir = tmp_path / "vocab"
+    concept = _concept(spark).unionByName(
+        spark.createDataFrame(
+            [(9201, "Visit", "Visit", "IP", "Inpatient"), (7, "Measurement", "LOINC", "999", "some lab")],
+            "concept_id: int, domain_id: string, vocabulary_id: string, "
+            "concept_code: string, concept_name: string",
+        )
+    )
+    concept.write.parquet(str(vocab_dir / "concept"))
+
+    out = str(tmp_path / "omop")
+    written = app.main(csv_path, str(vocab_dir), out, spark=spark)
+    assert {"person", "visit_occurrence", "condition_occurrence", "measurement", "concept"} <= set(written)
+
+    person = spark.read.parquet(os.path.join(out, "person"))
+    p = person.collect()[0]
+    assert p["person_id"] == 1 and p["year_of_birth"] == 1980
+    assert p["gender_concept_id"] == 1 and p["race_concept_id"] == 2
+
+    visits = spark.read.parquet(os.path.join(out, "visit_occurrence"))
+    vrows = visits.collect()
+    # the real visit plus one artificial visit for the orphan measurement
+    real = [r for r in vrows if r["visit_occurrence_id"] == 77]
+    assert len(real) == 1 and real[0]["discharged_to_concept_id"] == 0
+    assert any(r["visit_occurrence_id"] > 77 for r in vrows)
+
+    cond = spark.read.parquet(os.path.join(out, "condition_occurrence"))
+    c = cond.collect()[0]
+    assert c["condition_concept_id"] == 5 and c["visit_occurrence_id"] == 77
+    assert c["condition_occurrence_id"] == 1
+
+    meas = spark.read.parquet(os.path.join(out, "measurement"))
+    m = meas.collect()[0]
+    assert m["value_as_number"] == 5.5 and m["visit_occurrence_id"] > 77
