@@ -130,6 +130,47 @@ WHERE NOT EXISTS (
 """
 
 
+def j9_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive EXISTS → left-semi join (reference J9: WHERE EXISTS in
+    queries/measurement_queries.py:31-38, cohorts/cabg.py)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    high_value = orders.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(high_value, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+J9_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+def a9_groupby_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: ``groupby(k).max()`` shorthand — Spark names the outputs
+    ``max(col)`` (reference: utils/vocab_utils.py:262-267 CPT level-0)."""
+    orders = read_table(spark, sf_dir, "orders")
+    out = orders.select("o_custkey", "o_totalprice", "o_orderkey").groupBy(
+        "o_custkey"
+    ).max("o_totalprice", "o_orderkey")
+    return out.select(
+        "o_custkey",
+        F.col("max(o_totalprice)").alias("max_price"),
+        F.col("max(o_orderkey)").alias("max_orderkey"),
+    )
+
+
+A9_SQL = """
+SELECT o_custkey, MAX(o_totalprice) AS max_price, MAX(o_orderkey) AS max_orderkey
+FROM orders GROUP BY o_custkey
+"""
+
+
 # --- W3: rank() with gaps ---------------------------------------------------
 
 def w3_rank_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +292,8 @@ QUERIES = {
     "c_label_cohort": (c_label_cohort, C_LABEL_SQL),
     "d9_lab_prevalence": (d9_lab_prevalence, D9_SQL),
     "j9_not_exists": (j9_not_exists, J9_SQL),
+    "j9_exists": (j9_exists, J9_EXISTS_SQL),
+    "a9_groupby_max": (a9_groupby_max, A9_SQL),
     "w3_rank_with_gaps": (w3_rank_with_gaps, W3_SQL),
     "w6_partition_max": (w6_partition_max, W6_SQL),
     "w9_count_over": (w9_count_over, W9_SQL),
