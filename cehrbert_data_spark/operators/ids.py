@@ -24,17 +24,45 @@ def monotonic_ids(df: DataFrame, out: str = "id", start: int = 0) -> DataFrame:
 
 def dense_ids(df: DataFrame, order_by: list[Column], out: str = "id", start: int = 1) -> DataFrame:
     """Dense sequential ids 1..N in ``order_by`` order without a
-    single-partition window: zipWithIndex over a sorted RDD (two-pass — Spark
-    computes partition offsets with a lightweight count job, data stays
-    distributed)."""
-    spark = df.sparkSession
-    sorted_df = df.orderBy(*order_by)
-    schema = sorted_df.schema
-    rdd = sorted_df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + start))
-    from pyspark.sql import types as T
+    single-partition window and without routing rows through Python.
 
-    out_schema = T.StructType(list(schema.fields) + [T.StructField(out, T.LongType(), False)])
-    return spark.createDataFrame(rdd, out_schema)
+    Pure-DataFrame two-pass prefix-sum:
+      1. range-partition + sort-within-partitions on ``order_by`` (the one
+         full shuffle — identical to what any global sort pays), then stamp
+         ``monotonically_increasing_id`` whose layout is documented as
+         ``partition_id << 33 | row_in_partition`` and checkpoint to pin its
+         nondeterminism;
+      2. per-partition row counts (tiny agg: one row per partition) →
+         driver-side prefix sums → broadcast-joined offsets.
+
+    ``id = start + offset[partition] + row_in_partition`` — dense, ordered,
+    fully JVM-side. Scales: the offset table is O(num_partitions), never the
+    data.
+    """
+    spark = df.sparkSession
+    staged = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        staged.groupBy(F.shiftright(F.col("__mid"), 33).alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__cnt"]
+    offs_df = spark.createDataFrame(offsets, "__pid long, __off long")
+    local_idx = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        staged.withColumn("__pid", F.shiftright(F.col("__mid"), 33))
+        .join(F.broadcast(offs_df), "__pid")
+        .withColumn(out, (F.lit(start) + F.col("__off") + local_idx).cast("long"))
+        .drop("__pid", "__off", "__mid")
+    )
 
 
 def ids_above_max(df: DataFrame, existing: DataFrame, id_col: str, out: str) -> DataFrame:

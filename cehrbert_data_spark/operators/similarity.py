@@ -86,16 +86,27 @@ def hyperplane_component(plane: Column, dim: Column) -> Column:
     return md5_long(F.concat_ws("_", plane, dim), 48) % 2001 - 1000
 
 
-def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) -> DataFrame:
-    """Sign-bit LSH bucket per vector: bucket = Σ (dot(v, plane_p) > 0) << p.
+def lsh_buckets_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+    num_tables: int = 1,
+) -> DataFrame:
+    """Sign-bit LSH buckets over ``num_tables`` independent hash tables in a
+    single pass: (id, tbl, bucket) with bucket = Σ (dot(v, plane_{tbl·P+b}) >
+    0) << b.
 
-    The plane component for (p, d) is a deterministic md5 derivation; the dot
-    product is exact integer arithmetic over the quantized vector.
+    Multiple tables are the standard recall lever — a near-neighbor pair
+    missed by one table's ``num_planes`` sign bits gets another chance in the
+    next. All T·P plane dot products ride one explode + one (id, p) aggregate,
+    so tables cost plane-multiples, not extra passes over the vectors.
     """
     from cehrbert_data_spark.operators.partitioning import widen_for_fanout
 
     q = with_quantized_norm(widen_for_fanout(df), vec_col)
-    planes = df.sparkSession.range(num_planes).select(F.col("id").alias("p"))
+    total = num_planes * num_tables
+    planes = df.sparkSession.range(total).select(F.col("id").alias("p"))
     exploded = q.select(
         F.col(id_col).alias("id"), F.posexplode("ivec").alias("d", "x")
     )
@@ -107,13 +118,24 @@ def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) ->
     dots = contrib.groupBy("id", "p").agg(F.sum("c").alias("dot"))
     # shiftleft by a column requires the SQL form (the Python helper only
     # accepts an int bit count).
-    return dots.groupBy("id").agg(
+    return dots.groupBy(
+        "id", (F.col("p") / num_planes).cast("int").alias("tbl")
+    ).agg(
         F.sum(
             F.when(
                 F.col("dot") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {num_planes} AS INT))"),
             ).otherwise(F.lit(0).cast("long"))
         ).alias("bucket")
+    )
+
+
+def lsh_bucket(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) -> DataFrame:
+    """Single-table sign-bit LSH bucket per vector: bucket = Σ (dot(v,
+    plane_p) > 0) << p. See :func:`lsh_buckets_multi` for the recall-tunable
+    multi-table variant."""
+    return lsh_buckets_multi(df, id_col, vec_col, num_planes, num_tables=1).select(
+        "id", "bucket"
     )
 
 
@@ -164,16 +186,31 @@ def lsh_topk(
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str, num_planes: int = 8) -> DataFrame:
-    """ANN candidate pairs: vectors sharing an LSH bucket (id_a < id_b)."""
-    buckets = lsh_bucket(df, id_col, vec_col, num_planes)
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int = 8,
+    num_tables: int = 1,
+) -> DataFrame:
+    """ANN candidate pairs: vectors sharing an LSH bucket in ANY of the
+    ``num_tables`` hash tables (id_a < id_b, deduplicated across tables).
+
+    The join is an equi-join on (tbl, bucket) — join volume Σ bucket² per
+    table, never n². More tables → higher recall, linearly more candidates.
+    """
+    buckets = lsh_buckets_multi(df, id_col, vec_col, num_planes, num_tables)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.bucket").alias("bucket")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 

@@ -95,9 +95,9 @@ WITH w AS (
   SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
 )
 SELECT doc_id,
-       LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words)),
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(words)),
                 i -> ((i % 16) + 1) * ({_md5_long_sql('words[i]', 48)} % 1000003)))
-         % 1000000007 AS fingerprint
+         % 1000000007 AS BIGINT) AS fingerprint
 FROM w
 """
 
@@ -129,8 +129,8 @@ WITH per_doc AS (
          LEN(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS total_words,
-       SUM(n_tokens) AS total_tokens, AVG(n_tokens) AS avg_tokens_per_doc,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, AVG(n_tokens) AS avg_tokens_per_doc,
        MAX(n_tokens) AS max_tokens
 FROM per_doc GROUP BY source
 """
@@ -250,7 +250,7 @@ bit_signs AS (
   FROM wc, (SELECT UNNEST(GENERATE_SERIES(0, 47)) AS bit) b
   GROUP BY id, b.bit
 )
-SELECT id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM bit_signs GROUP BY id
 """
 
@@ -407,18 +407,72 @@ contrib AS (
   FROM q, UNNEST(GENERATE_SERIES(1, LEN(ivec))) AS g(d), (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS p) p
   GROUP BY id, p.p
 )
-SELECT id, SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS bucket
+SELECT id, CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
 FROM contrib GROUP BY id
 """
 
 
 def d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a cosine threshold."""
+    """Embedding-cosine near-duplicate pairs above a cosine threshold, via the
+    scale path: multi-table LSH candidates (equi-join on (tbl, bucket)) →
+    exact quantized-cosine verification. The oracle mirrors the candidate
+    generation exactly, so the check covers the whole LSH pipeline. P=3/T=16
+    is the measured 99.6 %-recall setting for τ=0.35 at sf0.01 (see
+    ``d_embed_neardup_exact`` for the recall baseline)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35,
+        candidates="lsh", num_planes=3, num_tables=16,
+    )
 
 
-D_EMBED_NEARDUP_SQL = """
+D_EMBED_NEARDUP_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS (
+  SELECT id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+),
+contrib AS (
+  SELECT id, p.p AS p,
+         SUM(ivec[d] * ({_md5_long_sql("CONCAT(p.p, '_', d - 1)", 48)} % 2001 - 1000)) AS dot
+  FROM q, UNNEST(GENERATE_SERIES(1, LEN(ivec))) AS g(d), (SELECT UNNEST(GENERATE_SERIES(0, 47)) AS p) p
+  GROUP BY id, p.p
+),
+buckets AS (
+  SELECT id, CAST(p // 3 AS INT) AS tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p % 3 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM contrib GROUP BY id, p // 3
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a AS a_id, id_b AS b_id,
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+            i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+         / (SQRT(a.norm2) * SQRT(b.norm2)) AS cosine
+FROM cand JOIN normed a ON a.id = id_a JOIN normed b ON b.id = id_b
+WHERE CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+           i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+        / (SQRT(a.norm2) * SQRT(b.norm2)) >= 0.35
+"""
+
+
+def d_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exactness oracle for near-dup (a<b triangle, O(n²)) — kept
+    as the recall baseline next to the LSH default above."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, candidates="all_pairs"
+    )
+
+
+D_EMBED_NEARDUP_EXACT_SQL = """
 WITH q AS (
   SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
   FROM embeddings
@@ -457,7 +511,7 @@ def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_META_SQL = """
 SELECT source, COUNT(*) AS n_docs,
-       SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS total_bytes,
+       CAST(SUM(OCTET_LENGTH(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT md5(text)) AS n_distinct_payloads
 FROM documents GROUP BY source
 """
@@ -470,6 +524,7 @@ QUERIES = {
     "t_tokens": (t_tokens, T_TOKENS_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_SQL),
     "d_embed_neardup": (d_embed_neardup, D_EMBED_NEARDUP_SQL),
+    "d_embed_neardup_exact": (d_embed_neardup_exact, D_EMBED_NEARDUP_EXACT_SQL),
     "d_ngram_jaccard": (d_ngram_jaccard, D_JACCARD_SQL),
     "d_minhash_lsh": (d_minhash_lsh, D_MINHASH_SQL),
     "d_simhash": (d_simhash, D_SIMHASH_SQL),

@@ -60,8 +60,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     file_path = os.path.join(sf_dir, f"{name}.parquet")
     dir_path = os.path.join(sf_dir, name)
     path = file_path if os.path.exists(file_path) else dir_path
+    nanos_cols = _nanos_timestamp_fields(path)
+    if nanos_cols:
+        # Self-sufficient on any session (not just build_session's): Spark
+        # refuses TIMESTAMP(NANOS) parquet unless this runtime-settable legacy
+        # conf is on, in which case the values arrive as long and the
+        # timestamp_micros restore below applies.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(path)
-    for col in _nanos_timestamp_fields(path):
+    for col in nanos_cols:
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df
 

@@ -57,6 +57,37 @@ def test_w1_single_shuffle_for_window(spark, qs):
     assert p.count("hashpartitioning(") == 1
 
 
+def test_dense_ids_stays_jvm_side(spark):
+    # dense_ids must never route rows through Python workers or RDDs: the
+    # plan is scan → broadcast-join on the tiny offset table → project.
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.operators.ids import dense_ids
+
+    df = spark.range(0, 1000).select((F.col("id") % 37).alias("k"), "id")
+    out = dense_ids(df, [F.col("k"), F.col("id")], out="rid")
+    p = plan(out)
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p  # offsets joined broadcast, not shuffled
+
+
+def test_embed_neardup_lsh_is_equi_join(spark, qs):
+    # the default near-dup path must be the bucketed candidate equi-join —
+    # a BroadcastNestedLoopJoin here means the O(n²) triangle leaked back in
+    p = plan(qs["d_embed_neardup"](spark, SF_DIR))
+    # nested loops may only be the tiny broadcast hyperplane cross-joins
+    # (condition-free, 48-row build side); the candidate pair join itself
+    # must be an equi-join (SMJ/SHJ) on (tbl, bucket)
+    details = p.split("\n\n")
+    for block in details:
+        if block.startswith("(") and "BroadcastNestedLoopJoin" in block:
+            assert "Join condition: None" in block, block
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    # the exactness oracle is the one allowed to nested-loop on the data
+    p_exact = plan(qs["d_embed_neardup_exact"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_exact
+
+
 def test_whole_stage_codegen_spans(spark, qs):
     # AQE prints its pre-execution plan without codegen wrappers, so scope it
     # off to see the compiled spans the executed plan will actually have
