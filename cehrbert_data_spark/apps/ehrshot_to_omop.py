@@ -30,9 +30,11 @@ from cehrbert_data_spark.omop.ehrshot import (
     INPATIENT_CODES,
     convert_code_to_omop_concept,
     create_omop_person,
+    disconnect_visit_id,
     drop_duplicate_visits,
     extract_value,
     generate_visit_id,
+    promote_inferred_inpatient,
 )
 from cehrbert_data_spark.operators.ids import dense_ids
 from cehrbert_data_spark.session import build_session
@@ -153,6 +155,11 @@ def main(
         .drop("_c0")
     )
     events = generate_visit_id(events, day_cutoff=day_cutoff)
+    # Refinements (reference: ehrshot_to_omop.py:593-741, 818-858): split
+    # visits whose events leak outside their range, then promote outpatient
+    # visits with >24 h clinical spans to inferred inpatient visits.
+    events = disconnect_visit_id(events, day_cutoff=day_cutoff)
+    events = promote_inferred_inpatient(events)
     concept = read_parquet(spark, os.path.join(vocabulary_folder, "concept"))
 
     person = create_omop_person(events, concept)

@@ -20,7 +20,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from cehrbert_data_spark.omop.cohort import build_base_cohort, label_cohort, to_meds_format
+from cehrbert_data_spark.omop.cohort import (
+    add_time_to_event,
+    build_base_cohort,
+    label_cohort,
+    to_meds_format,
+)
 from cehrbert_data_spark.omop.cohort_library import PREDICTION_COHORTS
 from cehrbert_data_spark.omop.events import extract_ehr_records
 from cehrbert_data_spark.omop.sequence import (
@@ -118,6 +123,14 @@ def main(
         prediction_window_unbounded=prediction_window_unbounded,
         single_contribution=single_contribution,
     )
+    # study_end_date / time_to_event always ride along in the reference's
+    # final cohort output (spark_app_base.py:559-583).
+    labeled = add_time_to_event(
+        labeled,
+        tables.get("observation_period"),
+        prediction_window,
+        prediction_window_unbounded,
+    )
 
     domain_names = [
         n for n in (ehr_table_list or DEFAULT_EHR_TABLES) if n in tables
@@ -171,6 +184,7 @@ def main(
         labeled.select(
             "cohort_member_id", "person_id", "index_date", "label", "age",
             "gender_concept_id", "race_concept_id",
+            "outcome_date", "study_end_date", "time_to_event",
         ),
         ["cohort_member_id", "person_id"],
     )

@@ -309,3 +309,210 @@ def generate_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
         .unionByName(real_with_ids.select(base_cols))
         .unionByName(artificial_visits.select(base_cols))
     )
+
+
+def disconnect_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
+    """Disconnect domain records whose timestamps fall outside their visit's
+    range and re-sessionize them into new visits (reference:
+    tools/ehrshot_to_omop.py:593-741).
+
+    Lab timestamps are often the result-return time, not the draw time, so a
+    record can sit days-to-years outside its visit. For each visit whose
+    event-inferred span [min(start), max(start)] leaks more than
+    ``day_cutoff``·24 h before the visit start or after the visit end:
+
+    1. the visit's distinct (start, code) event points are ordered and split
+       into 24 h-gap sessions (running-sum sessionization);
+    2. each session becomes a new visit id strictly above the current max
+       visit id (dense rank over the compact distinct (visit, session) frame
+       — no global single-partition window, unlike the reference's
+       ``dense_rank().over(Window.orderBy(...))``);
+    3. new visit rows take the session's [min, max] event-start span, and an
+       inpatient code whose rebuilt span is ≤ 24 h is demoted to 'Visit/OP';
+    4. the visit's domain records are re-pointed at their session's new id.
+
+    Every output row carries ``original_visit_id`` (= ``visit_id`` for
+    untouched rows) so downstream consumers can trace the reconstruction.
+    """
+    vid_type = data.schema["visit_id"].dataType
+    domain_records = data.where(F.col("omop_table") != "visit_occurrence")
+    visit_records = data.where(F.col("omop_table") == "visit_occurrence")
+
+    inferred_span = (
+        domain_records.alias("domain")
+        .join(
+            visit_records.alias("visit"),
+            F.col("domain.visit_id") == F.col("visit.visit_id"),
+        )
+        .groupBy(F.col("domain.visit_id").alias("visit_id"))
+        .agg(
+            F.min("domain.start").alias("inferred_start"),
+            F.max("domain.start").alias("inferred_end"),
+        )
+    )
+    hours_before = (
+        F.unix_timestamp("visit.start") - F.unix_timestamp("d_visit.inferred_start")
+    ) / 3600
+    hours_after = (
+        F.unix_timestamp("d_visit.inferred_end") - F.unix_timestamp("visit.end")
+    ) / 3600
+    visits_to_fix = (
+        inferred_span.alias("d_visit")
+        .join(
+            visit_records.alias("visit"),
+            F.col("d_visit.visit_id") == F.col("visit.visit_id"),
+        )
+        .where((hours_before > day_cutoff * 24) | (hours_after > day_cutoff * 24))
+        .select(F.col("visit.visit_id").alias("visit_id"))
+        .distinct()
+    )
+
+    # Distinct event points of the to-fix visits, sessionized on 24 h gaps.
+    # The session index per (visit_id, start) depends only on the start
+    # multiset, so equal-start ties can't flip partition assignment.
+    order_w = W.partitionBy("visit_id").orderBy("start")
+    mapping = (
+        domain_records.join(visits_to_fix, "visit_id")
+        .select("visit_id", "start", "code")
+        .distinct()
+        .withColumn("__prev_start", F.lag("start").over(order_w))
+        .withColumn(
+            "__gap_hours",
+            F.coalesce(
+                (F.unix_timestamp("start") - F.unix_timestamp("__prev_start")) / 3600,
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "session",
+            F.sum((F.col("__gap_hours") > 24).cast("int")).over(
+                order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .drop("__prev_start", "__gap_hours")
+    )
+    max_visit_id = visit_records.select(
+        F.max(F.col("visit_id").cast(T.LongType())).alias("__max_visit_id")
+    )
+    session_ids = dense_ids(
+        mapping.select("visit_id", "session").distinct(),
+        [F.col("visit_id").cast(T.LongType()), F.col("session")],
+        out="__session_rank",
+    )
+    mapping = (
+        mapping.join(session_ids, ["visit_id", "session"])
+        .crossJoin(F.broadcast(max_visit_id))
+        .withColumn(
+            "new_visit_id",
+            (F.col("__max_visit_id") + F.col("__session_rank")).cast(vid_type),
+        )
+        .drop("__session_rank", "__max_visit_id", "session")
+    )
+
+    # New visit rows: one per session, spanning its event starts; inpatient
+    # codes whose rebuilt span fits in a day demote to outpatient.
+    fixed_visits = (
+        visit_records.alias("ehr")
+        .join(
+            mapping.alias("visit"),
+            F.col("ehr.visit_id") == F.col("visit.visit_id"),
+        )
+        .groupBy(
+            F.col("visit.visit_id").alias("original_visit_id"),
+            F.col("visit.new_visit_id").alias("visit_id"),
+            F.col("ehr.patient_id").alias("patient_id"),
+            F.col("ehr.code").alias("code"),
+            F.col("ehr.value").alias("value"),
+            F.col("ehr.unit").alias("unit"),
+            F.col("ehr.omop_table").alias("omop_table"),
+        )
+        .agg(F.min("visit.start").alias("start"), F.max("visit.start").alias("end"))
+        .withColumn(
+            "code",
+            F.when(
+                F.col("code").isin(INPATIENT_CODES)
+                & ((F.unix_timestamp("end") - F.unix_timestamp("start")) / 3600 <= 24),
+                F.lit("Visit/OP"),
+            ).otherwise(F.col("code")),
+        )
+    )
+    for c in data.columns:  # passthrough columns the groupBy doesn't carry
+        if c not in fixed_visits.columns:
+            fixed_visits = fixed_visits.withColumn(c, F.lit(None).cast(data.schema[c].dataType))
+
+    fixed_domain = (
+        domain_records.alias("ehr")
+        .join(
+            mapping.alias("visit"),
+            (F.col("ehr.visit_id") == F.col("visit.visit_id"))
+            & (F.col("ehr.start") == F.col("visit.start"))
+            & (F.col("ehr.code") == F.col("visit.code")),
+        )
+        .select(
+            [
+                F.coalesce(F.col("visit.new_visit_id"), F.col("ehr.visit_id")).alias("visit_id"),
+                F.coalesce(F.col("visit.visit_id"), F.col("ehr.visit_id")).alias("original_visit_id"),
+            ]
+            + [F.col(f"ehr.{c}").alias(c) for c in data.columns if c != "visit_id"]
+        )
+    )
+
+    untouched = data.join(
+        mapping.select("visit_id").distinct(), "visit_id", "left_anti"
+    ).withColumn("original_visit_id", F.col("visit_id"))
+
+    out_cols = data.columns + ["original_visit_id"]
+    return (
+        untouched.select(out_cols)
+        .unionByName(fixed_domain.select(out_cols))
+        .unionByName(fixed_visits.select(out_cols))
+    )
+
+
+CLINICAL_DOMAINS = [
+    "condition_occurrence",
+    "procedure_occurrence",
+    "drug_exposure",
+    "measurement",
+    "observation",
+    "death",
+]
+
+
+def promote_inferred_inpatient(data: DataFrame) -> DataFrame:
+    """Promote outpatient visits whose clinical events span more than 24 h to
+    inferred inpatient visits (reference: tools/ehrshot_to_omop.py:818-858).
+
+    The event-start span (min/max of clinical-domain ``start``; the raw visit
+    ``end`` is untrusted — it can sit years out) decides the promotion: span
+    > 24 h ⇒ the visit row's code becomes 'Visit/IP' and its start/end are
+    replaced by the inferred span. Domain rows are untouched.
+    """
+    visit_rows = data.where(F.col("omop_table") == "visit_occurrence")
+    outpatient_ids = visit_rows.where(~F.col("code").isin(INPATIENT_CODES)).select(
+        "visit_id"
+    )
+    spans = (
+        data.join(outpatient_ids.distinct(), "visit_id")
+        .where(F.col("omop_table").isin(CLINICAL_DOMAINS))
+        .groupBy("visit_id")
+        .agg(F.min("start").alias("start"), F.max("start").alias("end"))
+        .where((F.unix_timestamp("end") - F.unix_timestamp("start")) / 3600 > 24)
+        .select("visit_id", "start", "end", F.lit("Visit/IP").alias("code"))
+    )
+    is_visit = F.col("ehr.omop_table") == "visit_occurrence"
+    patched = {
+        "start": F.when(is_visit, F.coalesce(F.col("visits.start"), F.col("ehr.start"))).otherwise(F.col("ehr.start")),
+        "end": F.when(is_visit, F.coalesce(F.col("visits.end"), F.col("ehr.end"))).otherwise(F.col("ehr.end")),
+        "code": F.when(is_visit, F.coalesce(F.col("visits.code"), F.col("ehr.code"))).otherwise(F.col("ehr.code")),
+    }
+    return (
+        data.alias("ehr")
+        .join(spans.alias("visits"), "visit_id", "left_outer")
+        .select(
+            [
+                patched[c].alias(c) if c in patched else F.col(f"ehr.{c}").alias(c)
+                for c in data.columns
+            ]
+        )
+    )

@@ -11,9 +11,11 @@ from pyspark.sql import functions as F
 from cehrbert_data_spark.omop.ehrshot import (
     convert_code_to_omop_concept,
     create_omop_person,
+    disconnect_visit_id,
     drop_duplicate_visits,
     extract_value,
     generate_visit_id,
+    promote_inferred_inpatient,
 )
 
 
@@ -137,6 +139,98 @@ def test_generate_visit_id_invariants(spark):
 
     person_rows = [r for r in rows if r["omop_table"] == "person"]
     assert person_rows and all(r["visit_id"] is None for r in person_rows)
+
+
+def test_disconnect_visit_id_splits_leaky_visit(spark):
+    """Reference contract (ehrshot_to_omop.py:593-741): a visit whose
+    event-inferred span leaks >24 h outside its range is split into 24 h-gap
+    sessions with fresh ids above the max; untouched rows keep their id and
+    get original_visit_id = visit_id."""
+    data = _stream(
+        spark,
+        [
+            # visit 100: Jan 1 10:00-12:00, but one lab lands in March
+            (None, 1, _ts(1, 1, 10), _ts(1, 1, 12), "Visit/OP", None, None, "100", "visit_occurrence"),
+            (None, 1, _ts(1, 1, 11), None, "SNOMED/1234", None, None, "100", "condition_occurrence"),
+            (None, 1, _ts(3, 5, 9), None, "LOINC/999", "5.5", "mg", "100", "measurement"),
+            # visit 50: events inside range -> untouched
+            (None, 2, _ts(2, 1, 8), _ts(2, 1, 18), "Visit/OP", None, None, "50", "visit_occurrence"),
+            (None, 2, _ts(2, 1, 9), None, "SNOMED/1234", None, None, "50", "condition_occurrence"),
+        ],
+    )
+    rows = disconnect_visit_id(data).collect()
+
+    fixed_visits = [
+        r for r in rows
+        if r["omop_table"] == "visit_occurrence" and r["original_visit_id"] == "100"
+    ]
+    assert len(fixed_visits) == 2                       # two 24h-gap sessions
+    assert all(int(r["visit_id"]) > 100 for r in fixed_visits)
+    assert {r["code"] for r in fixed_visits} == {"Visit/OP"}
+    # each session visit spans exactly its event starts
+    spans = {r["visit_id"]: (r["start"], r["end"]) for r in fixed_visits}
+
+    jan_event = next(r for r in rows if r["start"] == _ts(1, 1, 11))
+    mar_event = next(r for r in rows if r["start"] == _ts(3, 5, 9))
+    assert jan_event["visit_id"] != mar_event["visit_id"]
+    assert jan_event["original_visit_id"] == mar_event["original_visit_id"] == "100"
+    assert spans[jan_event["visit_id"]] == (_ts(1, 1, 11), _ts(1, 1, 11))
+    assert spans[mar_event["visit_id"]] == (_ts(3, 5, 9), _ts(3, 5, 9))
+    # no row still points at the dissolved visit id
+    assert not [r for r in rows if r["visit_id"] == "100"]
+
+    untouched = [r for r in rows if r["original_visit_id"] == "50"]
+    assert len(untouched) == 2
+    assert all(r["visit_id"] == "50" for r in untouched)
+
+
+def test_disconnect_demotes_short_inpatient_sessions(spark):
+    """An inpatient visit split into sub-24 h sessions demotes each session
+    to Visit/OP (reference: ehrshot_to_omop.py:694-703)."""
+    data = _stream(
+        spark,
+        [
+            (None, 1, _ts(1, 10), _ts(1, 11), "Visit/IP", None, None, "200", "visit_occurrence"),
+            (None, 1, _ts(1, 10, 9), None, "SNOMED/1234", None, None, "200", "condition_occurrence"),
+            (None, 1, _ts(4, 20, 9), None, "SNOMED/1234", None, None, "200", "measurement"),
+        ],
+    )
+    rows = disconnect_visit_id(data).collect()
+    new_visits = [r for r in rows if r["omop_table"] == "visit_occurrence"]
+    assert len(new_visits) == 2
+    assert {r["code"] for r in new_visits} == {"Visit/OP"}
+
+
+def test_promote_inferred_inpatient(spark):
+    """Outpatient visits whose clinical events span >24 h become inferred
+    inpatient visits with the event-span start/end (reference:
+    ehrshot_to_omop.py:818-858); domain rows and true inpatient visits are
+    untouched."""
+    data = _stream(
+        spark,
+        [
+            # outpatient visit with a 2-day clinical span -> promoted
+            (None, 1, _ts(1, 1, 9), _ts(1, 1, 17), "Visit/OP", None, None, "10", "visit_occurrence"),
+            (None, 1, _ts(1, 1, 9, ), None, "SNOMED/1234", None, None, "10", "condition_occurrence"),
+            (None, 1, _ts(1, 3, 10), None, "SNOMED/1234", None, None, "10", "measurement"),
+            # outpatient visit with a same-day span -> untouched
+            (None, 2, _ts(2, 1, 8), _ts(2, 1, 18), "Visit/OP", None, None, "20", "visit_occurrence"),
+            (None, 2, _ts(2, 1, 9), None, "SNOMED/1234", None, None, "20", "condition_occurrence"),
+            # true inpatient visit -> never rewritten
+            (None, 3, _ts(3, 1, 8), _ts(3, 4, 18), "Visit/IP", None, None, "30", "visit_occurrence"),
+            (None, 3, _ts(3, 1, 9), None, "SNOMED/1234", None, None, "30", "condition_occurrence"),
+        ],
+    )
+    rows = promote_inferred_inpatient(data).collect()
+    visits = {r["visit_id"]: r for r in rows if r["omop_table"] == "visit_occurrence"}
+    assert visits["10"]["code"] == "Visit/IP"
+    assert visits["10"]["start"] == _ts(1, 1, 9) and visits["10"]["end"] == _ts(1, 3, 10)
+    assert visits["20"]["code"] == "Visit/OP" and visits["20"]["end"] == _ts(2, 1, 18)
+    assert visits["30"]["code"] == "Visit/IP" and visits["30"]["start"] == _ts(3, 1, 8)
+    # domain rows keep their own timestamps
+    domain = [r for r in rows if r["omop_table"] != "visit_occurrence"]
+    assert all(r["code"].startswith(("SNOMED", "LOINC")) for r in domain)
+    assert len(rows) == 7
 
 
 def test_ehrshot_to_omop_app_end_to_end(spark, tmp_path):
