@@ -39,7 +39,7 @@ from cehrbert_data_spark.omop.ehrshot import (
 from cehrbert_data_spark.operators.ids import dense_ids
 from cehrbert_data_spark.session import build_session
 from cehrbert_data_spark.sources.readers import read_parquet
-from cehrbert_data_spark.sources.writers import write_parquet
+from cehrbert_data_spark.sources.writers import checkpoint_barrier, write_parquet
 
 VOCABULARY_TABLES = ["concept", "concept_relationship", "concept_ancestor"]
 
@@ -154,12 +154,18 @@ def main(
         .withColumn("visit_id", F.col("visit_id").cast(T.LongType()))
         .drop("_c0")
     )
-    events = generate_visit_id(events, day_cutoff=day_cutoff)
+    # Materialization barriers (the reference's S10 write+re-read pattern,
+    # patient_event_decorator_base.py:38-43; ehrshot_to_omop.py:492-494):
+    # each reconstruction step references its input several times (self-joins
+    # + multi-way unions), so without a barrier the logical plan grows
+    # multiplicatively and the per-domain fan-out below re-derives the whole
+    # tree — the plan itself, not the data, overwhelms the driver.
+    events = checkpoint_barrier(generate_visit_id(events, day_cutoff=day_cutoff))
     # Refinements (reference: ehrshot_to_omop.py:593-741, 818-858): split
     # visits whose events leak outside their range, then promote outpatient
     # visits with >24 h clinical spans to inferred inpatient visits.
     events = disconnect_visit_id(events, day_cutoff=day_cutoff)
-    events = promote_inferred_inpatient(events)
+    events = checkpoint_barrier(promote_inferred_inpatient(events))
     concept = read_parquet(spark, os.path.join(vocabulary_folder, "concept"))
 
     person = create_omop_person(events, concept)

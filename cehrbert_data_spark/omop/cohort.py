@@ -15,10 +15,13 @@ Semantics sources:
                   unbounded outcome window, dedup, single contribution,
                   MEDS renames, time_to_event)
 
-Scale note: cohort_member_id keeps the reference's dense_rank contract but
-over (person_id, index_date, visit_occurrence_id) — still a global window in
-the reference (spark_app_base.py:507); here ids come from the distributed
-two-pass ranker in operators.ids when ``dense_member_ids=False``.
+Scale note: cohort_member_id keeps the reference's dense_rank contract
+(dense 1..N over (person_id, index_date, visit_occurrence_id) order) but the
+ids come from the distributed two-pass ranker in operators.ids by DEFAULT —
+the reference's unpartitioned window (spark_app_base.py:507) shuffles every
+cohort row to ONE partition and is opt-in only
+(``global_window_member_ids=True``, id-parity pinned by
+tests/test_omop_cohort.py).
 """
 
 from __future__ import annotations
@@ -81,6 +84,21 @@ def validate_cohort(cohort: DataFrame) -> DataFrame:
     return cohort
 
 
+def register_cohort_view(df: DataFrame, name: str) -> None:
+    """Register a cohort dependency/intermediate view under BOTH the session
+    catalog and ``global_temp``.
+
+    The reference registers everything globally
+    (spark_app_base.py:68-74 ``createOrReplaceGlobalTempView``) and all of
+    its shipped cohort SQL says ``global_temp.x``
+    (e.g. cohorts/heart_failure.py:104-146), while this engine's own
+    templates use session views so parallel builds in one JVM don't collide.
+    Dual registration lets a reference cohort template run VERBATIM while
+    keeping the session-scoped behavior for the in-repo library."""
+    df.createOrReplaceTempView(name)
+    df.createOrReplaceGlobalTempView(name)
+
+
 def create_cohort(
     spark: SparkSession,
     builder: QueryBuilder,
@@ -92,31 +110,33 @@ def create_cohort(
     (reference: spark_app_base.py:146-192). ``tables`` supplies the
     dependency DataFrames (replacing the reference's folder reads)."""
     for name in builder.dependency_list:
-        tables[name].createOrReplaceTempView(name)
+        register_cohort_view(tables[name], name)
 
     if builder.ancestor_table_specs:
         if ancestor_table_fn is None:
             raise ValueError("ancestor_table_specs given but no ancestor_table_fn")
         for spec in builder.ancestor_table_specs:
-            ancestor_table_fn(spec).createOrReplaceTempView(spec.table_name)
+            register_cohort_view(ancestor_table_fn(spec), spec.table_name)
 
     for spec_list in (builder.dependency_queries, ):
         for spec in spec_list or []:
-            spark.sql(spec.render()).createOrReplaceTempView(spec.table_name)
+            register_cohort_view(spark.sql(spec.render()), spec.table_name)
     if builder.entry_cohort_query:
-        spark.sql(builder.entry_cohort_query.render()).createOrReplaceTempView(
-            builder.entry_cohort_query.table_name
+        register_cohort_view(
+            spark.sql(builder.entry_cohort_query.render()),
+            builder.entry_cohort_query.table_name,
         )
     if builder.negative_query:
-        spark.sql(builder.negative_query.render()).createOrReplaceTempView(
-            builder.negative_query.table_name
+        register_cohort_view(
+            spark.sql(builder.negative_query.render()),
+            builder.negative_query.table_name,
         )
 
     cohort = spark.sql(builder.query.render())
-    cohort.createOrReplaceTempView(builder.query.table_name)
+    register_cohort_view(cohort, builder.query.table_name)
     for spec in builder.post_queries or []:
         cohort = spark.sql(spec.render())
-        cohort.createOrReplaceTempView(builder.query.table_name)
+        register_cohort_view(cohort, builder.query.table_name)
     return validate_cohort(cohort)
 
 
@@ -199,7 +219,7 @@ def label_cohort(
     negative_cohort: DataFrame | None = None,
     remove_index_prediction_starts: bool = False,
     single_contribution: bool = False,
-    dense_member_ids: bool = True,
+    global_window_member_ids: bool = False,
 ) -> DataFrame:
     """NestedCohortBuilder.build() label semantics
     (reference: spark_app_base.py:421-529), as DataFrame ops:
@@ -300,14 +320,16 @@ def label_cohort(
 
     # Dense member ids in (person, index, visit) order — the reference's
     # observable contract (spark_app_base.py:507).
-    if dense_member_ids:
+    if global_window_member_ids:
+        # Reference-literal path: single-partition shuffle of the whole
+        # cohort. Kept only for semantics comparison.
         labeled = labeled.withColumn(
             "cohort_member_id",
             F.dense_rank().over(W.orderBy("person_id", "index_date", "visit_occurrence_id")),
         )
     else:
-        # Scale path: identical ids without the single-partition global
-        # window — dense 1..N over the DISTINCT (person, index, visit)
+        # Default scale path: identical ids without the single-partition
+        # global window — dense 1..N over the DISTINCT (person, index, visit)
         # triples via the two-pass ranker, joined back null-safely
         # (visit_occurrence_id can be null in visit-less cohorts).
         from cehrbert_data_spark.operators.ids import dense_ids

@@ -399,6 +399,11 @@ def disconnect_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
         [F.col("visit_id").cast(T.LongType()), F.col("session")],
         out="__session_rank",
     )
+    # Barrier: ``mapping`` feeds three downstream branches (fixed_visits,
+    # fixed_domain, untouched's anti-join) — without it each branch re-derives
+    # the sessionization + dense_ids subtree and the union's plan explodes
+    # (the reference breaks lineage here with a parquet round-trip,
+    # tools/ehrshot_to_omop.py:700-707).
     mapping = (
         mapping.join(session_ids, ["visit_id", "session"])
         .crossJoin(F.broadcast(max_visit_id))
@@ -407,6 +412,7 @@ def disconnect_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
             (F.col("__max_visit_id") + F.col("__session_rank")).cast(vid_type),
         )
         .drop("__session_rank", "__max_visit_id", "session")
+        .localCheckpoint(eager=True)
     )
 
     # New visit rows: one per session, spanning its event starts; inpatient
@@ -440,13 +446,17 @@ def disconnect_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
         if c not in fixed_visits.columns:
             fixed_visits = fixed_visits.withColumn(c, F.lit(None).cast(data.schema[c].dataType))
 
+    # eqNullSafe on start/code: mapping holds the SAME distinct triples as
+    # domain_records, so a NULL-keyed row inside a to-fix visit round-trips
+    # instead of being dropped (it is removed from `untouched` by the
+    # anti-join below and must be re-emitted here).
     fixed_domain = (
         domain_records.alias("ehr")
         .join(
             mapping.alias("visit"),
             (F.col("ehr.visit_id") == F.col("visit.visit_id"))
-            & (F.col("ehr.start") == F.col("visit.start"))
-            & (F.col("ehr.code") == F.col("visit.code")),
+            & F.col("ehr.start").eqNullSafe(F.col("visit.start"))
+            & F.col("ehr.code").eqNullSafe(F.col("visit.code")),
         )
         .select(
             [

@@ -230,11 +230,19 @@ def embedding_neardup_pairs(
     scale; use it to measure the LSH path's recall on a sample.
     """
     if num_planes is None:
+        import logging
         import math
 
         p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
         need = 1.0 - (1.0 - target_recall) ** (1.0 / num_tables)
         num_planes = max(1, int(math.log(need) / math.log(p))) if 0 < p < 1 else 8
+        # Surface the derived recall characteristics at call sites — callers
+        # moving from the exact all-pairs path should see what they traded.
+        logging.getLogger(__name__).info(
+            "embedding_neardup_pairs: derived num_planes=%d (num_tables=%d) "
+            "for threshold=%.3f, target_recall=%.3f",
+            num_planes, num_tables, threshold, target_recall,
+        )
     from cehrbert_data_spark.operators.similarity import (
         int_dot,
         lsh_candidate_pairs,

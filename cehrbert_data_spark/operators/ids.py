@@ -38,14 +38,28 @@ def dense_ids(df: DataFrame, order_by: list[Column], out: str = "id", start: int
     ``id = start + offset[partition] + row_in_partition`` — dense, ordered,
     fully JVM-side. Scales: the offset table is O(num_partitions), never the
     data.
+
+    Durability: the staged frame must be checkpointed (the stamped ``__mid``
+    is plan-nondeterministic). When a reliable checkpoint directory is
+    configured (``spark.sparkContext.setCheckpointDir``) it is used, so the
+    materialized blocks survive executor loss — set one on a real cluster.
+    Otherwise ``localCheckpoint`` stores blocks in executor memory/disk:
+    faster, but an executor loss after lineage truncation makes the staged
+    data unrecoverable, and the blocks stay pinned until the returned
+    DataFrame is garbage-collected driver-side (ContextCleaner unpersists
+    them then).
     """
     spark = df.sparkSession
     staged = (
         df.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
     )
+    try:
+        reliable = spark.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+    staged = staged.checkpoint(eager=True) if reliable else staged.localCheckpoint(eager=True)
     counts = (
         staged.groupBy(F.shiftright(F.col("__mid"), 33).alias("__pid"))
         .agg(F.count(F.lit(1)).alias("__cnt"))

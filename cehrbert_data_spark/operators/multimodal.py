@@ -55,12 +55,25 @@ def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str) -> Da
 
 def media_repartition(df: DataFrame, binary_col: str, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """Partition by payload volume: estimates total bytes from a 1% sample
-    and repartitions so each task carries ~target_bytes of media."""
-    sample = df.select(F.length(binary_col).alias("b")).sample(0.01, seed=42)
-    row = sample.agg(F.avg("b").alias("avg_b")).collect()[0]
+    and repartitions so each task carries ~target_bytes of media.
+
+    ONE driver action: the sampled scan yields total-row and sampled-byte
+    counts together (count + sum over a conditional), so sizing costs a
+    single pass instead of a sample pass plus a full count."""
+    row = (
+        df.select(
+            F.when(F.rand(seed=42) < 0.01, F.length(binary_col).cast("long")).alias(
+                "__sampled_b"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg("__sampled_b").alias("avg_b"),
+        )
+        .collect()[0]
+    )
     avg_b = row["avg_b"] or 1.0
-    n_rows = df.count()
-    n_parts = max(1, int(n_rows * avg_b / target_bytes))
+    n_parts = max(1, int(row["n_rows"] * avg_b / target_bytes))
     return df.repartition(n_parts)
 
 

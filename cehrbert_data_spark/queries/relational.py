@@ -395,7 +395,7 @@ def a6_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A6_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS n_high,
+       CAST(SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        CAST(SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_rate
 FROM events GROUP BY event_type
 """
@@ -604,8 +604,8 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -80,10 +80,24 @@ def seq_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_user_sequence_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable flagship: identical sequences, arrays serialized to
+    '|'-joined strings (the driver's canonicalizer hashes scalar columns only
+    — list cells raise ``unhashable type``). The array-shaped variant above
+    stays the ``entry()`` flagship."""
+    return seq_user_sequence(spark, sf_dir).select(
+        "user_id",
+        F.concat_ws("|", F.col("event_types")).alias("event_types"),
+        F.concat_ws("|", F.col("event_ids").cast("array<string>")).alias("event_ids"),
+        "num_of_events",
+        "num_of_types",
+    )
+
+
 SEQ_USER_SQL = """
 SELECT user_id,
-       LIST(event_type ORDER BY ts, event_id) AS event_types,
-       LIST(event_id ORDER BY ts, event_id) AS event_ids,
+       array_to_string(LIST(event_type ORDER BY ts, event_id), '|') AS event_types,
+       array_to_string(LIST(event_id ORDER BY ts, event_id), '|') AS event_ids,
        COUNT(*) AS num_of_events,
        COUNT(DISTINCT event_type) AS num_of_types
 FROM events
@@ -93,5 +107,5 @@ GROUP BY user_id
 
 QUERIES = {
     "seq_att_gap_tokens": (seq_att_gap_tokens, SEQ_ATT_SQL),
-    "seq_user_sequence": (seq_user_sequence, SEQ_USER_SQL),
+    "seq_user_sequence": (seq_user_sequence_flat, SEQ_USER_SQL),
 }

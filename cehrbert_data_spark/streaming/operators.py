@@ -28,7 +28,16 @@ def _ensure_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFram
     """
     if watermark is None or not df.isStreaming:
         return df
-    if "EventTimeWatermark" in df._jdf.queryExecution().analyzed().toString():
+    # Public-API plan sniff (no JVM internals): the extended explain output
+    # includes the analyzed plan, where an existing watermark shows up as an
+    # EventTimeWatermark node.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(extended=True)
+    if "EventTimeWatermark" in buf.getvalue():
         return df
     return df.withWatermark(ts, watermark)
 

@@ -250,3 +250,46 @@ def test_prediction_registry_builds(spark, tables, ancestor_fn):
         target_builder = target_fn()
         outcome_builder = outcome_fn()
         assert target_builder.cohort_name and outcome_builder.cohort_name
+
+
+def test_reference_cohort_sql_runs_verbatim(spark, tables, ancestor_fn):
+    """global_temp compat: a cohort template shipped by the reference (which
+    addresses every view as ``global_temp.x``, cohorts/heart_failure.py:117-146)
+    executes UNMODIFIED because register_cohort_view registers views in both
+    catalogs. The template is read from the reference at test time (never
+    copied into the repo)."""
+    import ast
+    import os
+
+    import pytest as _pytest
+
+    ref_path = "/root/reference/src/cehrbert_data/cohorts/heart_failure.py"
+    if not os.path.exists(ref_path):
+        _pytest.skip("reference checkout not available")
+    with open(ref_path) as fh:
+        tree = ast.parse(fh.read())
+    template = next(
+        node.value.value
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        and any(
+            isinstance(t, ast.Name) and t.id == "HEART_FAILURE_ENTRY_COHORT"
+            for t in node.targets
+        )
+    )
+    assert "global_temp." in template  # it really is the global-catalog form
+
+    from cehrbert_data_spark.omop.cohort import register_cohort_view
+    from cehrbert_data_spark.omop.vocab import get_descendant_concepts
+
+    register_cohort_view(tables["visit_occurrence"], "visit_occurrence")
+    register_cohort_view(tables["condition_occurrence"], "condition_occurrence")
+    register_cohort_view(
+        get_descendant_concepts(
+            tables["concept"], tables["concept_ancestor"], [316139]
+        ),
+        "hf_concept",
+    )
+    rows = spark.sql(template.format(hf_concept="hf_concept")).collect()
+    # person 7: earliest visit 2020-07-01 <= earliest HF dx → enters the cohort
+    assert [(r["person_id"], r["visit_occurrence_id"]) for r in rows] == [(7, 70)]

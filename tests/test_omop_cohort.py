@@ -129,8 +129,8 @@ def test_time_to_event_and_meds(spark):
 
 
 def test_label_cohort_distributed_member_ids_match(spark):
-    """dense_member_ids=False (two-pass ranker) assigns the SAME ids as the
-    reference's global dense_rank — including null visit ids."""
+    """The default two-pass ranker assigns the SAME ids as the reference's
+    global dense_rank (global_window_member_ids=True) — incl. null visit ids."""
     import datetime
 
     target = spark.createDataFrame(
@@ -152,10 +152,10 @@ def test_label_cohort_distributed_member_ids_match(spark):
         "observation_period_end_date: date",
     )
     kwargs = dict(prediction_start_days=0, prediction_window=30)
-    ref = label_cohort(target, outcome, observation_period, **kwargs)
-    dist = label_cohort(
-        target, outcome, observation_period, dense_member_ids=False, **kwargs
+    ref = label_cohort(
+        target, outcome, observation_period, global_window_member_ids=True, **kwargs
     )
+    dist = label_cohort(target, outcome, observation_period, **kwargs)
     key = lambda r: (r["person_id"], r["index_date"], r["visit_occurrence_id"])
     ref_ids = {key(r): r["cohort_member_id"] for r in ref.collect()}
     dist_ids = {key(r): r["cohort_member_id"] for r in dist.collect()}

@@ -74,6 +74,26 @@ def main() -> int:
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(s_rows)} rows, no oracle) [{time.time()-t0:.1f}s]")
             continue
+        # Representation guard: the driver hashes typed values, so a DuckDB
+        # HUGEINT (int128) or a list-typed column hash-mismatches Spark even
+        # when the values are equal. str()-normalized compare below can't see
+        # that, so flag it at the type level.
+        type_flags = []
+        for f in sdf.schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                type_flags.append(f"spark {f.name}: {f.dataType.simpleString()}")
+        try:
+            for col_name, col_type, *_ in con.execute(
+                f"DESCRIBE {oracles[name]}"
+            ).fetchall():
+                if "HUGEINT" in col_type.upper() or "[]" in col_type:
+                    type_flags.append(f"duckdb {col_name}: {col_type}")
+        except Exception:
+            pass
+        if type_flags:
+            print(f"FAIL  {name}: driver-unhashable result types: {type_flags}")
+            failures.append(name)
+            continue
         try:
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
