@@ -50,27 +50,35 @@ def main() -> None:
     spark.range(10_000_000).selectExpr("sum(id)").collect()
     qs = all_queries()
 
-    timings: dict[str, float] = {}
+    # Failure-isolated: one broken query must never erase the other
+    # measurements (round 3 lost ALL perf numbers to a single crash).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,22 @@ def _istr(col: Column) -> Column:
     return col.cast("long").cast("string")
 
 
+def epoch_seconds(col: Column) -> Column:
+    """Seconds since the epoch as DOUBLE, robust to every timestamp flavor
+    this engine encounters: TIMESTAMP (LTZ), TIMESTAMP_NTZ (parquet plain
+    micros — what the driver testdata now stores), DATE, and the
+    long-restored nanos path (already a TIMESTAMP after read_table).
+
+    Spark 4 refuses ``CAST(TIMESTAMP_NTZ AS DOUBLE)`` outright
+    (DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION), so every event-time
+    subtraction must go through here rather than a naive ``cast("double")``.
+    NTZ→LTZ is a legal cast and value-preserving under the session's pinned
+    UTC timezone (session.py); LTZ→DOUBLE keeps fractional seconds, unlike
+    ``unix_timestamp`` which truncates to whole seconds.
+    """
+    return col.cast("timestamp_ltz").cast("double")
+
+
 def att_token(day_delta: Column) -> Column:
     """cehr_bert ATT (reference: patient_event_decorator_base.py:93-102):
     W-1 | W0..W3 | M0..M11 | LT."""

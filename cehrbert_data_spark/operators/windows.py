@@ -14,6 +14,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cehrbert_data_spark.functions.temporal import epoch_seconds
+
 
 def _require_partition(partition_by: Sequence) -> list:
     parts = list(partition_by)
@@ -84,7 +86,10 @@ def sessionize(
     parts = _require_partition(partition_by)
     w = Window.partitionBy(*parts).orderBy(*order_by)
     ts_col = F.col(ts) if isinstance(ts, str) else ts
-    delta = ts_col.cast("double") - F.lag(ts_col).over(w).cast("double")
+    # NTZ-safe epoch subtraction: the testdata's timestamp flavor has changed
+    # under us once already (TIMESTAMP(NANOS) -> plain micros / NTZ); never
+    # assume which one arrives.
+    delta = epoch_seconds(ts_col) - epoch_seconds(F.lag(ts_col).over(w))
     is_new = F.when(delta > gap, F.lit(1)).otherwise(F.lit(0))
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out, F.sum(is_new).over(frame))

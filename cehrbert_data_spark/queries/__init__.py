@@ -18,17 +18,24 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 
 #: Declaration order matters: the driver's correctness harness checks the
 #: first 50 registry entries only, so queries that already have repeated
-#: green driver verdicts on record (see CORRECTNESS_r01/r02) yield their
-#: slots to ones that haven't been checked yet. All 57 stay declared and are
+#: green driver verdicts on record yield their slots to ones that haven't
+#: been checked recently. The tail ROTATES each round so no query goes two
+#: consecutive rounds without a driver verdict (round-3 lesson: a demoted
+#: query can silently carry changed code). All 57 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
+#:
+#: Round-4 tail: relational-battery queries green in BOTH r2 and r3 whose
+#: module is untouched this round. Round 3's tail (t_quality, t_language,
+#: d_exact_dedup, d_ngram_jaccard, sim_cosine_topk, sim_lsh_topk,
+#: sim_ivf_topk) is back in the head for fresh verdicts.
 _TAIL = [
-    "t_quality",
-    "t_language",
-    "d_exact_dedup",
-    "d_ngram_jaccard",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
+    "j2_left_outer",
+    "j8_self_join",
+    "u1_union",
+    "u3_union_all",
+    "u5_distinct",
+    "a1_multi_agg",
+    "f_scalar_string",
 ]
 
 

@@ -13,6 +13,7 @@ CDM 5.2 ``discharge_to_concept_id`` → 5.3 ``discharged_to_concept_id``.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,9 +31,17 @@ def read_parquet_recursive(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
+@functools.lru_cache(maxsize=1024)
 def _nanos_timestamp_fields(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — Spark reads them as
-    long (``spark.sql.legacy.parquet.nanosAsLong``); we restore timestamps."""
+    long (``spark.sql.legacy.parquet.nanosAsLong``); we restore timestamps.
+
+    Cached per resolved path: the footer sniff is a driver-side glob + footer
+    read that would otherwise serialize the start of EVERY query's EVERY
+    table read (the q1 regression flagged in round 2/3). Testdata paths are
+    immutable within a run, so a per-process cache is safe; freshly-written
+    sink paths differ per run and simply occupy new slots.
+    """
     import glob
 
     import pyarrow.parquet as pq

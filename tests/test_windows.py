@@ -57,6 +57,36 @@ def test_prev_value(spark):
     assert got == {"a": None, "b": "a", "c": "b"}
 
 
+@pytest.mark.parametrize("flavor", ["us_utc", "us_ntz", "ns"])
+def test_sessionize_timestamp_flavors(spark, tmp_path, flavor):
+    """The driver's testdata has switched timestamp flavor once already
+    (TIMESTAMP(NANOS) -> plain micros / NTZ, which crashed w7 in round 3:
+    Spark 4 refuses CAST(TIMESTAMP_NTZ AS DOUBLE)). Pin sessionize green on
+    every flavor a parquet file can carry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cehrbert_data_spark.sources.readers import read_table
+
+    base = [
+        datetime.datetime(2020, 1, 1, 0, 0),
+        datetime.datetime(2020, 1, 1, 5, 0),
+        datetime.datetime(2020, 1, 3, 6, 0),  # > 24h gap -> new session
+    ]
+    unit, tz = {"us_utc": ("us", "UTC"), "us_ntz": ("us", None), "ns": ("ns", None)}[flavor]
+    table = pa.table(
+        {
+            "pid": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(base, pa.timestamp(unit, tz=tz)),
+            "tag": pa.array(["a", "b", "c"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    df = read_table(spark, str(tmp_path), "events")
+    out = sessionize(df, ["pid"], [F.col("ts")], "ts", F.lit(24 * 3600)).collect()
+    assert {r["tag"]: r["session_id"] for r in out} == {"a": 0, "b": 0, "c": 1}
+
+
 def test_global_window_refused(spark):
     df = spark.createDataFrame([(1,)], "g: int")
     with pytest.raises(ValueError, match="global"):
