@@ -37,16 +37,116 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def _be_int(col: F.Column, pos, n: int) -> F.Column:
+    """Big-endian unsigned int from ``n`` bytes at 1-indexed ``pos`` — pure
+    native exprs (substr→hex→conv), stays in whole-stage codegen."""
+    pos_col = F.lit(pos) if isinstance(pos, int) else pos
+    return F.conv(F.hex(col.substr(pos_col, F.lit(n))), 16, 10).cast("long")
+
+
+def is_png(col: F.Column) -> F.Column:
+    """PNG magic: the fixed 8-byte signature + the IHDR chunk tag at 13-16
+    (PNG spec §5.2/§11.2.2 — IHDR is required to be the first chunk)."""
+    return (F.hex(col.substr(F.lit(1), F.lit(8))) == "89504E470D0A1A0A") & (
+        F.hex(col.substr(F.lit(13), F.lit(4))) == "49484452"
+    )
+
+
+def is_jpeg(col: F.Column) -> F.Column:
+    """JPEG magic: SOI marker FFD8."""
+    return F.hex(col.substr(F.lit(1), F.lit(2))) == "FFD8"
+
+
+def png_width(col: F.Column) -> F.Column:
+    """IHDR width: big-endian uint32 at bytes 17-20 (1-indexed)."""
+    return _be_int(col, 17, 4)
+
+
+def png_height(col: F.Column) -> F.Column:
+    """IHDR height: big-endian uint32 at bytes 21-24 (1-indexed)."""
+    return _be_int(col, 21, 4)
+
+
+def jpeg_sof_offset(col: F.Column, max_segments: int = 64) -> F.Column:
+    """1-indexed byte offset of the SOF0/SOF1/SOF2 marker, or NULL.
+
+    A JPEG header is a chain of FF-marker segments each carrying its own
+    2-byte length; the frame dimensions live in the SOF segment, so finding
+    them requires walking the chain (a hex-regex would false-positive on
+    FFC0 bytes inside EXIF payloads). The walk is a single higher-order
+    ``F.aggregate`` over a runtime sequence — evaluated iteratively per row
+    (NOT an unrolled expression tree), JVM-side, no Python worker. Walks at
+    most ``max_segments`` segments and bails to NULL on anything malformed
+    (non-FF byte where a marker belongs, SOS/EOI before any SOF, truncated
+    payload), so arbitrary binary garbage can never mis-parse.
+    """
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"), F.lit(0).cast("long").alias("sof")
+    )
+
+    def step(acc, _):
+        b0 = _be_int(col, acc.pos, 1)  # must be 0xFF
+        marker = _be_int(col, acc.pos + 1, 1)
+        seg_len = _be_int(col, acc.pos + 2, 2)
+        done = (acc.sof > 0) | acc.pos.isNull()
+        bad = (
+            b0.isNull()
+            | (b0 != 0xFF)
+            | marker.isNull()
+            | marker.isin(0xD9, 0xDA)  # EOI / SOS: header region over
+            | seg_len.isNull()
+            | (seg_len < 2)
+        )
+        found = marker.isin(0xC0, 0xC1, 0xC2) & ~bad
+        new_sof = F.when(done, acc.sof).when(found, acc.pos).otherwise(F.lit(0))
+        new_pos = (
+            F.when(done | found, acc.pos)
+            .when(bad, F.lit(None).cast("long"))
+            .otherwise(acc.pos + 2 + seg_len)
+        )
+        return F.struct(new_pos.alias("pos"), new_sof.alias("sof"))
+
+    state = F.aggregate(F.sequence(F.lit(1), F.lit(max_segments)), init, step)
+    return F.when(state.sof > 0, state.sof)
+
+
+def jpeg_width(col: F.Column) -> F.Column:
+    """SOF frame width: big-endian uint16 at SOF+7 (FF C? LL LL PP HH HH WW WW)."""
+    return _be_int(col, jpeg_sof_offset(col) + 7, 2)
+
+
+def jpeg_height(col: F.Column) -> F.Column:
+    """SOF frame height: big-endian uint16 at SOF+5."""
+    return _be_int(col, jpeg_sof_offset(col) + 5, 2)
+
+
+def image_dimensions(col: F.Column) -> tuple[F.Column, F.Column]:
+    """(width, height) for PNG / JPEG payloads, NULL for anything else.
+
+    Real header parses with native expressions — no codec library needed
+    (PNG IHDR fixed offsets; JPEG SOF segment walk). CASE branches evaluate
+    lazily per row, so non-image payloads never pay the JPEG walk.
+    """
+    w = F.when(is_png(col), png_width(col)).when(is_jpeg(col), jpeg_width(col))
+    h = F.when(is_png(col), png_height(col)).when(is_jpeg(col), jpeg_height(col))
+    return w.cast("int"), h.cast("int")
+
+
 def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str) -> DataFrame:
-    """Cheap, codec-free metadata: byte length + md5 digest (native exprs)."""
+    """Codec-free metadata: byte length + md5 digest (native exprs), plus
+    REAL width/height parsed from PNG/JPEG headers when the payload's magic
+    bytes match (NULL otherwise — audio/video framing still needs an
+    injected decoder, see :func:`decode_media`)."""
+    payload = F.col(binary_col)
+    width, height = image_dimensions(payload)
     return df.withColumn(
         "media_meta",
         F.struct(
             F.lit(media_type).alias("media_type"),
-            F.length(F.col(binary_col)).cast("long").alias("byte_len"),
-            F.md5(F.col(binary_col)).alias("digest"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("byte_len"),
+            F.md5(payload).alias("digest"),
+            width.alias("width"),
+            height.alias("height"),
             F.lit(None).cast("int").alias("n_frames"),
             F.lit(None).cast("int").alias("sample_rate"),
         ),

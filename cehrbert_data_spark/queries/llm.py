@@ -517,6 +517,60 @@ FROM documents GROUP BY source
 """
 
 
+# --- multimodal image dimensions (real header parse) ---------------------------------
+
+def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG/JPEG dimension extraction, no codec library.
+
+    Synthesizes a deterministic image payload per document (even doc_id →
+    PNG, odd → JPEG with a JFIF APP0 plus an APP1 segment whose PAYLOAD
+    contains an embedded 0xFFC0 — the byte pattern that defeats naive
+    hex-regex scans), then parses width/height back out of the binary with
+    the native-expression parsers in operators.multimodal. The oracle
+    recomputes the planted dimensions arithmetically, so any parse slip
+    (offset, endianness, segment-walk bug) hash-mismatches.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 1000 + 1).cast("long")
+    h = ((F.col("doc_id") * 7) % 800 + 1).cast("long")
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    be16 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),  # sig + IHDR len/tag
+        be32(w),
+        be32(h),
+        F.lit("0806000000"),  # bit depth 8, RGBA, deflate, adaptive, no interlace
+    )
+    jpeg_hex = F.concat(
+        F.lit(
+            "FFD8"  # SOI
+            "FFE000104A46494600010100004800480000"  # APP0 JFIF, len 16
+            "FFE1000845FFC0006600"  # APP1, len 8: payload embeds FF C0 (regex trap)
+            "FFC00011" "08"  # SOF0, len 17, precision 8
+        ),
+        be16(h),
+        be16(w),
+        F.lit("03011100021101031101" + "FFD9"),  # 3 components + EOI
+    )
+    payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(jpeg_hex))
+    meta = attach_media_metadata(docs.withColumn("payload", payload), "payload", "image")
+    return meta.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("fmt"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+
+
+MM_IMAGE_DIMS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 800 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -533,4 +587,5 @@ QUERIES = {
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
+    "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
 }

@@ -71,6 +71,62 @@ def test_frame_sample_plan(spark):
     assert frames == [0, 30, 60]
 
 
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _jpeg_bytes(w: int, h: int, exif_trap: bool = True) -> bytes:
+    """Minimal well-formed JPEG header chain. With ``exif_trap``, an APP1
+    segment whose PAYLOAD contains 0xFFC0 precedes the real SOF0 — the case
+    that defeats a naive first-FFC0 scan."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+    if exif_trap:
+        payload = b"Ex\xff\xc0if"  # embedded fake SOF marker bytes
+        out += b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return out + b"\xff\xd9"
+
+
+def test_image_dimensions_real_headers(spark):
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(1024, 768, exif_trap=True)),
+        (3, _jpeg_bytes(33, 7, exif_trap=False)),
+        (4, b"not an image at all"),
+        (5, b"\xff\xd8\xff\xe0\x00"),  # truncated JPEG: must yield NULL, not garbage
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = attach_media_metadata(df, "payload", "image")
+    got = {
+        r["media_id"]: (r["media_meta"]["width"], r["media_meta"]["height"])
+        for r in out.collect()
+        if r["media_meta"] is not None
+    }
+    assert got[1] == (640, 480)
+    assert got[2] == (1024, 768)  # survives the embedded-FFC0 APP1 trap
+    assert got[3] == (33, 7)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+
+
 def test_media_repartition_by_payload(spark):
     df = _media(spark)
     out = media_repartition(df, "payload", target_bytes=16)
