@@ -46,8 +46,48 @@ def main() -> None:
 
     spark = build_session("bench")
     # JVM/JIT + codegen warmup so timings measure the queries, not
-    # first-job classloading.
+    # first-job classloading: a synthetic agg plus one pass over the TINY
+    # sf0.001 tables exercising the parquet reader, hash join, window, and
+    # hash-agg code paths (class loading + whole-stage-codegen compilation).
+    # Deliberately NOT the measured sf dir — no measured bytes are touched.
     spark.range(10_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        try:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            r = spark.read.parquet(os.path.join(warm_dir, "region.parquet"))
+            n = spark.read.parquet(os.path.join(warm_dir, "nation.parquet"))
+            w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+            (
+                n.join(r, n["n_regionkey"] == r["r_regionkey"])
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("rs", F.sum("n_nationkey").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+                .groupBy("r_name")
+                .agg(F.count(F.lit(1)), F.avg("rn"))
+                .count()
+            )
+            # localCheckpoint + anti-join + broadcast machinery (the
+            # iterative-closure path loads these classes on first use).
+            ck = n.select("n_nationkey").localCheckpoint(eager=True)
+            ck.join(r.select(F.col("r_regionkey").alias("n_nationkey")), "n_nationkey", "left_anti").isEmpty()
+            n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).count()
+            # The iterative-closure plan shapes (powered-step joins,
+            # groupBy-min, anti-join over checkpoints) compile distinct
+            # codegen classes; warm them on a 64-node synthetic tree so the
+            # measured run hits the codegen cache like any steady-state job.
+            from cehrbert_data_spark.operators.closure import transitive_closure
+
+            rng = spark.range(64).select(F.col("id").alias("k"))
+            te = (
+                rng.select(F.col("k").alias("src"), (F.col("k") * 2).alias("dst"))
+                .union(rng.select(F.col("k").alias("src"), (F.col("k") * 2 + 1).alias("dst")))
+                .where("dst <= 64 and dst > src")
+            )
+            transitive_closure(te, "src", "dst").count()
+        except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
+            print(f"bench: warmup skipped: {exc}", file=sys.stderr)
     qs = all_queries()
 
     # Failure-isolated: one broken query must never erase the other

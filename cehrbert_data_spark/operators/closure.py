@@ -41,7 +41,9 @@ def transitive_closure(
         level_1 = level_1.join(
             F.broadcast(seeds.select(F.col(seed_col).alias("src")).distinct()), "src"
         )
-    closure = level_1.distinct().localCheckpoint(eager=True)
+    # Lazy checkpoint: the count below (needed for loop sizing anyway) is the
+    # materializing action, so setup costs ONE job instead of two.
+    closure = level_1.distinct().localCheckpoint(eager=False)
     frontier = closure
     step = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
 
@@ -55,34 +57,72 @@ def transitive_closure(
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Floor of 8: below that the loop loses pipeline parallelism across its
     # three jobs per hop (measured: width 1-2 is ~40% slower than 8).
-    loop_width = min(session_width, max(8, closure.count() // 100_000))
+    n_pairs = closure.count()
+    loop_width = min(session_width, max(8, n_pairs // 100_000))
+    # Hop-batch sizing: on SMALL graphs the loop is driver/job-overhead-bound
+    # — batching 8 hops per iteration collapses a depth-D BFS into ~D/8
+    # iterations and the powered step relations are tiny. On LARGE graphs
+    # the shuffle volume of high powers of E dominates (path counts grow
+    # with fan-in×fan-out), so stay at 2 — iteration overhead is noise there.
+    hop_batch = 8 if n_pairs <= 100_000 else 2
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
     try:
-        closure = _closure_loop(closure, frontier, step, max_iterations)
+        closure = _closure_loop(closure, frontier, step, max_iterations, hop_batch)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
     return closure
 
 
-def _closure_loop(closure, frontier, step, max_iterations):
+def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):
+    """Hop-batched BFS: each iteration advances the frontier by 1..B edges
+    at once (frontier ⋈ (E ∪ E² ∪ … ∪ E^B)), dividing the number of
+    iterations by B — the dominant cost of the driver loop is per-iteration
+    job/planning overhead, not row volume. Correctness: a pair generated
+    through a longer arm while a shorter path exists in the same batch is
+    resolved by the per-iteration MIN(distance) merge; anything shorter is
+    already in the closure and removed by the anti-join, so recorded
+    distances stay minimal (verified against the recursive-CTE oracle).
+
+    The powered step relations are materialized once, in ONE checkpoint job.
+    For hierarchy-shaped DAGs (the reference's concept ancestry) |E^k| ≈
+    number of length-k paths, the same order as |E|. Heavy fan-in×fan-out
+    graphs should pass hop_batch=1 (plain frontier BFS) — kept as a
+    parameter because every reference use is a hierarchy.
+    """
+    arms = [step.withColumn("e_d", F.lit(1))]
+    prev = step
+    for k in range(2, hop_batch + 1):
+        prev = (
+            prev.alias("a")
+            .join(step.alias("b"), F.col("a.e_dst") == F.col("b.e_src"))
+            .select(F.col("a.e_src").alias("e_src"), F.col("b.e_dst").alias("e_dst"))
+        )
+        arms.append(prev.withColumn("e_d", F.lit(k)))
+    steps = arms[0]
+    for arm in arms[1:]:
+        steps = steps.unionByName(arm)
+    # Lazy: materialized by the first iteration's count, folding the powered
+    # step build into that job instead of running one of its own.
+    steps = steps.localCheckpoint(eager=False)
     for _ in range(max_iterations):
         candidates = (
-            frontier.join(step, frontier["dst"] == step["e_src"])
-            .select(
+            frontier.join(steps, frontier["dst"] == steps["e_src"])
+            .groupBy(
                 frontier["src"].alias("src"),
-                step["e_dst"].alias("dst"),
-                (frontier["distance"] + 1).alias("distance"),
+                steps["e_dst"].alias("dst"),
             )
-            .distinct()
+            .agg(F.min(frontier["distance"] + steps["e_d"]).alias("distance"))
         )
-        # Keep only genuinely new (src, dst) pairs; a shorter path wins because
-        # BFS discovers pairs in distance order. Only the per-hop delta is
-        # checkpointed — the accumulated closure is a union of materialized
-        # deltas, so its lineage stays one union deep and needs no barrier of
-        # its own (halves the per-iteration jobs vs checkpointing both).
+        # Keep only genuinely new (src, dst) pairs; the batched BFS still
+        # discovers pairs in nondecreasing distance order, so first recorded
+        # distance is minimal. Only the per-iteration delta is checkpointed —
+        # the accumulated closure is a union of materialized deltas, so its
+        # lineage stays one union deep and needs no barrier of its own. The
+        # checkpoint is lazy and the emptiness count is its materializing
+        # action: ONE job per iteration, not checkpoint + isEmpty.
         new_pairs = candidates.join(closure, ["src", "dst"], "left_anti")
-        new_pairs = new_pairs.localCheckpoint(eager=True)
-        if new_pairs.isEmpty():
+        new_pairs = new_pairs.localCheckpoint(eager=False)
+        if new_pairs.count() == 0:
             break
         closure = closure.unionByName(new_pairs)
         frontier = new_pairs

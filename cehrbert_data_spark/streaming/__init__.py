@@ -7,6 +7,7 @@ sources with watermarks, sharing semantics with the batch operators.
 """
 
 from cehrbert_data_spark.streaming.operators import (
+    asof_join_stream,
     hourly_rollup_stream,
     running_key_stats_stream,
     session_window_stream,
@@ -14,6 +15,7 @@ from cehrbert_data_spark.streaming.operators import (
 )
 
 __all__ = [
+    "asof_join_stream",
     "hourly_rollup_stream",
     "running_key_stats_stream",
     "session_window_stream",

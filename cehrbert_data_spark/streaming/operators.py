@@ -118,6 +118,151 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    right_value: str = "value",
+    lookback_s: float = 86400.0,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming as-of join (J7 analogue): attach to every left row the most
+    recent right row for the same key with ``right.ts <= left.ts`` and within
+    ``lookback_s`` seconds.
+
+    Streaming path: both streams are tagged and unioned (Spark supports
+    unioning streams), grouped by key, and joined inside
+    ``applyInPandasWithState``: state buffers the right side's recent
+    ``(ts, value)`` pairs per key — pruned to the lookback horizon, so state
+    is bounded by data rate × lookback, not history — and each micro-batch
+    runs a vectorized ``pandas.merge_asof`` of the batch's left rows against
+    buffer + batch rights. Idle keys time out after ``state_timeout_ms``.
+    Output: all left columns + ``asof_ts``/``asof_value`` (NULL when nothing
+    matched). A right row arriving in a LATER micro-batch than a left row it
+    would have matched is missed — the inherent low-latency/completeness
+    trade; widen the trigger interval for more complete matching.
+
+    On batch inputs falls back to the verified batch ``asof_join``
+    (operators/joins.py) with identical semantics, so the batch oracle
+    doubles as the semantics check. Left rows are identified by
+    ``keys + [ts]`` in the fallback's rank — pass left rows unique on that
+    combination (the streaming path has no such requirement).
+    """
+    import pandas as pd
+
+    from cehrbert_data_spark.functions.temporal import epoch_seconds
+    from cehrbert_data_spark.operators.joins import asof_join
+
+    if not left.isStreaming and not right.isStreaming:
+        r = right.select(
+            *keys,
+            F.col(ts).alias("__r_ts"),
+            F.col(right_value).cast("double").alias("asof_value"),
+        )
+        joined = asof_join(
+            left,
+            r,
+            on=keys,
+            point=epoch_seconds(left[ts]),
+            lower=epoch_seconds(F.col("__r_ts")),
+            upper=epoch_seconds(F.col("__r_ts")) + F.lit(float(lookback_s)),
+            metric=[F.col("__r_ts").desc()],
+            left_key=[*keys, ts],
+            how="left",
+        )
+        return joined.select(
+            *[left[c] for c in left.columns],
+            F.col("__r_ts").alias("asof_ts"),
+            F.col("asof_value"),
+        )
+
+    left_cols = list(left.columns)
+    tagged_left = left.select(
+        *left_cols, F.lit(0).alias("__side"), F.lit(None).cast("double").alias("__rv")
+    )
+    right_conf = right.select(
+        *[
+            F.col(c) if c in (*keys, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        F.lit(1).alias("__side"),
+        F.col(right_value).cast("double").alias("__rv"),
+    )
+    unioned = _ensure_watermark(tagged_left.unionByName(right_conf), ts, watermark)
+
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [
+            T.StructField("asof_ts", T.TimestampType()),
+            T.StructField("asof_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("r_ts", T.ArrayType(T.LongType())),  # epoch micros
+            T.StructField("r_val", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    tol_us = int(lookback_s * 1_000_000)
+
+    def _epoch_us(series: "pd.Series") -> "pd.Series":
+        s = pd.to_datetime(series)
+        if getattr(s.dt, "tz", None) is not None:
+            s = s.dt.tz_localize(None)
+        return s.astype("datetime64[us]").astype("int64")
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        buf_ts, buf_val = state.get() if state.exists else ([], [])
+        lefts, r_ts, r_val = [], list(buf_ts), list(buf_val)
+        for pdf in pdfs:
+            is_right = pdf["__side"] == 1
+            r_ts.extend(int(v) for v in _epoch_us(pdf.loc[is_right, ts]))
+            r_val.extend(float(v) for v in pdf.loc[is_right, "__rv"])
+            lefts.append(pdf.loc[~is_right, left_cols])
+        lpdf = pd.concat(lefts) if lefts else pd.DataFrame(columns=left_cols)
+        if len(lpdf):
+            rights = (
+                pd.DataFrame({"__r_ts_us": r_ts, "asof_value": r_val})
+                .astype({"__r_ts_us": "int64", "asof_value": "float64"})
+                .sort_values("__r_ts_us")
+                .reset_index(drop=True)
+            )
+            lpdf = lpdf.assign(__l_ts_us=_epoch_us(lpdf[ts])).sort_values(
+                "__l_ts_us"
+            ).reset_index(drop=True)
+            merged = pd.merge_asof(
+                lpdf,
+                rights,
+                left_on="__l_ts_us",
+                right_on="__r_ts_us",
+                direction="backward",
+                tolerance=tol_us,
+            )
+            merged["asof_ts"] = pd.to_datetime(merged["__r_ts_us"], unit="us")
+            yield merged[[*left_cols, "asof_ts", "asof_value"]]
+        if r_ts:
+            horizon = max(r_ts) - tol_us
+            kept = [(t, v) for t, v in zip(r_ts, r_val) if t >= horizon]
+            r_ts, r_val = [t for t, _ in kept], [v for _, v in kept]
+        state.update((r_ts, r_val))
+        state.setTimeoutDuration(state_timeout_ms)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def running_key_stats_stream(
     df: DataFrame,
     keys: list[str],

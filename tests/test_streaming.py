@@ -10,6 +10,7 @@ import time
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.streaming import (
+    asof_join_stream,
     hourly_rollup_stream,
     running_key_stats_stream,
     session_window_stream,
@@ -82,6 +83,63 @@ def test_streaming_end_to_end(spark, tmp_path):
 def test_streaming_dedup_batch(spark):
     df = _events(spark).unionByName(_events(spark))
     assert streaming_dedup(df, ["uid", "ts"], "ts").count() == 4
+
+
+def _asof_sides(spark):
+    lefts = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2020, 1, 1, 10, 0), "l1"),
+            (1, datetime.datetime(2020, 1, 1, 12, 0), "l2"),
+            (2, datetime.datetime(2020, 1, 1, 9, 0), "l3"),   # before any right
+            (1, datetime.datetime(2020, 1, 3, 12, 0), "l4"),  # beyond lookback
+        ],
+        "uid: int, ts: timestamp, tag: string",
+    )
+    rights = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2020, 1, 1, 9, 30), 10.0),
+            (1, datetime.datetime(2020, 1, 1, 11, 0), 20.0),
+            (2, datetime.datetime(2020, 1, 1, 9, 30), 30.0),
+        ],
+        "uid: int, ts: timestamp, value: double",
+    )
+    return lefts, rights
+
+
+#: expected most-recent-right within a 1-day lookback, per left tag
+_ASOF_EXPECTED = {"l1": 10.0, "l2": 20.0, "l3": None, "l4": None}
+
+
+def test_asof_join_stream_batch_fallback(spark):
+    lefts, rights = _asof_sides(spark)
+    out = asof_join_stream(lefts, rights, ["uid"], "ts", "value", lookback_s=86400.0)
+    got = {r["tag"]: r["asof_value"] for r in out.collect()}
+    assert got == _ASOF_EXPECTED
+    assert set(out.columns) == {"uid", "ts", "tag", "asof_ts", "asof_value"}
+
+
+def test_asof_join_stream_end_to_end(spark, tmp_path):
+    lefts, rights = _asof_sides(spark)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lefts.write.parquet(lsrc)
+    rights.write.parquet(rsrc)
+    lstream = spark.readStream.schema("uid int, ts timestamp, tag string").parquet(lsrc)
+    rstream = spark.readStream.schema("uid int, ts timestamp, value double").parquet(rsrc)
+    joined = asof_join_stream(lstream, rstream, ["uid"], "ts", "value", lookback_s=86400.0)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM asof_mem").collect()
+    got = {r["tag"]: r["asof_value"] for r in rows}
+    # single micro-batch: every right row is visible to every left row,
+    # so the stream must reproduce the batch-fallback semantics exactly
+    assert got == _ASOF_EXPECTED
 
 
 def test_running_key_stats_batch_fallback(spark):
