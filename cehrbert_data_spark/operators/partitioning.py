@@ -11,7 +11,37 @@ session's parallelism.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Cheap scan-width estimate: file count, refined by file bytes /
+    ``maxPartitionBytes`` when sizes are reachable (large files split into
+    multiple partitions). Uses only the analyzed plan's file listing — no
+    physical planning, unlike ``df.rdd.getNumPartitions()``, which builds
+    the whole RDD lineage per call (flagged in round 3: this runs inside
+    every dedup/similarity/text operator). Returns None when the input has
+    no file scan (in-memory, streaming) or sizes are remote/unreadable.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    local = [f[len("file:"):] if f.startswith("file:") else f for f in files]
+    try:
+        total = sum(os.path.getsize(p) for p in local)
+    except OSError:
+        return len(files)  # remote store: file count is the floor estimate
+    max_bytes = int(
+        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        .removesuffix("b")
+    )
+    return max(len(files), math.ceil(total / max_bytes))
 
 
 def widen_for_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -19,6 +49,9 @@ def widen_for_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFr
     narrower — cheap on small inputs (shuffles pre-explode rows), no-op on
     inputs that are already wide."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    width = _estimated_scan_partitions(df)
+    if width is None:
+        width = df.rdd.getNumPartitions()  # fallback: exact but plans the RDD
+    if width < target:
         return df.repartition(target)
     return df

@@ -48,6 +48,45 @@ def checkpoint_barrier(df: DataFrame, path: str | None = None) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "person_id",
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table write (SURVEY.md §4's 100 TB layout note).
+
+    Hash-bucketing by ``bucket_col`` pre-shuffles the data ONCE at write
+    time; every later equi-join or aggregation on that column between
+    same-bucketed tables runs with NO exchange (see
+    :func:`read_bucketed` + tests/test_bucketing.py's plan assertion). This
+    is the layout for the person-keyed OMOP domain tables: the per-person
+    join fan (visits ⋈ events ⋈ measurements…) repeats in every pipeline,
+    so paying the shuffle once at ingest amortizes it across all of them.
+    ``sort_cols`` additionally sorts within buckets (e.g. by event time) so
+    sort-merge joins skip their sort phase too.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``), which
+    is how Spark's reader learns the layout — a plain ``.parquet(path)``
+    write cannot carry it.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket layout (must go through the
+    catalog; a path-based read would silently drop bucketing and reintroduce
+    the shuffle)."""
+    return spark.table(table)
+
+
 def random_person_split(
     persons: DataFrame, train_fraction: float = 0.8, seed: int = 42
 ) -> DataFrame:
