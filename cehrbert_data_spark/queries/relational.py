@@ -831,6 +831,38 @@ FROM part
 """
 
 
+# --- streaming as-of join, batch semantics -------------------------------------------
+
+def st_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming as-of join's batch-fallback semantics under the oracle:
+    attach to each purchase the user's most recent view within 24 h. The
+    streaming path (applyInPandasWithState + merge_asof) is pinned to these
+    exact semantics by tests/test_streaming.py's end-to-end equality."""
+    from cehrbert_data_spark.streaming import asof_join_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    lefts = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    rights = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join_stream(
+        lefts, rights, ["user_id"], "ts", "value", lookback_s=86400.0
+    ).select("user_id", "event_id", "ts", "asof_ts", "asof_value")
+
+
+ST_ASOF_SQL = """
+WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+cand AS (
+  SELECT l.event_id, r.ts AS asof_ts, r.value AS asof_value,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND EPOCH(l.ts) BETWEEN EPOCH(r.ts) AND EPOCH(r.ts) + 86400.0
+)
+SELECT l.user_id, l.event_id, l.ts, c.asof_ts, c.asof_value
+FROM l LEFT JOIN (SELECT event_id, asof_ts, asof_value FROM cand WHERE rn = 1) c
+  USING (event_id)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -858,6 +890,7 @@ QUERIES = {
     "w4_days_since_prev": (w4_days_since_prev, W4_SQL),
     "w5_first_and_span": (w5_first_and_span, W5_SQL),
     "w7_sessionize": (w7_sessionize, W7_SQL),
+    "st_asof_batch": (st_asof_batch, ST_ASOF_SQL),
     "u1_union": (u1_union, U1_SQL),
     "u5_distinct": (u5_distinct, U5_SQL),
     "f_scalar_datetime": (f_scalar_datetime, F_DATETIME_SQL),

@@ -150,32 +150,42 @@ def asof_join_stream(
     ``keys + [ts]`` in the fallback's rank — pass left rows unique on that
     combination (the streaming path has no such requirement).
     """
+    import functools as _ft
+    import operator as _op
+
     import pandas as pd
 
+    from pyspark.sql import Window
+
     from cehrbert_data_spark.functions.temporal import epoch_seconds
-    from cehrbert_data_spark.operators.joins import asof_join
 
     if not left.isStreaming and not right.isStreaming:
+        # Self-join-safe batch path: left and right commonly derive from the
+        # SAME scan (self-as-of over one event table), where side-qualified
+        # references (left[k] == right[k]) silently collapse to a trivially
+        # true predicate and the equi-join degrades to cross-user matching.
+        # Renaming every right column first makes all post-join resolution
+        # purely name-based and unambiguous.
         r = right.select(
-            *keys,
+            *[F.col(k).alias(f"__r_{k}") for k in keys],
             F.col(ts).alias("__r_ts"),
             F.col(right_value).cast("double").alias("asof_value"),
         )
-        joined = asof_join(
-            left,
-            r,
-            on=keys,
-            point=epoch_seconds(left[ts]),
-            lower=epoch_seconds(F.col("__r_ts")),
-            upper=epoch_seconds(F.col("__r_ts")) + F.lit(float(lookback_s)),
-            metric=[F.col("__r_ts").desc()],
-            left_key=[*keys, ts],
-            how="left",
-        )
-        return joined.select(
-            *[left[c] for c in left.columns],
-            F.col("__r_ts").alias("asof_ts"),
-            F.col("asof_value"),
+        point = epoch_seconds(F.col(ts))
+        r_low = epoch_seconds(F.col("__r_ts"))
+        cond = _ft.reduce(
+            _op.and_, [F.col(k) == F.col(f"__r_{k}") for k in keys]
+        ) & point.between(r_low, r_low + F.lit(float(lookback_s)))
+        w = Window.partitionBy(*keys, ts).orderBy(F.col("__r_ts").desc())
+        return (
+            left.join(r, cond, "left")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                *left.columns,
+                F.col("__r_ts").alias("asof_ts"),
+                F.col("asof_value"),
+            )
         )
 
     left_cols = list(left.columns)
