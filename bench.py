@@ -86,6 +86,20 @@ def main() -> None:
                 .where("dst <= 64 and dst > src")
             )
             transitive_closure(te, "src", "dst").count()
+            # Dedup/similarity codegen (explode+md5+stack banding; quantized
+            # dot products) on 4 synthetic rows.
+            from cehrbert_data_spark.operators.dedup import minhash_lsh_pairs
+            from cehrbert_data_spark.operators.similarity import cosine_topk
+
+            toy = spark.createDataFrame(
+                [(i, "a b c d e f g h i j " * 3) for i in range(4)], "doc_id: long, text: string"
+            )
+            minhash_lsh_pairs(toy, "doc_id", "text").count()
+            vecs = spark.createDataFrame(
+                [(i, [float(i), 1.0, 0.5]) for i in range(4)],
+                "id: long, vec: array<float>",
+            )
+            cosine_topk(vecs, vecs.limit(2), "id", "vec", k=1).count()
         except Exception as exc:  # noqa: BLE001 — warmup must never fail the bench
             print(f"bench: warmup skipped: {exc}", file=sys.stderr)
     qs = all_queries()
