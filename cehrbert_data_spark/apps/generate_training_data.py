@@ -23,7 +23,12 @@ from cehrbert_data_spark.omop.visits import construct_artificial_visits
 from cehrbert_data_spark.omop.vocab import roll_up_diagnosis, roll_up_to_drug_ingredients
 from cehrbert_data_spark.session import build_session
 from cehrbert_data_spark.sources.readers import normalize_domain_table, read_parquet
-from cehrbert_data_spark.sources.writers import checkpoint_barrier, write_parquet, write_split
+from cehrbert_data_spark.sources.writers import (
+    checkpoint_barrier,
+    write_bucketed,
+    write_parquet,
+    write_split,
+)
 
 
 def load_table(spark, input_folder: str, name: str):
@@ -48,6 +53,7 @@ def main(
     should_construct_artificial_visits: bool = False,
     apply_age_filter: bool = True,
     aggregate_by_hour: bool = False,
+    bucket_by_person: int | None = None,
     spark=None,
 ):
     spark = spark or build_session("generate_training_data")
@@ -142,6 +148,19 @@ def main(
     if os.path.exists(splits_path):
         splits = read_parquet(spark, splits_path)
         write_split(sequences, splits, out)
+    elif bucket_by_person:
+        # 100 TB layout: hash-bucket the output by person_id so every
+        # downstream per-person join/agg (feature extraction, cohort
+        # labeling against this table) runs shuffle-free
+        # (tests/test_bucketing.py pins the plan property).
+        write_bucketed(
+            sequences,
+            "patient_sequence_bucketed",
+            "person_id",
+            int(bucket_by_person),
+            sort_cols=["person_id"],
+            path=out,
+        )
     else:
         write_parquet(sequences, out)
     return out
@@ -171,6 +190,11 @@ def parse_args(argv=None):
     parser.add_argument("--construct_artificial_visits", action="store_true")
     parser.add_argument("--no_age_filter", action="store_true")
     parser.add_argument("--aggregate_by_hour", action="store_true")
+    parser.add_argument(
+        "--bucket_by_person", type=int, default=None, metavar="N",
+        help="write patient_sequence as an N-bucket person_id-bucketed table "
+        "(shuffle-free downstream per-person joins)",
+    )
     return parser.parse_args(argv)
 
 
@@ -194,4 +218,5 @@ if __name__ == "__main__":
         should_construct_artificial_visits=args.construct_artificial_visits,
         apply_age_filter=not args.no_age_filter,
         aggregate_by_hour=args.aggregate_by_hour,
+        bucket_by_person=args.bucket_by_person,
     )

@@ -73,6 +73,36 @@ def test_generate_training_data_end_to_end(spark, omop_dir, tmp_path):
     assert "M1" in tokens
 
 
+def test_generate_training_data_bucketed_output(spark, omop_dir, tmp_path):
+    out = generate_training_data.main(
+        input_folder=omop_dir,
+        output_folder=str(tmp_path / "seqb"),
+        domain_table_list=["condition_occurrence"],
+        bucket_by_person=4,
+        spark=spark,
+    )
+    try:
+        table = spark.table("patient_sequence_bucketed")
+        assert sorted(r["person_id"] for r in table.select("person_id").collect()) == [1, 2]
+        # the point of the layout: a person_id self-join plans with no shuffle
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = table.alias("x").join(
+                spark.table("patient_sequence_bucketed").alias("y"), "person_id"
+            )
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the files are still plain parquet at the requested path
+        assert spark.read.parquet(out).count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS patient_sequence_bucketed")
+
+
 def test_extract_features_end_to_end(spark, omop_dir, tmp_path):
     cohort = spark.createDataFrame(
         [(1, _dt(2020, 3, 1), 1), (2, _dt(2020, 3, 2), 0)],
