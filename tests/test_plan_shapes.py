@@ -88,6 +88,23 @@ def test_embed_neardup_lsh_is_equi_join(spark, qs):
     assert "BroadcastNestedLoopJoin" in p_exact
 
 
+def test_st_asof_rank_pushdown_single_shuffle(spark, qs):
+    # the as-of rank-1 must compile to WindowGroupLimit (partial top-1 per
+    # group BEFORE the exchange — the window never materializes full
+    # candidate lists) and exactly one hash-partitioning exchange
+    p = plan(qs["st_asof_batch"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_mm_image_dims_no_shuffle_no_python(spark, qs):
+    # header parsing is pure native projection: no exchange, no Python
+    # worker, no RDD fallback — a scan plus codegen'd projects
+    p = plan(qs["mm_image_dims"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
 def test_whole_stage_codegen_spans(spark, qs):
     # AQE prints its pre-execution plan without codegen wrappers, so scope it
     # off to see the compiled spans the executed plan will actually have
