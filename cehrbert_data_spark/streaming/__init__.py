@@ -11,11 +11,13 @@ from cehrbert_data_spark.streaming.operators import (
     hourly_rollup_stream,
     running_key_stats_stream,
     session_window_stream,
+    stream_static_enrich,
     streaming_dedup,
 )
 
 __all__ = [
     "asof_join_stream",
+    "stream_static_enrich",
     "hourly_rollup_stream",
     "running_key_stats_stream",
     "session_window_stream",

@@ -118,6 +118,27 @@ def streaming_dedup(
     return df.dropDuplicates(keys)
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension join: enrich a stream with columns from a
+    static dimension table (vocab/concept lookups in the clinical pipelines).
+
+    Stream-static equi-joins are stateless in Structured Streaming — each
+    micro-batch joins against the (re-readable) static side, no watermark
+    needed. The static side is explicitly broadcast: dimension tables are
+    the small side by construction, and a shuffle of the stream side on the
+    join key every micro-batch is exactly the cost this hint avoids.
+    Works identically on batch inputs (unified API).
+    """
+    projected = dim.select(*on, *(dim_cols or [c for c in dim.columns if c not in on]))
+    return stream.join(F.broadcast(projected), on, how)
+
+
 def asof_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cehrbert_data_spark.streaming import (
     asof_join_stream,
+    stream_static_enrich,
     hourly_rollup_stream,
     running_key_stats_stream,
     session_window_stream,
@@ -140,6 +141,31 @@ def test_asof_join_stream_end_to_end(spark, tmp_path):
     # single micro-batch: every right row is visible to every left row,
     # so the stream must reproduce the batch-fallback semantics exactly
     assert got == _ASOF_EXPECTED
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "uid: int, uname: string"
+    )
+    # batch semantics
+    out = stream_static_enrich(_events(spark), dim, ["uid"])
+    assert {(r["uid"], r["uname"]) for r in out.collect()} == {(1, "alpha"), (2, "beta")}
+
+    # streaming: stateless stream-static join, no watermark required
+    src = str(tmp_path / "src")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema("uid int, ts timestamp, v double").parquet(src)
+    q = (
+        stream_static_enrich(stream, dim, ["uid"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enrich_mem").collect()
+    assert len(rows) == 4 and all(r["uname"] in ("alpha", "beta") for r in rows)
 
 
 def test_running_key_stats_batch_fallback(spark):
