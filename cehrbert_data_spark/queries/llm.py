@@ -265,7 +265,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_TOPK_SQL = """
 WITH q AS (
-  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
   FROM embeddings
 ),
 normed AS (
@@ -299,7 +299,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_LSH_TOPK_SQL = f"""
 WITH q AS (
-  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
   FROM embeddings
 ),
 normed AS (
@@ -346,7 +346,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_IVF_TOPK_SQL = """
 WITH q AS (
-  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
   FROM embeddings
 ),
 normed AS (
@@ -398,7 +398,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_LSH_SQL = f"""
 WITH q AS (
-  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
   FROM embeddings
 ),
 contrib AS (
@@ -428,7 +428,7 @@ def d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D_EMBED_NEARDUP_SQL = f"""
 WITH q AS (
-  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
   FROM embeddings
 ),
 normed AS (
@@ -474,7 +474,7 @@ def d_embed_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D_EMBED_NEARDUP_EXACT_SQL = """
 WITH q AS (
-  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS ivec
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
   FROM embeddings
 ),
 normed AS (
