@@ -127,6 +127,52 @@ def test_image_dimensions_real_headers(spark):
     assert got[5] == (None, None)
 
 
+def test_image_dimensions_fuzz(spark):
+    """Seeded fuzz in ONE DataFrame pass: random extra APPn segments before
+    SOF must not confuse the walk; random garbage must yield NULL, never a
+    crash or a phantom dimension."""
+    import random
+    import struct
+
+    rng = random.Random(20260813)
+    rows, expected = [], {}
+    mid = 0
+    for _ in range(25):
+        w, h = rng.randint(1, 65535), rng.randint(1, 65535)
+        out = b"\xff\xd8"
+        for _ in range(rng.randint(0, 5)):  # random APPn/COM segments
+            marker = bytes([0xFF, rng.choice([0xE0 + rng.randint(0, 15), 0xFE])])
+            payload = bytes(rng.randrange(256) for _ in range(rng.randint(0, 40)))
+            out += marker + struct.pack(">H", 2 + len(payload)) + payload
+        sof = rng.choice([0xC0, 0xC1, 0xC2])
+        out += bytes([0xFF, sof]) + struct.pack(">H", 17) + b"\x08"
+        out += struct.pack(">HH", h, w)
+        out += b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01\xff\xd9"
+        rows.append((mid, out))
+        expected[mid] = (w, h)
+        mid += 1
+    for _ in range(25):  # garbage: arbitrary bytes, some FFD8-prefixed
+        blob = bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
+        if rng.random() < 0.5:
+            blob = b"\xff\xd8" + blob
+        rows.append((mid, blob))
+        expected[mid] = None  # overwhelmingly likely; checked loosely below
+        mid += 1
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = attach_media_metadata(df, "payload", "image")
+    got = {
+        r["media_id"]: (r["media_meta"]["width"], r["media_meta"]["height"])
+        for r in out.collect()
+    }
+    for i in range(25):
+        assert got[i] == expected[i], f"well-formed #{i}: {got[i]} != {expected[i]}"
+    for i in range(25, 50):
+        w, h = got[i]
+        # random bytes may by chance form a valid chain, but must never
+        # produce a half-parsed result: both NULL or both in uint16 range
+        assert (w is None and h is None) or (0 <= w <= 65535 and 0 <= h <= 65535)
+
+
 def test_media_repartition_by_payload(spark):
     df = _media(spark)
     out = media_repartition(df, "payload", target_bytes=16)
