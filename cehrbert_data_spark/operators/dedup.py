@@ -158,6 +158,81 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, comp) for the undirected graph of near-duplicate pairs — the
+    keeper-resolution step every dedup pipeline needs after candidate
+    generation (A~B, B~C must collapse to ONE keeper even though (A,C) was
+    never emitted). comp is the component's minimum id, so it doubles as the
+    canonical keeper id.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (most are 2-3 docs), so
+    2-3 shuffle rounds in practice. Each round is one equi-join + groupBy
+    (both shuffle on id and scale horizontally); convergence is detected by
+    the monotone SUM(comp) invariant — labels only ever decrease, so an
+    unchanged sum means a fixed point, and the check is the lazy
+    checkpoint's materializing action (one job per round, same discipline
+    as operators.closure).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=False)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(edges["src"].alias("id"))
+            .agg(F.min(labels["comp"]).alias("ncomp"))
+        )
+        labels = (
+            labels.join(neighbor_min.withColumnRenamed("id", "nid"),
+                        labels["id"] == F.col("nid"), "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(labels["comp"], F.coalesce(F.col("ncomp"), labels["comp"])).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """(id, keeper) over ALL documents: transitive near-dup groups collapse
+    to their minimum id; documents in no pair keep themselves. One broadcast-
+    friendly left join after components (the component table is |dup docs|,
+    tiny relative to the corpus)."""
+    comps = connected_components(pairs, a_col, b_col)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps.withColumnRenamed("id", "cid"), F.col("id") == F.col("cid"), "left")
+        .select("id", F.coalesce(F.col("comp"), F.col("id")).alias("keeper"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFrame:
     """SimHash fingerprint: sign of the per-bit weighted sum of word hashes.
 

@@ -233,6 +233,35 @@ GROUP BY a.id, b.id
 D_MINHASH_SQL = _minhash_sql()
 
 
+def d_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper resolution over MinHash-LSH candidate pairs: transitive
+    near-dup groups (A~B, B~C) collapse to one canonical keeper via
+    distributed connected components; untouched docs keep themselves."""
+    from cehrbert_data_spark.operators.dedup import dedup_keepers
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, band_size=2)
+    return dedup_keepers(docs, pairs, "doc_id")
+
+
+D_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+uedges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.src, r.r FROM uedges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id AS id, COALESCE(c.comp, d.doc_id) AS keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text", bits=48)
@@ -581,6 +610,7 @@ QUERIES = {
     "d_embed_neardup_exact": (d_embed_neardup_exact, D_EMBED_NEARDUP_EXACT_SQL),
     "d_ngram_jaccard": (d_ngram_jaccard, D_JACCARD_SQL),
     "d_minhash_lsh": (d_minhash_lsh, D_MINHASH_SQL),
+    "d_dedup_groups": (d_dedup_groups, D_DEDUP_GROUPS_SQL),
     "d_simhash": (d_simhash, D_SIMHASH_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),

@@ -117,3 +117,29 @@ def test_ivf_assign_and_topk(spark):
     assert set(by_q[5]) == {4, 6}
     cos = {(r["q_id"], r["n_id"]): r["cosine"] for r in topk.collect()}
     assert math.isclose(cos[(1, 0)], 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-3)
+
+
+def test_connected_components_transitive(spark):
+    from cehrbert_data_spark.operators.dedup import connected_components, dedup_keepers
+
+    # chain 1-2-3 (no direct 1-3 pair), separate pair 10-11, isolated 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
+    )
+    comps = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id: long")
+    keepers = {r["id"]: r["keeper"] for r in dedup_keepers(docs, pairs).collect()}
+    assert keepers == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain(spark):
+    from cehrbert_data_spark.operators.dedup import connected_components
+
+    # a 12-node path: worst case for label propagation (diameter 11)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a: long, id_b: long"
+    )
+    comps = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 12
