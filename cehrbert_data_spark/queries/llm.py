@@ -600,6 +600,26 @@ FROM documents
 """
 
 
+# --- skew mitigation (exact results, salted physical distribution) -------------------
+
+def k_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count over a low-cardinality hot key (every
+    event_type is a hot group at scale). Results are EXACT — salting only
+    respreads the physical key distribution — which is what makes this
+    oracle-checkable unlike sketch-based skew workarounds."""
+    from cehrbert_data_spark.operators.skew import salted_count
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"]).select(
+        "event_type", F.col("count").alias("n_rows")
+    )
+
+
+K_SALTED_COUNT_SQL = """
+SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -618,4 +638,5 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
+    "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
 }
