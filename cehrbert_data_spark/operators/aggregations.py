@@ -56,15 +56,32 @@ def distinct_frequency_filter(
 
 
 def winsorize_bounds(
-    df: DataFrame, keys: Sequence[str], value: str, lower: float = 0.01, upper: float = 0.99
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """A7: per-group percentile clipping bounds
-    (reference: queries/measurement_queries.py:26-27). Uses the exact
-    ``percentile`` aggregate (linear interpolation); swap to
-    ``percentile_approx`` at very large group cardinalities."""
+    (reference: queries/measurement_queries.py:26-27).
+
+    ``approx=False``: exact ``percentile`` (linear interpolation) — the
+    oracle-checkable default, but it buffers each group's values on its
+    reducer. ``approx=True``: ``percentile_approx`` (Greenwald-Khanna
+    sketch, rank error ≤ 1/accuracy) — the 100 TB path: sketches merge
+    map-side, so a hot group's memory is O(accuracy), not O(group size).
+    """
+    if approx:
+        lo = F.expr(f"percentile_approx({value}, {lower}, {accuracy})")
+        hi = F.expr(f"percentile_approx({value}, {upper}, {accuracy})")
+    else:
+        lo = F.expr(f"percentile({value}, {lower})")
+        hi = F.expr(f"percentile({value}, {upper})")
     return df.groupBy(*keys).agg(
-        F.expr(f"percentile({value}, {lower})").alias("lower_bound"),
-        F.expr(f"percentile({value}, {upper})").alias("upper_bound"),
+        lo.cast("double").alias("lower_bound"),
+        hi.cast("double").alias("upper_bound"),
         F.count(value).alias("n"),
     )
 

@@ -83,3 +83,20 @@ def test_checkpoint_barrier(spark, tmp_path):
     assert checkpoint_barrier(df).count() == 2
     durable = checkpoint_barrier(df, os.path.join(str(tmp_path), "ckpt"))
     assert durable.count() == 2
+
+
+def test_winsorize_approx_close_to_exact(spark):
+    from cehrbert_data_spark.operators.aggregations import winsorize_bounds
+
+    import random
+
+    rng = random.Random(7)
+    # skewed long-tail values in one hot group
+    rows = [(1, rng.lognormvariate(0, 2)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "g: int, v: double")
+    exact = winsorize_bounds(df, ["g"], "v").collect()[0]
+    approx = winsorize_bounds(df, ["g"], "v", approx=True, accuracy=10_000).collect()[0]
+    assert approx["n"] == exact["n"] == 20_000
+    # GK sketch: rank error <= n/accuracy = 2 ranks; value tolerance loose
+    for b in ("lower_bound", "upper_bound"):
+        assert abs(approx[b] - exact[b]) / max(abs(exact[b]), 1e-9) < 0.05
