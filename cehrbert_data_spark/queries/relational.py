@@ -831,6 +831,43 @@ FROM part
 """
 
 
+# --- streaming session window, batch semantics ---------------------------------------
+
+def st_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming session-window operator under the oracle: Spark's
+    native session_window merges events within the gap; the oracle rebuilds
+    the same sessions with a lag/cumsum rollup (new session iff
+    delta >= gap — session_window's boundary rule; W7's sessionize uses
+    strict >, the testdata carries no exact-boundary deltas)."""
+    from cehrbert_data_spark.streaming import session_window_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_window_stream(ev, ["user_id"], "ts", gap="30 minutes")
+
+
+ST_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS window_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # --- streaming as-of join, batch semantics -------------------------------------------
 
 def st_asof_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,6 +928,7 @@ QUERIES = {
     "w5_first_and_span": (w5_first_and_span, W5_SQL),
     "w7_sessionize": (w7_sessionize, W7_SQL),
     "st_asof_batch": (st_asof_batch, ST_ASOF_SQL),
+    "st_session_batch": (st_session_batch, ST_SESSION_SQL),
     "u1_union": (u1_union, U1_SQL),
     "u5_distinct": (u5_distinct, U5_SQL),
     "f_scalar_datetime": (f_scalar_datetime, F_DATETIME_SQL),
