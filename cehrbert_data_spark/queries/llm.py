@@ -600,6 +600,42 @@ FROM documents
 """
 
 
+# --- embedding column analytics ------------------------------------------------------
+
+def e_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension stats over the embedding corpus (the sanity pass any
+    vector pipeline runs before indexing: dead dims, scale drift). posexplode
+    keeps dims with their positions; sums run on the quantized-int values
+    (order-independent — exact across partitionings and engines), min/max on
+    the raw values (no arithmetic, so float→double renders identically)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    q = F.round(F.col("x").cast("double") * 1000).cast("long")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sum_q"),
+            (F.sum(q).cast("double") / F.count(F.lit(1))).alias("mean_q"),
+            F.min(F.col("x").cast("double")).alias("min_x"),
+            F.max(F.col("x").cast("double")).alias("max_x"),
+        )
+    )
+
+
+E_DIM_STATS_SQL = """
+WITH e AS (
+  SELECT i - 1 AS dim, embedding[i] AS x
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+),
+q AS (SELECT dim, x, CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq FROM e)
+SELECT dim, COUNT(*) AS n, CAST(SUM(xq) AS BIGINT) AS sum_q,
+       CAST(CAST(SUM(xq) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_q,
+       MIN(CAST(x AS DOUBLE)) AS min_x, MAX(CAST(x AS DOUBLE)) AS max_x
+FROM q GROUP BY dim
+"""
+
+
 # --- skew mitigation (exact results, salted physical distribution) -------------------
 
 def k_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,4 +675,5 @@ QUERIES = {
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
+    "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
 }
