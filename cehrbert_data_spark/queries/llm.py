@@ -233,6 +233,44 @@ GROUP BY a.id, b.id
 D_MINHASH_SQL = _minhash_sql()
 
 
+def d_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage dedup: LSH candidates, then exact-Jaccard verification of
+    only those candidates (exact precision at candidate-bounded cost)."""
+    from cehrbert_data_spark.operators.dedup import minhash_verified_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_verified_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, band_size=2, threshold=0.2
+    )
+
+
+D_MINHASH_VERIFIED_SQL = f"""
+WITH pairs AS ({_minhash_sql()}),
+vw AS (
+  SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+vsh AS (
+  SELECT DISTINCT id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  FROM vw, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 2
+),
+vsizes AS (SELECT id, COUNT(*) AS n_shingles FROM vsh GROUP BY id),
+vshared AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_shared
+  FROM pairs p
+  JOIN vsh a ON a.id = p.id_a
+  JOIN vsh b ON b.id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - s.n_shared) AS jaccard
+FROM vshared s
+JOIN vsizes sa ON sa.id = s.id_a
+JOIN vsizes sb ON sb.id = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - s.n_shared) >= 0.2
+"""
+
+
 def d_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper resolution over MinHash-LSH candidate pairs: transitive
     near-dup groups (A~B, B~C) collapse to one canonical keeper via
@@ -667,6 +705,7 @@ QUERIES = {
     "d_ngram_jaccard": (d_ngram_jaccard, D_JACCARD_SQL),
     "d_minhash_lsh": (d_minhash_lsh, D_MINHASH_SQL),
     "d_dedup_groups": (d_dedup_groups, D_DEDUP_GROUPS_SQL),
+    "d_minhash_verified": (d_minhash_verified, D_MINHASH_VERIFIED_SQL),
     "d_simhash": (d_simhash, D_SIMHASH_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_TOPK_SQL),
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
