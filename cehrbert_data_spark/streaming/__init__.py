@@ -9,6 +9,7 @@ sources with watermarks, sharing semantics with the batch operators.
 from cehrbert_data_spark.streaming.operators import (
     asof_join_stream,
     hourly_rollup_stream,
+    minhash_dedup_stream,
     running_key_stats_stream,
     session_window_stream,
     stream_static_enrich,
@@ -17,6 +18,7 @@ from cehrbert_data_spark.streaming.operators import (
 
 __all__ = [
     "asof_join_stream",
+    "minhash_dedup_stream",
     "stream_static_enrich",
     "hourly_rollup_stream",
     "running_key_stats_stream",

@@ -294,6 +294,95 @@ def asof_join_stream(
     )
 
 
+def minhash_dedup_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection: emit (id, band, keeper) for
+    every document that collides with an earlier-seen document in an LSH
+    band bucket (keeper = the bucket's minimum id seen so far).
+
+    The signature/banding stage is the STATELESS array-form projection
+    (``minhash_signatures_stateless`` + ``band_signature`` — no shuffle, so
+    it composes with the stateful stage; a streaming groupBy(id) signature
+    agg could not). State is one long per occupied (band, band_key) bucket,
+    timing out for idle buckets — bounded by the active-bucket working set.
+    A document may be reported once per colliding band; consumers dedupe by
+    (id, keeper) or feed the pairs into connected-components keeper
+    resolution downstream.
+
+    On batch inputs, produces the same collision records via a plain
+    min-per-bucket join (single batch ⇒ keeper = bucket min id), which is
+    what pins the streaming semantics in tests.
+    """
+    import pandas as pd
+
+    from cehrbert_data_spark.operators.dedup import (
+        band_signature,
+        minhash_signatures_stateless,
+    )
+
+    banded = band_signature(
+        minhash_signatures_stateless(df, id_col, text_col, k, num_hashes),
+        num_hashes,
+        band_size,
+    )
+    if not df.isStreaming:
+        keepers = banded.groupBy("band", "band_key").agg(F.min("id").alias("keeper"))
+        return (
+            banded.join(keepers, ["band", "band_key"])
+            .where(F.col("id") != F.col("keeper"))
+            .select("id", "band", "keeper")
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("keeper", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("keeper", T.LongType())])
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band, _ = key
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["id"])
+        if not ids:
+            return
+        seen_keeper = state.get()[0] if state.exists else None
+        keeper = min(ids) if seen_keeper is None else min(seen_keeper, min(ids))
+        state.update((keeper,))
+        state.setTimeoutDuration(state_timeout_ms)
+        dups = sorted(set(i for i in ids if i != keeper))
+        if seen_keeper is not None and seen_keeper != keeper:
+            # a later batch brought a lower id: the dethroned keeper is
+            # retroactively a duplicate of the new one — emit it so every
+            # bucket member stays linked to the bucket minimum
+            dups.append(seen_keeper)
+        if dups:
+            yield pd.DataFrame({"id": dups, "band": int(band), "keeper": keeper})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return banded.groupBy("band", "band_key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def running_key_stats_stream(
     df: DataFrame,
     keys: list[str],

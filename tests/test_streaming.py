@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cehrbert_data_spark.streaming import (
     asof_join_stream,
+    minhash_dedup_stream,
     stream_static_enrich,
     hourly_rollup_stream,
     running_key_stats_stream,
@@ -141,6 +142,50 @@ def test_asof_join_stream_end_to_end(spark, tmp_path):
     # single micro-batch: every right row is visible to every left row,
     # so the stream must reproduce the batch-fallback semantics exactly
     assert got == _ASOF_EXPECTED
+
+
+def _dup_docs(spark):
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_b = "completely different words about spark structured streaming state"
+    rows = [
+        (1, text_a),
+        (2, text_a),  # exact dup of 1 -> collides in every band
+        (3, text_b),
+        (7, text_a + " slightly"),  # near-dup of 1 (shares most shingles)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_minhash_dedup_batch(spark):
+    out = minhash_dedup_stream(_dup_docs(spark), "doc_id", "text")
+    pairs = {(r["id"], r["keeper"]) for r in out.collect()}
+    assert (2, 1) in pairs          # exact dup collides
+    assert all(k < i for i, k in pairs)  # keeper is always the bucket min
+    assert not any(i == 3 or k == 3 for i, k in pairs)  # unrelated doc clean
+
+
+def test_minhash_dedup_stream_end_to_end(spark, tmp_path):
+    docs = _dup_docs(spark)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        minhash_dedup_stream(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mhd_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["keeper"]) for r in spark.sql("SELECT * FROM mhd_mem").collect()}
+    # single micro-batch: must equal the batch fallback's collision set
+    want = {
+        (r["id"], r["keeper"])
+        for r in minhash_dedup_stream(docs, "doc_id", "text").collect()
+    }
+    assert got == want and (2, 1) in got
 
 
 def test_stream_static_enrich(spark, tmp_path):
