@@ -29,6 +29,8 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: d_exact_dedup, d_ngram_jaccard, sim_cosine_topk, sim_lsh_topk,
 #: sim_ivf_topk) is back in the head for fresh verdicts.
 _TAIL = [
+    "j4_anti",
+    "w2_dense_rank",
     "j3_semi",
     "o1_global_topk",
     "w10_sql_rownum",

@@ -638,6 +638,87 @@ FROM documents
 """
 
 
+# --- sequence packing + stratified sampling ------------------------------------------
+
+def t_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, chunked form: concatenate each source's
+    documents in doc_id order and cut every ``max_tokens`` tokens (documents
+    may straddle chunk boundaries — the standard packing for causal LM
+    pretraining with cross-document attention masking). Emits each doc's
+    first chunk and offset within it.
+
+    Scale shape: one window partitioned BY SOURCE (shards are per-source;
+    the engine refuses global windows) — a single shuffle, running sums
+    inside. Token counts are the whitespace+regex tokenizer's, exact in both
+    engines."""
+    from cehrbert_data_spark.operators.text import regex_tokens
+
+    max_tokens = 2048
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(regex_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    start = (running - F.col("n_tokens")).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(start / max_tokens).cast("long").alias("chunk_id"),
+        (start % max_tokens).cast("long").alias("chunk_offset"),
+    )
+
+
+T_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         LEN(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(start / 2048) AS BIGINT) AS chunk_id,
+       CAST(start % 2048 AS BIGINT) AS chunk_offset
+FROM r
+"""
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ~20% of each source's
+    documents by an md5-derived uniform hash of doc_id — reproducible across
+    engines, runs and cluster layouts (unlike rand()-based sampling), which
+    is what makes dataset mixes auditable. Returns kept docs with their
+    stratum and the hash used for the cut."""
+    from cehrbert_data_spark.operators.text import md5_long
+
+    u = md5_long(F.col("doc_id").cast("string"), bits=40) % 1000
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", u.alias("bucket"))
+        .where(F.col("bucket") < 200)
+    )
+
+
+T_STRATIFIED_SQL = """
+SELECT doc_id, source,
+       CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 1000 AS bucket
+FROM documents
+WHERE CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) % 1000 < 200
+"""
+
+
 # --- embedding column analytics ------------------------------------------------------
 
 def e_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,4 +796,6 @@ QUERIES = {
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
+    "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),
+    "t_stratified_sample": (t_stratified_sample, T_STRATIFIED_SQL),
 }
