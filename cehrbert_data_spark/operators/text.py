@@ -39,6 +39,25 @@ def shingles(word_arr: Column, k: int = 3) -> Column:
     )
 
 
+#: Cleaning patterns: deliberately restricted to RE2-compatible syntax (no
+#: backrefs/lookarounds) so the same patterns run verbatim in Spark (Java
+#: regex) and DuckDB (RE2) — required for oracle-exact cleaning.
+URL_REGEX = r"https?://[^\s]+"
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CONTROL_REGEX = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def clean_text(text: Column) -> Column:
+    """Scrub pipeline: drop URLs and emails (PII / noise), strip control
+    characters, collapse whitespace runs to single spaces, trim. Pure native
+    regexp_replace chain — one codegen'd projection, no Python."""
+    out = F.regexp_replace(text, URL_REGEX, " ")
+    out = F.regexp_replace(out, EMAIL_REGEX, " ")
+    out = F.regexp_replace(out, CONTROL_REGEX, " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
 def md5_long(col: Column, bits: int = 60) -> Column:
     """First ``bits`` bits of md5 as a non-negative BIGINT — the portable
     deterministic hash used by minhash/simhash/fingerprints."""

@@ -638,6 +638,47 @@ FROM documents
 """
 
 
+# --- text cleaning -------------------------------------------------------------------
+
+def t_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbed corpus + removal accounting per source: cleaned length and a
+    digest of the cleaned text (proves byte-identical cleaning across
+    engines), aggregated so the result is compact at any SF."""
+    from cehrbert_data_spark.operators.text import clean_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "source",
+        F.length("text").alias("len_raw"),
+        F.length(clean_text(F.col("text"))).alias("len_clean"),
+        F.md5(clean_text(F.col("text"))).alias("digest"),
+    )
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len_raw").alias("total_raw"),
+        F.sum("len_clean").alias("total_clean"),
+        F.countDistinct("digest").alias("n_distinct_clean"),
+    )
+
+
+T_CLEAN_SQL = """
+WITH c AS (
+  SELECT source, LENGTH(text) AS len_raw,
+         TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+              'https?://[^\\s]+', ' ', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS cleaned
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len_raw) AS BIGINT) AS total_raw,
+       CAST(SUM(LENGTH(cleaned)) AS BIGINT) AS total_clean,
+       COUNT(DISTINCT md5(cleaned)) AS n_distinct_clean
+FROM c GROUP BY source
+"""
+
+
 # --- sequence packing + stratified sampling ------------------------------------------
 
 def t_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,4 +839,5 @@ QUERIES = {
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),
     "t_stratified_sample": (t_stratified_sample, T_STRATIFIED_SQL),
+    "t_clean_text": (t_clean_text, T_CLEAN_SQL),
 }

@@ -143,3 +143,18 @@ def test_connected_components_long_chain(spark):
     )
     comps = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert set(comps.values()) == {0} and len(comps) == 12
+
+
+def test_clean_text_scrubs(spark):
+    from cehrbert_data_spark.operators.text import clean_text
+
+    rows = [
+        (1, "see https://example.com/x?q=1 and mail bob.smith+a@ex-ample.co.uk now"),
+        (2, "tabs\tand\x00control\x1fchars   collapse"),
+        (3, "  already clean  "),
+    ]
+    df = spark.createDataFrame(rows, "id: int, text: string")
+    got = {r["id"]: r["c"] for r in df.select("id", clean_text(F.col("text")).alias("c")).collect()}
+    assert got[1] == "see and mail now"
+    assert got[2] == "tabs and control chars collapse"
+    assert got[3] == "already clean"
