@@ -122,3 +122,81 @@ def test_salted_join_transparent(left_keys, right_keys):
         for r in salted_join(left, right, "k", num_salts=4).collect()
     }
     assert salted == plain
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(edges):
+    """Distributed min-label propagation == driver-side union-find."""
+    from cehrbert_data_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    spark = _get_spark()
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+@PROP
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=5_000), min_size=1, max_size=15),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    lookback=st.integers(min_value=1, max_value=2_000),
+)
+def test_asof_batch_matches_bruteforce(lefts, rights, lookback):
+    """asof_join_stream's batch path == per-row brute force scan."""
+    from cehrbert_data_spark.streaming import asof_join_stream
+
+    lefts = sorted(set(lefts))
+    rights = sorted(set(rights))
+    r_ts = [t for t, _ in rights]
+    if len(r_ts) != len(set(r_ts)):  # keep (ts -> value) a function
+        return
+    spark = _get_spark()
+    ldf = spark.createDataFrame([(1, t) for t in lefts], "k: int, t: long").withColumn(
+        "ts", F.col("t").cast("timestamp")
+    )
+    rdf = spark.createDataFrame(
+        [(1, t, v) for t, v in rights], "k: int, t: long, value: double"
+    ).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    out = asof_join_stream(
+        ldf, rdf, ["k"], "ts", "value", lookback_s=float(lookback)
+    )
+    got = {r["t"]: r["asof_value"] for r in out.collect()}
+    for lt in lefts:
+        cands = [(t, v) for t, v in rights if lt - lookback <= t <= lt]
+        want = max(cands)[1] if cands else None
+        assert got[lt] == want, (lt, got[lt], want)
