@@ -638,6 +638,53 @@ FROM documents
 """
 
 
+# --- corpus word rarity (frequency-join quality signal) ------------------------------
+
+def t_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass corpus-frequency scoring: build the corpus word-frequency
+    table, join it back to each document's words, and score documents by the
+    mean corpus count of their words (low mean ⇒ rare/unusual vocabulary —
+    the cheap stand-in for LM-perplexity quality filters; no log so the
+    arithmetic stays engine-exact: integer sums / counts).
+
+    Scale shape: the frequency table is vocabulary-sized (≪ corpus) and
+    broadcastable; the per-doc pass is one explode + equi-join + hash agg.
+    """
+    from cehrbert_data_spark.operators.text import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    freq = doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    return (
+        doc_words.join(F.broadcast(freq), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wf").alias("sum_wf"),
+            (F.sum("wf").cast("double") / F.count(F.lit(1))).alias("mean_wf"),
+            F.min("wf").alias("rarest_wf"),
+        )
+    )
+
+
+T_WORD_RARITY_SQL = """
+WITH dw AS (
+  SELECT doc_id, w.word AS word
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws FROM documents),
+       UNNEST(ws) AS w(word)
+),
+freq AS (SELECT word, COUNT(*) AS wf FROM dw GROUP BY word)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(wf) AS BIGINT) AS sum_wf,
+       CAST(CAST(SUM(wf) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_wf,
+       MIN(wf) AS rarest_wf
+FROM dw JOIN freq USING (word)
+GROUP BY doc_id
+"""
+
+
 # --- text cleaning -------------------------------------------------------------------
 
 def t_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,4 +887,5 @@ QUERIES = {
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),
     "t_stratified_sample": (t_stratified_sample, T_STRATIFIED_SQL),
     "t_clean_text": (t_clean_text, T_CLEAN_SQL),
+    "t_word_rarity": (t_word_rarity, T_WORD_RARITY_SQL),
 }
