@@ -120,15 +120,71 @@ def jpeg_height(col: F.Column) -> F.Column:
     return _be_int(col, jpeg_sof_offset(col) + 5, 2)
 
 
+def _le_int(col: F.Column, pos: int, n: int) -> F.Column:
+    """Little-endian unsigned int from ``n`` bytes at 1-indexed ``pos``."""
+    out = _be_int(col, pos, 1)
+    for i in range(1, n):
+        out = out + _be_int(col, pos + i, 1) * (256 ** i)
+    return out
+
+
+def is_gif(col: F.Column) -> F.Column:
+    """Full 6-byte GIF87a / GIF89a magic (a 4-byte 'GIF8' prefix check
+    false-positives on text beginning with those characters)."""
+    return F.hex(col.substr(F.lit(1), F.lit(6))).isin("474946383761", "474946383961")
+
+
+def is_bmp(col: F.Column) -> F.Column:
+    """BMP 'BM' magic + plausible BITMAPINFOHEADER size field (40/108/124)."""
+    return (F.hex(col.substr(F.lit(1), F.lit(2))) == "424D") & _le_int(col, 15, 4).isin(
+        40, 108, 124
+    )
+
+
+def gif_width(col: F.Column) -> F.Column:
+    """Logical-screen width: uint16 LE at bytes 7-8."""
+    return _le_int(col, 7, 2)
+
+
+def gif_height(col: F.Column) -> F.Column:
+    """Logical-screen height: uint16 LE at bytes 9-10."""
+    return _le_int(col, 9, 2)
+
+
+def bmp_width(col: F.Column) -> F.Column:
+    """BITMAPINFOHEADER biWidth: int32 LE at bytes 19-22."""
+    return _le_int(col, 19, 4)
+
+
+def bmp_height(col: F.Column) -> F.Column:
+    """biHeight: int32 LE at bytes 23-26 (absolute value — negative encodes
+    top-down row order, same pixel dimensions)."""
+    h = _le_int(col, 23, 4)
+    # two's-complement int32: interpret then abs
+    signed = F.when(h >= F.lit(2**31), h - F.lit(2**32)).otherwise(h)
+    return F.abs(signed)
+
+
 def image_dimensions(col: F.Column) -> tuple[F.Column, F.Column]:
-    """(width, height) for PNG / JPEG payloads, NULL for anything else.
+    """(width, height) for PNG / JPEG / GIF / BMP payloads, NULL otherwise.
 
     Real header parses with native expressions — no codec library needed
-    (PNG IHDR fixed offsets; JPEG SOF segment walk). CASE branches evaluate
-    lazily per row, so non-image payloads never pay the JPEG walk.
+    (PNG IHDR fixed offsets; JPEG SOF segment walk; GIF logical screen;
+    BMP info header). CASE branches evaluate lazily per row, so non-image
+    payloads never pay the JPEG walk.
     """
-    w = F.when(is_png(col), png_width(col)).when(is_jpeg(col), jpeg_width(col))
-    h = F.when(is_png(col), png_height(col)).when(is_jpeg(col), jpeg_height(col))
+    w = (
+        F.when(is_png(col), png_width(col))
+        .when(is_jpeg(col), jpeg_width(col))
+        .when(is_gif(col), gif_width(col))
+        .when(is_bmp(col), bmp_width(col))
+    )
+    h = (
+        F.when(is_png(col), png_height(col))
+        .when(is_jpeg(col), jpeg_height(col))
+        .when(is_gif(col), gif_height(col))
+        .when(is_bmp(col), bmp_height(col))
+    )
     return w.cast("int"), h.cast("int")
 
 

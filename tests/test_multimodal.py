@@ -127,6 +127,37 @@ def test_image_dimensions_real_headers(spark):
     assert got[5] == (None, None)
 
 
+def test_image_dimensions_gif_bmp(spark):
+    import struct
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    def bmp(w, h):
+        # 14-byte file header + BITMAPINFOHEADER(40) with signed height
+        return (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+        )
+
+    rows = [
+        (1, gif(320, 200)),
+        (2, bmp(640, 480)),
+        (3, bmp(100, -50)),  # top-down BMP: negative height, |h| pixels
+        (4, b"GIF8 not really"),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = attach_media_metadata(df, "payload", "image")
+    got = {
+        r["media_id"]: (r["media_meta"]["width"], r["media_meta"]["height"])
+        for r in out.collect()
+    }
+    assert got[1] == (320, 200)
+    assert got[2] == (640, 480)
+    assert got[3] == (100, 50)
+    assert got[4] == (None, None)
+
+
 def test_image_dimensions_fuzz(spark):
     """Seeded fuzz in ONE DataFrame pass: random extra APPn segments before
     SOF must not confuse the walk; random garbage must yield NULL, never a
