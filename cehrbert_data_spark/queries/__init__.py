@@ -29,6 +29,7 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: d_exact_dedup, d_ngram_jaccard, sim_cosine_topk, sim_lsh_topk,
 #: sim_ivf_topk) is back in the head for fresh verdicts.
 _TAIL = [
+    "j5_scalar_max",
     "a5_freq_filter",
     "p_filter_project",
     "j4_anti",

@@ -831,6 +831,44 @@ FROM part
 """
 
 
+# --- W11: RANGE-frame trailing window -------------------------------------------------
+
+def w11_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user aggregate via a RANGE frame (value-based
+    window bounds — a distinct capability from the rows-frames elsewhere:
+    the frame holds every event within the last 7 DAYS of event time, not
+    the last N rows). Ordering key is NTZ-safe epoch seconds, so frame
+    bounds are plain numbers in both engines."""
+    from cehrbert_data_spark.functions.temporal import epoch_seconds
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    epoch = epoch_seconds(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    sum_exact = F.sum(F.col("value").cast("decimal(20,6)")).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_7d"),
+        sum_exact.cast("double").alias("sum_value_7d"),
+    )
+
+
+W11_SQL = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_trailing_7d,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_value_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH(ts)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- streaming session window, batch semantics ---------------------------------------
 
 def st_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,6 +967,7 @@ QUERIES = {
     "w7_sessionize": (w7_sessionize, W7_SQL),
     "st_asof_batch": (st_asof_batch, ST_ASOF_SQL),
     "st_session_batch": (st_session_batch, ST_SESSION_SQL),
+    "w11_trailing_range": (w11_trailing_range, W11_SQL),
     "u1_union": (u1_union, U1_SQL),
     "u5_distinct": (u5_distinct, U5_SQL),
     "f_scalar_datetime": (f_scalar_datetime, F_DATETIME_SQL),
