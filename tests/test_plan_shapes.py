@@ -105,6 +105,15 @@ def test_mm_image_dims_no_shuffle_no_python(spark, qs):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
 
 
+def test_w11_range_frame_single_shuffle(spark, qs):
+    # the RANGE-frame trailing window must still be one hash-partitioning
+    # exchange feeding one window — no extra sort/exchange from the epoch
+    # ordering expression
+    p = plan(qs["w11_trailing_range"](spark, SF_DIR))
+    assert p.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in p
+
+
 def test_whole_stage_codegen_spans(spark, qs):
     # AQE prints its pre-execution plan without codegen wrappers, so scope it
     # off to see the compiled spans the executed plan will actually have
