@@ -23,6 +23,7 @@ def transitive_closure(
     dst: str = "dst",
     max_iterations: int = 50,
     seeds: DataFrame | None = None,
+    hop_batch: int | None = None,
 ) -> DataFrame:
     """All reachable (src, dst, distance) pairs of a DAG edge list.
 
@@ -32,6 +33,12 @@ def transitive_closure(
     paths starting at those ids — the reference's seeded ancestry BFS
     (utils/vocab_utils.py:4-64) — so the per-hop join grows with the seeded
     subgraph, not the whole edge set.
+
+    ``hop_batch`` overrides the per-iteration hop width (see ``_closure_loop``;
+    pass 1 for plain frontier BFS on heavy fan-in×fan-out graphs). When left
+    None it is sized from the FULL edge count, not just the seeded frontier —
+    a small seed set over a large high-fanout edge list must not materialize
+    E^2..E^8 of the whole graph.
     """
     level_1 = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1).alias("distance")
@@ -64,7 +71,11 @@ def transitive_closure(
     # iterations and the powered step relations are tiny. On LARGE graphs
     # the shuffle volume of high powers of E dominates (path counts grow
     # with fan-in×fan-out), so stay at 2 — iteration overhead is noise there.
-    hop_batch = 8 if n_pairs <= 100_000 else 2
+    # The powered arms are built over the WHOLE edge set, so the size signal
+    # must be the full edge count: a seeded run only shrinks level_1, not E.
+    if hop_batch is None:
+        n_edges = n_pairs if seeds is None else edges.count()
+        hop_batch = 8 if max(n_pairs, n_edges) <= 100_000 else 2
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
     try:
         closure = _closure_loop(closure, frontier, step, max_iterations, hop_batch)

@@ -257,6 +257,15 @@ def connected_components(
     unchanged sum means a fixed point, and the check is the lazy
     checkpoint's materializing action (one job per round, same discipline
     as operators.closure).
+
+    Path-shaped duplicate graphs (templated/sliding near-dup text) have
+    diameter ~n; pure propagation would need ~n rounds. After the first 3
+    rounds a pointer-jump step (comp <- label[comp]) joins in, halving the
+    remaining distance each round — O(log diameter) total, so a chain of
+    thousands still converges inside the default budget. If the loop still
+    exhausts ``max_iterations`` without reaching the fixed point, raises
+    RuntimeError rather than silently returning non-minimal labels (which
+    would corrupt keeper resolution downstream).
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
@@ -270,7 +279,8 @@ def connected_components(
         "id", F.col("id").alias("comp")
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iterations):
+    converged = False
+    for round_i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy(edges["src"].alias("id"))
@@ -283,12 +293,35 @@ def connected_components(
                 labels["id"].alias("id"),
                 F.least(labels["comp"], F.coalesce(F.col("ncomp"), labels["comp"])).alias("comp"),
             )
-            .localCheckpoint(eager=False)
         )
+        if round_i >= 3:
+            # Long chain still unconverged: pointer-jump (comp <- label[comp])
+            # to halve remaining distance per round instead of stepping 1 hop.
+            parents = labels.select(
+                F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+            )
+            labels = (
+                labels.join(parents, labels["comp"] == F.col("pid"), "left")
+                .select(
+                    labels["id"].alias("id"),
+                    F.least(
+                        labels["comp"], F.coalesce(F.col("pcomp"), labels["comp"])
+                    ).alias("comp"),
+                )
+            )
+        labels = labels.localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "component diameter exceeds the iteration budget — raise "
+            "max_iterations (pointer-jumping makes each extra round halve the "
+            "remaining distance)"
+        )
     return labels
 
 

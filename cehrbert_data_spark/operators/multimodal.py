@@ -120,6 +120,50 @@ def jpeg_height(col: F.Column) -> F.Column:
     return _be_int(col, jpeg_sof_offset(col) + 5, 2)
 
 
+def jpeg_dims(col: F.Column, max_segments: int = 64) -> F.Column:
+    """struct(width, height) from ONE SOF segment walk.
+
+    ``jpeg_width``/``jpeg_height`` each embed their own walk, so using both
+    runs the (interpreted, ``max_segments``-step) ``F.aggregate`` twice per
+    row — the dominant per-row cost on large multimodal scans. Here the walk
+    runs once and its ``finish`` lambda reads both uint16s from the found
+    offset."""
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"), F.lit(0).cast("long").alias("sof")
+    )
+
+    def step(acc, _):
+        b0 = _be_int(col, acc.pos, 1)
+        marker = _be_int(col, acc.pos + 1, 1)
+        seg_len = _be_int(col, acc.pos + 2, 2)
+        done = (acc.sof > 0) | acc.pos.isNull()
+        bad = (
+            b0.isNull()
+            | (b0 != 0xFF)
+            | marker.isNull()
+            | marker.isin(0xD9, 0xDA)
+            | seg_len.isNull()
+            | (seg_len < 2)
+        )
+        found = marker.isin(0xC0, 0xC1, 0xC2) & ~bad
+        new_sof = F.when(done, acc.sof).when(found, acc.pos).otherwise(F.lit(0))
+        new_pos = (
+            F.when(done | found, acc.pos)
+            .when(bad, F.lit(None).cast("long"))
+            .otherwise(acc.pos + 2 + seg_len)
+        )
+        return F.struct(new_pos.alias("pos"), new_sof.alias("sof"))
+
+    def finish(acc):
+        ok = acc.sof > 0
+        return F.struct(
+            F.when(ok, _be_int(col, acc.sof + 7, 2)).cast("int").alias("width"),
+            F.when(ok, _be_int(col, acc.sof + 5, 2)).cast("int").alias("height"),
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(max_segments)), init, step, finish)
+
+
 def _le_int(col: F.Column, pos: int, n: int) -> F.Column:
     """Little-endian unsigned int from ``n`` bytes at 1-indexed ``pos``."""
     out = _be_int(col, pos, 1)
@@ -165,47 +209,231 @@ def bmp_height(col: F.Column) -> F.Column:
     return F.abs(signed)
 
 
-def image_dimensions(col: F.Column) -> tuple[F.Column, F.Column]:
-    """(width, height) for PNG / JPEG / GIF / BMP payloads, NULL otherwise.
+def is_wav(col: F.Column) -> F.Column:
+    """RIFF/WAVE magic: 'RIFF' at 1-4 and 'WAVE' at 9-12."""
+    return (F.hex(col.substr(F.lit(1), F.lit(4))) == "52494646") & (
+        F.hex(col.substr(F.lit(9), F.lit(4))) == "57415645"
+    )
+
+
+def wav_meta(col: F.Column, max_chunks: int = 16) -> F.Column:
+    """struct(n_frames, sample_rate) from a RIFF chunk walk — no codec.
+
+    Walks the RIFF chunk chain (id[4] size[4LE] data[size] pad-to-even) from
+    byte 13, capturing sample_rate + block_align from the 'fmt ' chunk
+    (data offsets 4 and 12 — WAVEFORMAT layout) and the 'data' chunk's byte
+    length; n_frames = data bytes / block align (sample frames). One
+    ``F.aggregate`` walk, same technique as the JPEG SOF scan: JVM-side,
+    bails to NULL fields on malformed/truncated chains, never mis-parses
+    arbitrary binary."""
+    total = F.length(col)
+    init = F.struct(
+        F.lit(13).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("rate"),
+        F.lit(None).cast("long").alias("align"),
+        F.lit(None).cast("long").alias("dlen"),
+    )
+
+    def step(acc, _):
+        done = acc.pos.isNull() | (acc.pos + 7 > total)
+        cid = F.hex(col.substr(acc.pos, F.lit(4)))
+        size = _le_int(col, acc.pos + 4, 4)
+        is_fmt = cid == "666D7420"  # 'fmt '
+        is_data = cid == "64617461"  # 'data'
+        new_rate = F.when(~done & is_fmt, _le_int(col, acc.pos + 12, 4)).otherwise(acc.rate)
+        new_align = F.when(~done & is_fmt, _le_int(col, acc.pos + 20, 2)).otherwise(acc.align)
+        new_dlen = F.when(~done & is_data, size).otherwise(acc.dlen)
+        new_pos = F.when(done, acc.pos).otherwise(acc.pos + 8 + size + (size % 2))
+        return F.struct(
+            new_pos.alias("pos"), new_rate.alias("rate"),
+            new_align.alias("align"), new_dlen.alias("dlen"),
+        )
+
+    def finish(acc):
+        frames = F.when(
+            acc.dlen.isNotNull() & acc.align.isNotNull() & (acc.align > 0),
+            (acc.dlen / acc.align).cast("int"),
+        )
+        return F.struct(
+            frames.alias("n_frames"), acc.rate.cast("int").alias("sample_rate")
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(max_chunks)), init, step, finish)
+
+
+def gif_frame_count(col: F.Column, max_blocks: int = 512) -> F.Column:
+    """Frame count of a (possibly animated) GIF — a real block walk.
+
+    GIF data is a chain of extension blocks (0x21, sub-block lists) and
+    image descriptors (0x2C — one per frame, each with an optional local
+    color table and LZW sub-block list) ending at the 0x3B trailer. The walk
+    is one ``F.aggregate`` state machine (mode 0: expect block introducer;
+    mode 1: skip a sub-block chain), each step consuming one structural
+    element or one sub-block. Exact for payloads with ≤ ``max_blocks``
+    elements (every fixture/thumbnail-sized GIF); larger or malformed
+    payloads yield NULL rather than a wrong count — at 100 TB a NULL routed
+    to the decoder beats a silently wrong frame count."""
+    total = F.length(col)
+    # GCT: packed byte 11; present iff bit7, 3 * 2^((packed&7)+1) bytes.
+    packed = _be_int(col, 11, 1)
+    gct = F.when(
+        packed.bitwiseAND(F.lit(0x80)) > 0,
+        F.lit(3) * F.pow(F.lit(2), (packed.bitwiseAND(F.lit(7)) + 1)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    init = F.struct(
+        (F.lit(14) + gct).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("frames"),
+        F.lit(0).cast("long").alias("mode"),  # 0=introducer, 1=sub-blocks, 2=done
+    )
+
+    def step(acc, _):
+        done = (acc.mode == 2) | acc.pos.isNull()
+        trunc = acc.pos > total
+        b = _be_int(col, acc.pos, 1)
+        # mode 0 transitions
+        m0_trailer = b == 0x3B
+        m0_ext = b == 0x21
+        m0_img = b == 0x2C
+        img_packed = _be_int(col, acc.pos + 9, 1)
+        lct = F.when(
+            img_packed.bitwiseAND(F.lit(0x80)) > 0,
+            F.lit(3) * F.pow(F.lit(2), (img_packed.bitwiseAND(F.lit(7)) + 1)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        # mode 1: one sub-block per step
+        sb = b
+        new_pos = (
+            F.when(done, acc.pos)
+            .when(trunc, F.lit(None).cast("long"))
+            .when(acc.mode == 1, F.when(sb == 0, acc.pos + 1).otherwise(acc.pos + 1 + sb))
+            .when(m0_trailer, acc.pos)
+            .when(m0_ext, acc.pos + 2)
+            .when(m0_img, acc.pos + 11 + lct)  # introducer+9 desc+lzw-min-code
+            .otherwise(F.lit(None).cast("long"))  # malformed
+        )
+        new_frames = F.when(~done & ~trunc & (acc.mode == 0) & m0_img, acc.frames + 1).otherwise(
+            acc.frames
+        )
+        new_mode = (
+            F.when(done | trunc, F.lit(2))
+            .when(acc.mode == 1, F.when(sb == 0, F.lit(0)).otherwise(F.lit(1)))
+            .when(m0_trailer, F.lit(2))
+            .when(m0_ext | m0_img, F.lit(1))
+            .otherwise(F.lit(2))
+        ).cast("long")
+        return F.struct(new_pos.alias("pos"), new_frames.alias("frames"), new_mode.alias("mode"))
+
+    def finish(acc):
+        # Only trust the count if the walk reached the trailer cleanly.
+        ok = (acc.mode == 2) & acc.pos.isNotNull() & (_be_int(col, acc.pos, 1) == 0x3B)
+        return F.when(ok, acc.frames.cast("int"))
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(max_blocks)), init, step, finish)
+
+
+def av_meta(col: F.Column) -> F.Column:
+    """struct(n_frames, sample_rate) for WAV / GIF payloads, NULL fields
+    otherwise. Single struct-valued CASE (same single-evaluation discipline
+    as :func:`image_dims`)."""
+    return (
+        F.when(is_wav(col), wav_meta(col))
+        .when(
+            is_gif(col),
+            F.struct(
+                gif_frame_count(col).alias("n_frames"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("int").alias("n_frames"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            )
+        )
+    )
+
+
+def image_dims(col: F.Column) -> F.Column:
+    """struct(width, height) for PNG / JPEG / GIF / BMP payloads, NULL fields
+    otherwise.
 
     Real header parses with native expressions — no codec library needed
     (PNG IHDR fixed offsets; JPEG SOF segment walk; GIF logical screen;
-    BMP info header). CASE branches evaluate lazily per row, so non-image
-    payloads never pay the JPEG walk.
+    BMP info header). Single struct-valued CASE so the expensive JPEG walk
+    appears exactly ONCE in the expression tree (``jpeg_dims`` reads both
+    uint16s from one walk); branches evaluate lazily per row, so non-image
+    payloads never pay it.
     """
-    w = (
-        F.when(is_png(col), png_width(col))
-        .when(is_jpeg(col), jpeg_width(col))
-        .when(is_gif(col), gif_width(col))
-        .when(is_bmp(col), bmp_width(col))
+    return (
+        F.when(
+            is_png(col),
+            F.struct(
+                png_width(col).cast("int").alias("width"),
+                png_height(col).cast("int").alias("height"),
+            ),
+        )
+        .when(is_jpeg(col), jpeg_dims(col))
+        .when(
+            is_gif(col),
+            F.struct(
+                gif_width(col).cast("int").alias("width"),
+                gif_height(col).cast("int").alias("height"),
+            ),
+        )
+        .when(
+            is_bmp(col),
+            F.struct(
+                bmp_width(col).cast("int").alias("width"),
+                bmp_height(col).cast("int").alias("height"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+            )
+        )
     )
-    h = (
-        F.when(is_png(col), png_height(col))
-        .when(is_jpeg(col), jpeg_height(col))
-        .when(is_gif(col), gif_height(col))
-        .when(is_bmp(col), bmp_height(col))
-    )
-    return w.cast("int"), h.cast("int")
+
+
+def image_dimensions(col: F.Column) -> tuple[F.Column, F.Column]:
+    """Back-compat tuple view of :func:`image_dims`. NOTE: referencing both
+    returned columns in one projection duplicates the underlying CASE —
+    pipelines should materialize :func:`image_dims` into a column once (the
+    pattern ``attach_media_metadata`` uses) instead."""
+    d = image_dims(col)
+    return d["width"], d["height"]
 
 
 def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str) -> DataFrame:
     """Codec-free metadata: byte length + md5 digest (native exprs), plus
-    REAL width/height parsed from PNG/JPEG headers when the payload's magic
-    bytes match (NULL otherwise — audio/video framing still needs an
-    injected decoder, see :func:`decode_media`)."""
+    REAL width/height parsed from PNG/JPEG/GIF/BMP headers, WAV sample-rate/
+    frame-count from the RIFF chunk walk, and animated-GIF frame counts from
+    the block walk — all native expressions, NULL where the magic doesn't
+    match (pixel/sample DECODE still needs an injected codec, see
+    :func:`decode_media`).
+
+    The dims struct lands in its own projection before the meta struct is
+    assembled: Catalyst's CollapseProject declines to inline a non-cheap
+    expression referenced twice, so the JPEG segment walk runs once per row
+    even though width and height are both read from it."""
     payload = F.col(binary_col)
-    width, height = image_dimensions(payload)
-    return df.withColumn(
-        "media_meta",
-        F.struct(
-            F.lit(media_type).alias("media_type"),
-            F.length(payload).cast("long").alias("byte_len"),
-            F.md5(payload).alias("digest"),
-            width.alias("width"),
-            height.alias("height"),
-            F.lit(None).cast("int").alias("n_frames"),
-            F.lit(None).cast("int").alias("sample_rate"),
-        ),
+    dims_col, av_col = "__image_dims", "__av_meta"
+    return (
+        df.withColumn(dims_col, image_dims(payload))
+        .withColumn(av_col, av_meta(payload))
+        .withColumn(
+            "media_meta",
+            F.struct(
+                F.lit(media_type).alias("media_type"),
+                F.length(payload).cast("long").alias("byte_len"),
+                F.md5(payload).alias("digest"),
+                F.col(f"{dims_col}.width").alias("width"),
+                F.col(f"{dims_col}.height").alias("height"),
+                F.col(f"{av_col}.n_frames").cast("int").alias("n_frames"),
+                F.col(f"{av_col}.sample_rate").cast("int").alias("sample_rate"),
+            ),
+        )
+        .drop(dims_col, av_col)
     )
 
 

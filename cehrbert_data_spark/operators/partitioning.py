@@ -37,11 +37,41 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         total = sum(os.path.getsize(p) for p in local)
     except OSError:
         return len(files)  # remote store: file count is the floor estimate
-    max_bytes = int(
-        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        .removesuffix("b")
-    )
+    raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    max_bytes = _parse_byte_string(raw)
     return max(len(files), math.ceil(total / max_bytes))
+
+
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _parse_byte_string(raw: str, default: int = 134217728) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '256MB', …)
+    the way Spark's JavaUtils.byteStringAsBytes does. Falls back to
+    ``default`` (128 MiB) on anything unparseable rather than crashing the
+    operator that asked."""
+    s = raw.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    try:
+        return int(num) * _BYTE_SUFFIXES[suffix]
+    except (ValueError, KeyError):
+        return default
 
 
 def widen_for_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

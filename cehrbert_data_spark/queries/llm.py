@@ -638,6 +638,77 @@ FROM documents
 """
 
 
+# --- multimodal audio/video metadata (real WAV/GIF walks) ----------------------------
+
+def mm_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV sample-rate/frame-count and animated-GIF frame-count
+    extraction, no codec library.
+
+    Synthesizes a deterministic payload per document (even doc_id → PCM WAV
+    with a planted sample rate / frame count, odd → animated GIF with a
+    planted number of image descriptors), then parses the metadata back out
+    of the binary with the native RIFF-chunk / GIF-block walks in
+    operators.multimodal (attach_media_metadata's media_meta struct). The
+    oracle recomputes the planted values arithmetically, so any walk slip
+    (chunk offset, little-endian field, sub-block skip) hash-mismatches.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    le16 = lambda c: F.concat_ws(  # noqa: E731
+        "", F.lpad(F.hex(c % 256), 2, "0"), F.lpad(F.hex((c / 256).cast("long") % 256), 2, "0")
+    )
+    le32 = lambda c: F.concat_ws(  # noqa: E731
+        "",
+        F.lpad(F.hex(c % 256), 2, "0"),
+        F.lpad(F.hex((c / 256).cast("long") % 256), 2, "0"),
+        F.lpad(F.hex((c / 65536).cast("long") % 256), 2, "0"),
+        F.lpad(F.hex((c / 16777216).cast("long") % 256), 2, "0"),
+    )
+    # WAV plant: rate 8000..36000, mono/stereo 16-bit, 100..149 sample frames.
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 4000).cast("long")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    block_align = (channels * 2).cast("long")
+    n_samples = (F.lit(100) + F.col("doc_id") % 50).cast("long")
+    data_len = (n_samples * block_align).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(36).cast("long") + data_len), F.lit("57415645"),
+        F.lit("666D7420"), le32(F.lit(16).cast("long")), F.lit("0100"), le16(channels),
+        le32(rate), le32(rate * block_align), le16(block_align), F.lit("1000"),
+        F.lit("64617461"), le32(data_len), F.repeat(F.lit("00"), data_len.cast("int")),
+    )
+    # GIF plant: 1..7 frames, each a 2x2 frame with a 1-byte LZW sub-block,
+    # plus a graphic-control extension per frame (exercises the 0x21 path).
+    n_frames = (F.lit(1) + F.col("doc_id") % 7).cast("long")
+    frame_hex = F.lit(
+        "21F9040400000000"  # graphic control ext: 0x21 0xF9 size=4 ... terminator 0
+        "2C" + "0000" + "0000" + "0200" + "0200" + "00"  # image desc 2x2, no LCT
+        "02" + "0101" + "00"  # lzw min code 2; one 1-byte sub-block; terminator
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961" + "0200" + "0200" + "00" + "00" + "00"),  # header+LSD
+        F.repeat(frame_hex, n_frames.cast("int")),
+        F.lit("3B"),
+    )
+    payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, wav_hex).otherwise(gif_hex))
+    meta = attach_media_metadata(docs.withColumn("payload", payload), "payload", "av")
+    return meta.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("wav")).otherwise(F.lit("gif")).alias("fmt"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+        F.col("media_meta.sample_rate").alias("sample_rate"),
+    )
+
+
+MM_AV_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'gif' END AS fmt,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 50
+                 ELSE 1 + doc_id % 7 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 4000
+                 ELSE NULL END AS INTEGER) AS sample_rate
+FROM documents
+"""
+
+
 # --- corpus word rarity (frequency-join quality signal) ------------------------------
 
 def t_word_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,6 +953,7 @@ QUERIES = {
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
+    "mm_av_meta": (mm_av_meta, MM_AV_META_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),

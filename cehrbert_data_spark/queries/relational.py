@@ -184,11 +184,18 @@ GROUP BY c_nationkey
 # --- J4: left anti (NOT EXISTS) ---------------------------------------------
 
 def j4_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against a data-dependent SUBSET of orders (totalprice cut):
+    every customer has SOME order in the testdata, so anti-joining the full
+    order set returns 0 rows at every SF — a vacuous oracle (both engines
+    matching on empty proves nothing). The cut leaves a non-empty,
+    SF-dependent remainder that actually exercises anti semantics."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
-    order_keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    big_order_keys = orders.where(F.col("o_totalprice") > 350000.0).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
     return (
-        anti_filter(cust, order_keys, "c_custkey")
+        anti_filter(cust, big_order_keys, "c_custkey")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
@@ -197,7 +204,8 @@ def j4_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 J4_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0)
 GROUP BY c_mktsegment
 """
 
@@ -617,29 +625,32 @@ FROM sessions GROUP BY user_id, session_id
 # --- U1/U5: set operations --------------------------------------------------------------
 
 def u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-with-dedup whose inputs genuinely OVERLAP (high-value events ∩
+    purchases = high-value purchases): disjoint branches make UNION and
+    UNION ALL agree, so the old disjoint-by-type framing couldn't tell
+    distinct-vs-bag semantics apart. Grouped by (type, month) so the result
+    carries dozens of data-dependent rows instead of 2."""
     events = read_table(spark, sf_dir, "events")
-    big_purchases = events.where(
-        (F.col("event_type") == "purchase") & (F.col("value") > 15.0)
-    ).select("event_id", "user_id", "event_type")
-    errors = events.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", "event_type"
-    )
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    high_value = events.where(F.col("value") > 15.0).select(*cols)
+    purchases = events.where(F.col("event_type") == "purchase").select(*cols)
     return (
-        big_purchases.unionByName(errors)
+        high_value.unionByName(purchases)
         .distinct()
-        .groupBy("event_type")
+        .groupBy("event_type", F.dayofmonth("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
     )
 
 
 U1_SQL = """
 WITH u AS (
-  SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase' AND value > 15.0
+  SELECT event_id, user_id, event_type, ts FROM events WHERE value > 15.0
   UNION
-  SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
+  SELECT event_id, user_id, event_type, ts FROM events WHERE event_type = 'purchase'
 )
-SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
-FROM u GROUP BY event_type
+SELECT event_type, CAST(DAY(ts) AS INTEGER) AS day,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM u GROUP BY event_type, CAST(DAY(ts) AS INTEGER)
 """
 
 
@@ -722,23 +733,32 @@ def u3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag semantics (SQL UNION ALL, U3)."""
     li = read_table(spark, sf_dir, "lineitem")
     returned = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("okey"), F.lit("returned").alias("tag")
+        F.col("l_orderkey").alias("okey"),
+        F.lit("returned").alias("tag"),
+        F.month("l_shipdate").alias("mon"),
     )
     shipped = li.where(F.col("l_linestatus") == "F").select(
-        F.col("l_orderkey").alias("okey"), F.lit("finished").alias("tag")
+        F.col("l_orderkey").alias("okey"),
+        F.lit("finished").alias("tag"),
+        F.month("l_shipdate").alias("mon"),
     )
-    return returned.union(shipped).groupBy("tag").agg(
+    # (tag, month) grouping: ~24 data-dependent rows rather than 2, so the
+    # oracle match carries real evidence; the branches overlap (R rows that
+    # are also F), so ALL-vs-distinct semantics discriminate via n_rows.
+    return returned.union(shipped).groupBy("tag", "mon").agg(
         F.count(F.lit(1)).alias("n_rows"), F.countDistinct("okey").alias("n_orders")
     )
 
 
 U3_SQL = """
 WITH u AS (
-  SELECT l_orderkey AS okey, 'returned' AS tag FROM lineitem WHERE l_returnflag = 'R'
+  SELECT l_orderkey AS okey, 'returned' AS tag, CAST(MONTH(l_shipdate) AS INTEGER) AS mon
+  FROM lineitem WHERE l_returnflag = 'R'
   UNION ALL
-  SELECT l_orderkey AS okey, 'finished' AS tag FROM lineitem WHERE l_linestatus = 'F'
+  SELECT l_orderkey AS okey, 'finished' AS tag, CAST(MONTH(l_shipdate) AS INTEGER) AS mon
+  FROM lineitem WHERE l_linestatus = 'F'
 )
-SELECT tag, COUNT(*) AS n_rows, COUNT(DISTINCT okey) AS n_orders FROM u GROUP BY tag
+SELECT tag, mon, COUNT(*) AS n_rows, COUNT(DISTINCT okey) AS n_orders FROM u GROUP BY tag, mon
 """
 
 

@@ -167,9 +167,10 @@ def asof_join_stream(
 
     On batch inputs falls back to the verified batch ``asof_join``
     (operators/joins.py) with identical semantics, so the batch oracle
-    doubles as the semantics check. Left rows are identified by
-    ``keys + [ts]`` in the fallback's rank — pass left rows unique on that
-    combination (the streaming path has no such requirement).
+    doubles as the semantics check. The fallback ranks matches per LEFT ROW
+    (a synthetic row id joins the rank's partition key), so duplicate
+    ``keys + [ts]`` left rows each keep their own match — same multiplicity
+    as the streaming path's ``merge_asof``.
     """
     import functools as _ft
     import operator as _op
@@ -192,14 +193,18 @@ def asof_join_stream(
             F.col(ts).alias("__r_ts"),
             F.col(right_value).cast("double").alias("asof_value"),
         )
+        # Per-left-row discriminator: without it two left rows sharing
+        # (keys, ts) would share one rank partition and collapse to a single
+        # output row — silent row loss the streaming path doesn't have.
+        lid = left.withColumn("__lid", F.monotonically_increasing_id())
         point = epoch_seconds(F.col(ts))
         r_low = epoch_seconds(F.col("__r_ts"))
         cond = _ft.reduce(
             _op.and_, [F.col(k) == F.col(f"__r_{k}") for k in keys]
         ) & point.between(r_low, r_low + F.lit(float(lookback_s)))
-        w = Window.partitionBy(*keys, ts).orderBy(F.col("__r_ts").desc())
+        w = Window.partitionBy("__lid").orderBy(F.col("__r_ts").desc())
         return (
-            left.join(r, cond, "left")
+            lid.join(r, cond, "left")
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select(

@@ -208,3 +208,66 @@ def test_media_repartition_by_payload(spark):
     df = _media(spark)
     out = media_repartition(df, "payload", target_bytes=16)
     assert out.count() == 3  # data preserved; partitioning is a plan property
+
+
+def _wav_bytes(rate, channels, n_samples, extra_chunk=False, bits=16):
+    """Assemble a PCM WAV with optional odd-sized pre-fmt chunk (pad rule)."""
+    import struct as _s
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    chunks = b""
+    if extra_chunk:  # odd-length LIST chunk before fmt: exercises word padding
+        payload = b"INFOx"  # 5 bytes -> pad byte required
+        chunks += b"LIST" + _s.pack("<I", len(payload)) + payload + b"\x00"
+    chunks += (
+        b"fmt " + _s.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+    )
+    chunks += b"data" + _s.pack("<I", len(data)) + data
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _gif_bytes(n_frames, gct=False, lct=False):
+    """Animated GIF: optional global/local color tables, per-frame GCE."""
+    import struct as _s
+
+    packed = 0x80 | 0x00 if gct else 0  # GCT flag, size bits 0 -> 2 entries
+    out = b"GIF89a" + _s.pack("<HH", 2, 2) + bytes([packed, 0, 0])
+    if gct:
+        out += b"\x00" * 6  # 3 * 2^(0+1) = 6 bytes
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"  # graphic control ext
+        ipacked = 0x80 if lct else 0
+        out += b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 2) + bytes([ipacked])
+        if lct:
+            out += b"\x00" * 6
+        out += b"\x02\x01\x01\x00"  # lzw min code, one sub-block, terminator
+    return out + b"\x3b"
+
+
+def test_wav_gif_av_metadata(spark):
+    from cehrbert_data_spark.operators.multimodal import attach_media_metadata
+
+    rows = [
+        (0, _wav_bytes(44100, 2, 1234)),
+        (1, _wav_bytes(8000, 1, 55, extra_chunk=True)),  # fmt not first + pad
+        (2, _gif_bytes(1)),
+        (3, _gif_bytes(5, gct=True)),
+        (4, _gif_bytes(3, gct=True, lct=True)),
+        (5, _wav_bytes(16000, 1, 10)[:20]),  # truncated WAV -> NULLs
+        (6, _gif_bytes(4)[:-1]),  # GIF missing trailer -> NULL count
+        (7, b"RIFFxxxxWAVE"),  # RIFF/WAVE magic but no chunks
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    got = {
+        r["media_id"]: (r["media_meta"]["n_frames"], r["media_meta"]["sample_rate"])
+        for r in attach_media_metadata(df, "payload", "av").collect()
+    }
+    assert got[0] == (1234, 44100)
+    assert got[1] == (55, 8000)
+    assert got[2] == (1, None)
+    assert got[3] == (5, None)
+    assert got[4] == (3, None)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
+    assert got[7] == (None, None)
