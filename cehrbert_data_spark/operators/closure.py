@@ -67,15 +67,19 @@ def transitive_closure(
     n_pairs = closure.count()
     loop_width = min(session_width, max(8, n_pairs // 100_000))
     # Hop-batch sizing: on SMALL graphs the loop is driver/job-overhead-bound
-    # — batching 8 hops per iteration collapses a depth-D BFS into ~D/8
-    # iterations and the powered step relations are tiny. On LARGE graphs
-    # the shuffle volume of high powers of E dominates (path counts grow
-    # with fan-in×fan-out), so stay at 2 — iteration overhead is noise there.
-    # The powered arms are built over the WHOLE edge set, so the size signal
-    # must be the full edge count: a seeded run only shrinks level_1, not E.
+    # — batching B hops per iteration collapses a depth-D BFS into ~D/B
+    # iterations and the powered step relations are tiny. B=4 is the
+    # measured sweet spot there: beyond it the arm chain's planning/codegen
+    # cost (B-1 nested joins, re-planned per session) grows faster than the
+    # iteration count falls (cold sf0.1 run: B=4 2.98s, B=8 4.15s). On
+    # LARGE graphs the shuffle volume of high powers of E dominates (path
+    # counts grow with fan-in×fan-out), so stay at 2 — iteration overhead
+    # is noise there. The powered arms are built over the WHOLE edge set,
+    # so the size signal must be the full edge count: a seeded run only
+    # shrinks level_1, not E.
     if hop_batch is None:
         n_edges = n_pairs if seeds is None else edges.count()
-        hop_batch = 8 if max(n_pairs, n_edges) <= 100_000 else 2
+        hop_batch = 4 if max(n_pairs, n_edges) <= 100_000 else 2
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
     try:
         closure = _closure_loop(closure, frontier, step, max_iterations, hop_batch)
@@ -113,8 +117,13 @@ def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):
     for arm in arms[1:]:
         steps = steps.unionByName(arm)
     # Lazy: materialized by the first iteration's count, folding the powered
-    # step build into that job instead of running one of its own.
-    steps = steps.localCheckpoint(eager=False)
+    # step build into that job instead of running one of its own. The union
+    # CONCATENATES its inputs' partitions (B arms × loop width + the scan's
+    # partitions), so checkpoint RDDs would carry hundreds of near-empty
+    # partitions and every loop job would pay their task-scheduling overhead
+    # — coalesce (narrow, no shuffle) pins them back to the loop width.
+    width = int(steps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    steps = steps.coalesce(width).localCheckpoint(eager=False)
     for _ in range(max_iterations):
         candidates = (
             frontier.join(steps, frontier["dst"] == steps["e_src"])
@@ -132,7 +141,7 @@ def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):
         # checkpoint is lazy and the emptiness count is its materializing
         # action: ONE job per iteration, not checkpoint + isEmpty.
         new_pairs = candidates.join(closure, ["src", "dst"], "left_anti")
-        new_pairs = new_pairs.localCheckpoint(eager=False)
+        new_pairs = new_pairs.coalesce(width).localCheckpoint(eager=False)
         if new_pairs.count() == 0:
             break
         closure = closure.unionByName(new_pairs)
