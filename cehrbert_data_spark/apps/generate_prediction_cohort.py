@@ -58,6 +58,8 @@ def main(
     att_type: str = "cehr_bert",
     meds_format: bool = False,
     single_contribution: bool = False,
+    plan_check: bool = False,
+    dry_run: bool = False,
     spark=None,
 ) -> str:
     if cohort_name not in PREDICTION_COHORTS:
@@ -191,7 +193,17 @@ def main(
     if meds_format:
         result = to_meds_format(result)
 
+    if plan_check:
+        # App-level plan budget on the composed labeled-feature pipeline
+        # (see plans.budget): analysis-only, fails fast on a degraded plan.
+        from cehrbert_data_spark.plans.budget import assert_plan_budget
+
+        report = assert_plan_budget(result, f"generate_prediction_cohort:{cohort_name}")
+        print(f"plan budget ok: {report}")
+
     out = os.path.join(output_folder, cohort_name)
+    if dry_run:
+        return out
     splits_path = os.path.join(input_folder, "patient_splits")
     person_col = "subject_id" if meds_format else "person_id"
     if os.path.exists(splits_path):
@@ -220,6 +232,14 @@ def parse_args(argv=None):
     parser.add_argument("--att_type", default="cehr_bert")
     parser.add_argument("--meds_format", action="store_true")
     parser.add_argument("--single_contribution", action="store_true")
+    parser.add_argument(
+        "--plan_check", action="store_true",
+        help="assert the composed pipeline's plan budget before writing",
+    )
+    parser.add_argument(
+        "--dry_run", action="store_true",
+        help="build and (with --plan_check) validate the plan, write nothing",
+    )
     return parser.parse_args(argv)
 
 
@@ -243,4 +263,6 @@ if __name__ == "__main__":
         att_type=args.att_type,
         meds_format=args.meds_format,
         single_contribution=args.single_contribution,
+        plan_check=args.plan_check,
+        dry_run=args.dry_run,
     )

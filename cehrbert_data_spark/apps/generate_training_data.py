@@ -54,6 +54,8 @@ def main(
     apply_age_filter: bool = True,
     aggregate_by_hour: bool = False,
     bucket_by_person: int | None = None,
+    plan_check: bool = False,
+    dry_run: bool = False,
     spark=None,
 ):
     spark = spark or build_session("generate_training_data")
@@ -114,7 +116,12 @@ def main(
     )
     # Materialization barrier: the reference writes/re-reads all_patient_events
     # (generate_training_data.py:154-157) so downstream id minting is stable.
-    events = checkpoint_barrier(events, os.path.join(output_folder, "all_patient_events"))
+    # A dry run keeps the full lineage instead — nothing is written, and the
+    # plan check sees the WHOLE composed pipeline in one plan.
+    if not dry_run:
+        events = checkpoint_barrier(
+            events, os.path.join(output_folder, "all_patient_events")
+        )
 
     if should_construct_artificial_visits:
         events, visit_person = construct_artificial_visits(events, visit_person)
@@ -143,7 +150,19 @@ def main(
         use_age_group=use_age_group,
     )
 
+    if plan_check:
+        # App-level plan budget: turns the plan-discipline unit tests into a
+        # guarantee about THIS composed pipeline — no single-partition
+        # window, no row-at-a-time Python eval, anywhere in the plan.
+        # Analysis-only: no job runs.
+        from cehrbert_data_spark.plans.budget import assert_plan_budget
+
+        report = assert_plan_budget(sequences, "generate_training_data")
+        print(f"plan budget ok: {report}")
+
     out = os.path.join(output_folder, "patient_sequence")
+    if dry_run:
+        return out
     splits_path = os.path.join(input_folder, "patient_splits")
     if os.path.exists(splits_path):
         splits = read_parquet(spark, splits_path)
@@ -195,6 +214,15 @@ def parse_args(argv=None):
         help="write patient_sequence as an N-bucket person_id-bucketed table "
         "(shuffle-free downstream per-person joins)",
     )
+    parser.add_argument(
+        "--plan_check", action="store_true",
+        help="assert the composed pipeline's plan budget (no global window, "
+        "no Python row eval) before writing",
+    )
+    parser.add_argument(
+        "--dry_run", action="store_true",
+        help="build and (with --plan_check) validate the plan, write nothing",
+    )
     return parser.parse_args(argv)
 
 
@@ -219,4 +247,6 @@ if __name__ == "__main__":
         apply_age_filter=not args.no_age_filter,
         aggregate_by_hour=args.aggregate_by_hour,
         bucket_by_person=args.bucket_by_person,
+        plan_check=args.plan_check,
+        dry_run=args.dry_run,
     )

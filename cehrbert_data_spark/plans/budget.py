@@ -1,0 +1,97 @@
+"""Plan-budget guard: make plan discipline an APP-level guarantee.
+
+The plan-shape unit tests (tests/test_plan_shapes.py, test_bucketing.py)
+pin individual operators; this module lets the big apps assert the same
+properties on the ACTUAL composed pipeline before any byte is written —
+run with ``--plan_check`` (optionally ``--dry_run``) and the app fails
+fast if a refactor silently degraded the plan (a join that stopped
+broadcasting, a window that lost its partitioning, an Exchange that crept
+onto a bucketed input).
+
+Checks are string probes over the formatted physical plan — the same
+technique the plan tests use — so they add ZERO execution cost: only
+analysis/optimization runs, never a job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class PlanBudgetError(AssertionError):
+    """A composed pipeline's physical plan broke its declared budget."""
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Formatted physical plan without executing anything."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (broadcast exchanges excluded —
+    broadcasting a small side is the DESIRED behavior, not a shuffle).
+
+    Uses 'simple' explain mode: it prints 'Exchange hashpartitioning(...)'
+    inline, whereas 'formatted' separates operator names from arguments and
+    would defeat the substring probes."""
+    p = physical_plan(df, mode="simple")
+    return (
+        p.count("Exchange hashpartitioning")
+        + p.count("Exchange rangepartitioning")
+        + p.count("Exchange RoundRobinPartitioning")
+        + p.count("Exchange SinglePartition")
+    )
+
+
+def has_global_window(df: DataFrame) -> bool:
+    """True if any window runs with an EMPTY partition spec — the
+    single-partition shape that cannot scale (operators.windows refuses to
+    build these; this catches ones composed around that guard)."""
+    # A partitioned window plans as 'Window [fns], [partcols], [ordercols]';
+    # a global one as 'Window [fns], [ordercols]' over an Exchange
+    # SinglePartition. The exchange probe is the robust signal.
+    p = physical_plan(df, mode="simple")
+    return "Exchange SinglePartition" in p and "Window" in p
+
+
+def assert_plan_budget(
+    df: DataFrame,
+    label: str,
+    max_exchanges: int | None = None,
+    forbid_global_window: bool = True,
+    forbid_python_rows: bool = True,
+) -> dict:
+    """Validate the composed plan; returns the measured budget dict.
+
+    - ``max_exchanges``: shuffle ceiling for the whole pipeline (None = just
+      report). A bucketed-input pipeline should pass 0 for its join stage.
+    - ``forbid_global_window``: no single-partition window anywhere.
+    - ``forbid_python_rows``: no row-at-a-time Python eval in the plan
+      (BatchEvalPython); Arrow-batched pandas ops are allowed.
+    """
+    p = physical_plan(df)
+    n_ex = count_exchanges(df)
+    report = {
+        "label": label,
+        "exchanges": n_ex,
+        "global_window": has_global_window(df),
+        "python_row_eval": "BatchEvalPython" in p,
+    }
+    if forbid_global_window and report["global_window"]:
+        raise PlanBudgetError(
+            f"[{label}] plan contains a single-partition window — this shape "
+            "serializes the whole dataset through one task at scale"
+        )
+    if forbid_python_rows and report["python_row_eval"]:
+        raise PlanBudgetError(
+            f"[{label}] plan contains row-at-a-time Python evaluation "
+            "(BatchEvalPython) — use native exprs or Arrow-batched pandas"
+        )
+    if max_exchanges is not None and n_ex > max_exchanges:
+        raise PlanBudgetError(
+            f"[{label}] plan has {n_ex} shuffle exchanges, budget is "
+            f"{max_exchanges}:\n{p[:4000]}"
+        )
+    return report

@@ -125,3 +125,34 @@ def test_whole_stage_codegen_spans(spark, qs):
     # expressions stay JVM-side: the filter/project/agg pipeline compiles
     # into whole-stage codegen (the '*' markers in formatted output)
     assert "* Filter" in p and "* HashAggregate" in p
+
+
+def test_plan_budget_guard(spark):
+    # plans.budget: the app-level plan gate must count shuffles, flag
+    # single-partition windows, and pass clean pipelines
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.plans.budget import (
+        PlanBudgetError,
+        assert_plan_budget,
+        count_exchanges,
+    )
+
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    agg = df.groupBy("k").count()
+    assert count_exchanges(agg) >= 1
+    report = assert_plan_budget(agg, "agg", max_exchanges=2)
+    assert report["exchanges"] >= 1 and not report["global_window"]
+
+    with pytest.raises(PlanBudgetError):
+        assert_plan_budget(agg, "agg", max_exchanges=0)
+
+    global_w = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    with pytest.raises(PlanBudgetError):
+        assert_plan_budget(global_w, "global-window")
+
+    partitioned = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert not assert_plan_budget(partitioned, "ok")["global_window"]
