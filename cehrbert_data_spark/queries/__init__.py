@@ -24,30 +24,33 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: query can silently carry changed code). All 57 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-4 tail: relational-battery queries green in BOTH r2 and r3 whose
-#: module is untouched this round. Round 3's tail (t_quality, t_language,
-#: d_exact_dedup, d_ngram_jaccard, sim_cosine_topk, sim_lsh_topk,
-#: sim_ivf_topk) is back in the head for fresh verdicts.
+#: Round-5 tail (20 of 70): queries that are DRIVER-GREEN in round 4
+#: (CORRECTNESS_r04) and whose code paths round 5 did not touch. Round 4's
+#: entire 19-query tail is back in the head for fresh verdicts, as are all
+#: round-5-touched queries (j4_anti / u1_union / u3_union_all rewrites,
+#: st_asof_batch tie fix, the dedup shingle/components changes, the closure
+#: loop, every mm_* query incl. the new mm_av_meta).
 _TAIL = [
-    "j5_scalar_max",
-    "a5_freq_filter",
-    "p_filter_project",
-    "j4_anti",
-    "w2_dense_rank",
-    "j3_semi",
-    "o1_global_topk",
-    "w10_sql_rownum",
-    "seq_att_gap_tokens",
-    "w5_first_and_span",
-    "a8_stats",
-    "j10_theta_datediff",
-    "j2_left_outer",
-    "j8_self_join",
-    "u1_union",
-    "u3_union_all",
-    "u5_distinct",
-    "a1_multi_agg",
-    "f_scalar_string",
+    "q1_pricing_summary",
+    "j1_equi_inner",
+    "j6_interval_join",
+    "j7_asof_join",
+    "a2_hourly_mean",
+    "a10_span_agg",
+    "a6_conditional_agg",
+    "a7_winsorize",
+    "w1_latest_order",
+    "w4_days_since_prev",
+    "w3_rank_with_gaps",
+    "w6_partition_max",
+    "w9_count_over",
+    "a3_count_per_group",
+    "a9_groupby_max",
+    "j9_exists",
+    "j9_not_exists",
+    "d9_lab_prevalence",
+    "t_fingerprint",
+    "t_tokens",
 ]
 
 
