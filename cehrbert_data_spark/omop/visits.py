@@ -104,8 +104,16 @@ def construct_artificial_visits(
         )
         .withColumn(
             "matching_rank",
+            # The id tiebreak makes the winner deterministic when two
+            # candidate visits share a start datetime (the reference ranks
+            # on start datetime alone, spark_utils.py:752-755, leaving ties
+            # to row order — its runs happen to resolve them to the lowest
+            # id, which this pins explicitly).
             F.row_number().over(
-                W.partitionBy("event.record_id").orderBy("visit.visit_start_datetime")
+                W.partitionBy("event.record_id").orderBy(
+                    "visit.visit_start_datetime",
+                    F.col("visit.visit_occurrence_id").cast("long"),
+                )
             ),
         )
         .where(F.col("matching_rank") == 1)
@@ -129,17 +137,36 @@ def construct_artificial_visits(
     linked = candidates.where(F.col("visit_occurrence_id").isNotNull())
     orphans = candidates.where(F.col("visit_occurrence_id").isNull())
 
-    # One artificial visit per (person, date); ids strictly above the max.
-    max_id = visit.select(F.max("visit_occurrence_id").alias("__max_id"))
+    # One artificial visit per (person, date); ids strictly above the max,
+    # minted IN (person_id, date) ORDER — the reference's global
+    # `rank().over(W.orderBy("person_id", "date"))` (spark_utils.py:771-776)
+    # — via the two-pass dense_ids so no single-partition window is needed.
+    # The deterministic order matters: visit_occurrence_id is the final
+    # tiebreak of the sequence's visit rank, so partitioning-dependent ids
+    # (the old monotonically_increasing_id scheme) made output order
+    # nondeterministic for same-timestamp visits. Everything minted is cast
+    # back to the SOURCE id column's type: a bigint id in a string-typed
+    # table coerces the downstream unions/joins to bigint and silently
+    # changes the output schema (caught by the golden-parity diff).
+    from cehrbert_data_spark.operators.ids import dense_ids
+
+    id_type = dict(visit_occurrence.dtypes)["visit_occurrence_id"]
+    max_id = visit.select(
+        F.max(F.col("visit_occurrence_id").cast("long")).alias("__max_id")
+    )
     new_visit_ids = (
-        orphans.select("person_id", "date")
-        .distinct()
+        dense_ids(
+            orphans.select("person_id", "date").distinct(),
+            [F.col("person_id"), F.col("date")],
+            out="__rank",
+            start=1,
+        )
         .crossJoin(F.broadcast(max_id))
         .withColumn(
-            "visit_occurrence_id", F.col("__max_id") + F.monotonically_increasing_id() + 1
+            "visit_occurrence_id",
+            (F.col("__max_id") + F.col("__rank")).cast(id_type),
         )
-        .drop("__max_id")
-        .localCheckpoint(eager=True)
+        .drop("__max_id", "__rank")
     )
     orphans_with_visits = orphans.drop("visit_occurrence_id").join(
         new_visit_ids, ["person_id", "date"]
@@ -154,7 +181,10 @@ def construct_artificial_visits(
         .select(
             F.col("visit_occurrence_id"),
             F.col("person_id"),
-            F.lit(0).alias("visit_concept_id"),
+            # typed to the source column so the union keeps its schema
+            F.lit(0)
+            .cast(dict(visit_occurrence.dtypes)["visit_concept_id"])
+            .alias("visit_concept_id"),
             F.to_date("visit_start_datetime").alias("visit_start_date"),
             F.col("visit_start_datetime"),
             F.to_date("visit_end_datetime").alias("visit_end_date"),

@@ -10,8 +10,12 @@ match Spark 3.1 cast semantics). Two decorator configurations are pinned:
 
 - ``day_day``:       att_type=day,       inpatient_att_type=day
 - ``cehrbert_mix``:  att_type=cehr_bert, inpatient_att_type=mix
+- ``cehrbert_mix_artificial``: cehr_bert/mix + construct_artificial_visits
+  (the orphan-relink + artificial-visit minting path; this config's first
+  diff caught a real type-coercion bug and a nondeterministic id-minting
+  order in construct_artificial_visits)
 
-Both verified cell-identical (22 persons x 21 columns, token-by-token)
+All verified cell-identical (22 persons x 21 columns, token-by-token)
 against this repo's output when the fixtures were generated — see
 ROUND_NOTES.md round 5. This test re-runs OUR pipeline on the same input
 and asserts every column of every person still matches, so ANY drift in
@@ -34,6 +38,11 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
 CONFIGS = {
     "day_day": dict(att_type="day", inpatient_att_type="day"),
     "cehrbert_mix": dict(att_type="cehr_bert", inpatient_att_type="mix"),
+    "cehrbert_mix_artificial": dict(
+        att_type="cehr_bert",
+        inpatient_att_type="mix",
+        should_construct_artificial_visits=True,
+    ),
 }
 
 # Every column of the reference's new-patient-representation output.
