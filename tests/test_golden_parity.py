@@ -35,13 +35,29 @@ import pytest
 SAMPLE = "/root/reference/sample_data/omop_sample"
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
 
+#: config name -> (fixture dir, main() overrides). day_day_rollup replays
+#: the day/day config with the drug-ingredient rollup ON: the reference ran
+#: with rollup on by default (its main defaults with_drug_rollup=True), so
+#: the SAME fixture is the correct target — the sample's drug concepts are
+#: already ingredient-level, and any rollup bug that maps them elsewhere
+#: diverges from it.
 CONFIGS = {
-    "day_day": dict(att_type="day", inpatient_att_type="day"),
-    "cehrbert_mix": dict(att_type="cehr_bert", inpatient_att_type="mix"),
-    "cehrbert_mix_artificial": dict(
-        att_type="cehr_bert",
-        inpatient_att_type="mix",
-        should_construct_artificial_visits=True,
+    "day_day": ("day_day", dict(att_type="day", inpatient_att_type="day")),
+    "day_day_rollup": (
+        "day_day",
+        dict(att_type="day", inpatient_att_type="day", with_drug_rollup=True),
+    ),
+    "cehrbert_mix": (
+        "cehrbert_mix",
+        dict(att_type="cehr_bert", inpatient_att_type="mix"),
+    ),
+    "cehrbert_mix_artificial": (
+        "cehrbert_mix_artificial",
+        dict(
+            att_type="cehr_bert",
+            inpatient_att_type="mix",
+            should_construct_artificial_visits=True,
+        ),
     ),
 }
 
@@ -79,6 +95,7 @@ def _by_person(df):
 def test_golden_parity(spark, tmp_path, config_name):
     from cehrbert_data_spark.apps.generate_training_data import main
 
+    fixture_dir, overrides = CONFIGS[config_name]
     out = main(
         input_folder=SAMPLE,
         output_folder=str(tmp_path / config_name),
@@ -93,11 +110,11 @@ def test_golden_parity(spark, tmp_path, config_name):
         exclude_demographic=False,
         apply_age_filter=True,
         spark=spark,
-        **CONFIGS[config_name],
+        **overrides,
     )
 
-    golden_path = glob.glob(os.path.join(GOLDEN_DIR, config_name, "*.parquet"))
-    assert golden_path, f"missing committed golden fixture for {config_name}"
+    golden_path = glob.glob(os.path.join(GOLDEN_DIR, fixture_dir, "*.parquet"))
+    assert golden_path, f"missing committed golden fixture {fixture_dir} for {config_name}"
     golden = _by_person(spark.read.parquet(*golden_path).toPandas())
     mine = _by_person(spark.read.parquet(out).toPandas())
 
