@@ -59,7 +59,13 @@ def doc_shingles(
     shingle strings as :func:`operators.text.shingles` by construction.
     """
     w = words(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(0)))
+    # Guarded range: sequence(1, 0) infers a NEGATIVE step ([1, 0], two
+    # bogus indices), so docs shorter than k words must yield an empty
+    # array explicitly — matching GENERATE_SERIES(1, n-k+1) in the oracles.
+    n = F.size("__w")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     pairs = (
         widen_for_fanout(df)
         .select(F.col(id_col).alias("id"), w.alias("__w"))

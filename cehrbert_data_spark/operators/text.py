@@ -31,9 +31,17 @@ def regex_tokens(text: Column) -> Column:
 
 def shingles(word_arr: Column, k: int = 3) -> Column:
     """k-word shingles: ['a b c', 'b c d', ...] — the unit of MinHash /
-    Jaccard dedup. Uses a native transform over an index sequence."""
+    Jaccard dedup. Uses a native transform over an index sequence.
+
+    Documents shorter than ``k`` words yield an EMPTY array. The guard
+    matters: ``F.sequence(1, 0)`` infers a NEGATIVE step and returns
+    [1, 0] — two bogus indices — so the naive ``greatest(n-k+1, 0)`` upper
+    bound silently manufactured shingles for short docs (and diverged from
+    SQL engines whose GENERATE_SERIES(1, 0) is empty)."""
     n = F.size(word_arr)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(word_arr, i, k))
     )

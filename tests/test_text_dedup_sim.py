@@ -158,3 +158,27 @@ def test_clean_text_scrubs(spark):
     assert got[1] == "see and mail now"
     assert got[2] == "tabs and control chars collapse"
     assert got[3] == "already clean"
+
+
+def test_shingles_short_docs_empty(spark):
+    # sequence(1, 0) infers a negative step ([1, 0]) — short docs must NOT
+    # manufacture shingles, in either the HOF or the explode-index path
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.operators.dedup import doc_shingles
+    from cehrbert_data_spark.operators.text import shingles, words
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, ""), (4, "one two three"), (5, "w x y z")],
+        "doc_id: long, text: string",
+    )
+    hof = df.select(
+        "doc_id", F.size(shingles(words(F.col("text")), 3)).alias("n")
+    ).collect()
+    assert {r["doc_id"]: r["n"] for r in hof} == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+    for distinct in (True, False):
+        got = doc_shingles(df, "doc_id", "text", 3, distinct=distinct)
+        counts = {r["id"]: r["n"] for r in got.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {4: 1, 5: 2}, counts
