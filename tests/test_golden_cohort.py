@@ -1,22 +1,28 @@
 """Golden-label parity for the PREDICTION-COHORT engine vs the reference.
 
-The committed fixture is the reference's own `prediction_cohorts/readmission`
-output (cohorts/spark_app_base.py `create_prediction_cohort`) on its
-22-person sample, run under this env's Spark with ansi=false /
-failAmbiguousSelfJoin=false, with prediction_window=1000 so the labels are
-MIXED (6×0, 1×1 — the sample's shortest inpatient re-admission gap is 777
-days, so the integration-test default of 30 days yields all-zero labels and
-a vacuous golden).
+The committed fixtures are the reference's own prediction-cohort outputs
+(cohorts/spark_app_base.py `create_prediction_cohort`) on its 22-person
+sample, run under this env's Spark with ansi=false /
+failAmbiguousSelfJoin=false:
+
+- ``readmission_pw1000``: prediction_window=1000 so the labels are MIXED
+  (6×0, 1×1 — the sample's shortest inpatient re-admission gap is 777
+  days; the integration-test default of 30 days yields all-zero labels
+  and a vacuous golden). Covers label attribution end-to-end.
+- ``hospitalization_pw720``: the reference's most query-heavy target
+  (first-visit index + observation-period length requirement +
+  visit-count BETWEEN filter + total_window date arithmetic,
+  prediction_cohorts/hospitalization.py). Labels are uniformly 0 on this
+  sample at any window; the evidence here is the 11-member MEMBERSHIP and
+  per-member index dates/ages, which are sharply data-dependent.
 
 Only the COHORT/LABEL columns are compared — target selection, outcome
-attribution, prediction windows, observation filtering, demographics:
-(person_id, cohort_member_id, index_date, label, outcome_date,
-time_to_event, study_end_date, age, gender/race). The reference's
-ATT-feature path for cohorts cannot execute under Spark 4 (it trips a
-MISSING_ATTRIBUTES resolution error in its own dataframe surgery), so
-feature-token parity is pinned by the training-pipeline goldens
-(test_golden_parity.py) instead; the label engine is the part only this
-fixture covers.
+attribution, prediction windows, observation filtering, demographics.
+The reference's ATT-feature path for cohorts cannot execute under Spark 4
+(it trips a MISSING_ATTRIBUTES resolution error in its own dataframe
+surgery), so feature-token parity is pinned by the training-pipeline
+goldens (test_golden_parity.py) instead; the label engine is the part
+only these fixtures cover.
 """
 
 from __future__ import annotations
@@ -28,15 +34,27 @@ import os
 import pytest
 
 SAMPLE = "/root/reference/sample_data/omop_sample"
-FIXTURE = os.path.join(
-    os.path.dirname(__file__), "fixtures", "golden", "readmission_pw1000"
-)
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
 
 LABEL_COLUMNS = [
     "cohort_member_id", "index_date", "label", "outcome_date",
     "time_to_event", "study_end_date", "age", "gender_concept_id",
     "race_concept_id",
 ]
+
+#: fixture dir -> (cohort_name, main() kwargs, expected label classes)
+COHORT_CONFIGS = {
+    "readmission_pw1000": (
+        "readmission",
+        dict(observation_window=360, prediction_window=1000),
+        {"0", "1"},
+    ),
+    "hospitalization_pw720": (
+        "hospitalization",
+        dict(observation_window=360, hold_off_window=180, prediction_window=720),
+        {"0"},
+    ),
+}
 
 
 def _norm(v):
@@ -51,25 +69,26 @@ def _norm(v):
 
 
 @pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="reference sample data not present")
-def test_golden_readmission_labels(spark, tmp_path):
+@pytest.mark.parametrize("fixture", sorted(COHORT_CONFIGS))
+def test_golden_cohort_labels(spark, tmp_path, fixture):
     from cehrbert_data_spark.apps.generate_prediction_cohort import main
 
+    cohort_name, overrides, label_classes = COHORT_CONFIGS[fixture]
     out = main(
         input_folder=SAMPLE,
-        output_folder=str(tmp_path),
-        cohort_name="readmission",
+        output_folder=str(tmp_path / fixture),
+        cohort_name=cohort_name,
         date_lower_bound="1985-01-01",
         date_upper_bound="2023-12-31",
         age_lower_bound=0,
         age_upper_bound=100,
-        observation_window=360,
         prediction_start_days=0,
-        prediction_window=1000,
         spark=spark,
+        **overrides,
     )
 
-    golden_path = glob.glob(os.path.join(FIXTURE, "*.parquet"))
-    assert golden_path, "missing committed readmission cohort fixture"
+    golden_path = glob.glob(os.path.join(GOLDEN_DIR, fixture, "*.parquet"))
+    assert golden_path, f"missing committed cohort fixture {fixture}"
     golden = spark.read.parquet(*golden_path).toPandas()
     mine = spark.read.parquet(out).toPandas()
 
@@ -84,10 +103,10 @@ def test_golden_readmission_labels(spark, tmp_path):
         f"cohort membership drifted: only-golden={sorted(set(g) - set(m))} "
         f"only-ours={sorted(set(m) - set(g))}"
     )
-    # mixed labels or the fixture is vacuous
-    assert {v["label"] for v in g.values()} == {"0", "1"}
+    assert {v["label"] for v in g.values()} == label_classes
     for pid in sorted(g):
         for col in LABEL_COLUMNS:
             assert m[pid][col] == g[pid][col], (
-                f"pid={pid} col={col}: {m[pid][col]!r} != golden {g[pid][col]!r}"
+                f"{fixture} pid={pid} col={col}: "
+                f"{m[pid][col]!r} != golden {g[pid][col]!r}"
             )
