@@ -1,0 +1,202 @@
+"""Deterministic augmentation of the reference's 22-person OMOP sample.
+
+The raw sample (/root/reference/sample_data/omop_sample) only supports two
+non-empty prediction cohorts (readmission, hospitalization): every inpatient
+stay is under 48 hours, there is no ``death`` table, and the bundled
+``concept_ancestor`` slice carries none of the ancestor concepts the
+diagnosis-driven cohorts seed from. This module derives an AUGMENTED copy —
+same 22 persons, same physical string-typed schemas — that makes three more
+reference cohort apps produce non-empty, discriminating output:
+
+- ``hospitalization_mortality`` (prediction_cohorts/hospitalization_mortality.py):
+  the eleven ``9201`` stays are extended to 96 h (> the query's 48 h floor) and
+  two of them (visits 628 and 1732 — each its person's chronologically last
+  inpatient stay) are discharged to 4216643 (expired), so the expired flag
+  splits the cohort.
+- ``discharge_home_death`` (cohorts/last_visit_discharged_home.py +
+  cohorts/death.py): a ``death`` table with four deaths — person 10 dying at
+  the end of their expired stay, person 3 shortly after their last visit,
+  person 21 dead but DNR'd (an ``observation`` row with concept 4119499
+  predates the death, exercising the NOT EXISTS exclusion), and person 15
+  whose death predates their last visit (excluded by the
+  last-visit <= death-date join).
+- ``hf_readmission`` (prediction_cohorts/hf_readmission.py): every ER visit
+  (9203) that carries a same-day-or-later condition row is upgraded to
+  ER-inpatient (262, 72 h, discharged home), and ``concept_ancestor`` gains
+  316139 -> {81151, 4218389, 4134304, 78272} rows (plus matching ``concept``
+  rows) so the heart-failure concept-set join selects those stays.
+
+Everything is derived with fixed rules from the sample itself — no RNG, no
+wall-clock — so the reference pipeline and this repo's engine can both be run
+against a bit-identical input, and the committed goldens under
+``tests/fixtures/golden/`` are reproducible from scratch via
+``tools/make_golden.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SAMPLE = "/root/reference/sample_data/omop_sample"
+
+#: the sample's eleven inpatient (9201) stays, extended to 96 h
+INPATIENT_EXTEND_HOURS = 96
+#: upgraded ER stays (9203 -> 262) get 72 h
+ER_EXTEND_HOURS = 72
+#: visit_occurrence_ids discharged to 4216643 (expired); each is its person's
+#: chronologically last inpatient stay so it stays rank-1 in the mortality query
+EXPIRED_VISITS = ("628", "1732")
+#: heart-failure (316139) descendant concepts seeded into concept_ancestor;
+#: all four appear as condition_concept_id on upgraded ER-inpatient stays
+HF_DESCENDANTS = {
+    81151: "Heart failure golden fixture concept A",
+    4218389: "Heart failure golden fixture concept B",
+    4134304: "Heart failure golden fixture concept C",
+    78272: "Heart failure golden fixture concept D",
+}
+HF_ANCESTOR = 316139
+
+#: (person_id, death_date) — see module docstring for why each was chosen
+DEATHS = (
+    ("10", "2019-09-05"),
+    ("3", "2020-06-15"),
+    ("21", "2020-06-01"),
+    ("15", "2020-02-01"),
+)
+#: person 21 is DNR'd before their death -> excluded from the death cohort
+DNR_OBSERVATION = ("21", "4119499", "2020-01-01")
+
+TABLES = (
+    "person", "visit_occurrence", "condition_occurrence", "drug_exposure",
+    "procedure_occurrence", "observation_period", "concept",
+    "concept_ancestor", "concept_relationship",
+)
+
+
+def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
+    """Materialize the augmented sample under ``out_dir`` (one parquet file
+    per table directory, mirroring the sample's layout). Idempotent."""
+    con = duckdb.connect()
+
+    def src(table: str) -> str:
+        return f"read_parquet('{sample_dir}/{table}/*.parquet')"
+
+    def write(table: str, sql: str) -> None:
+        d = os.path.join(out_dir, table)
+        os.makedirs(d, exist_ok=True)
+        con.sql(
+            f"COPY ({sql}) TO '{os.path.join(d, 'part-0.parquet')}' (FORMAT PARQUET)"
+        )
+
+    # ER-inpatient upgrades: 9203 visits carrying a condition row dated at or
+    # after the visit start (the hf/copd target-join predicate).
+    con.sql(f"""
+        CREATE TEMP VIEW er_upgrades AS
+        SELECT DISTINCT v.visit_occurrence_id
+        FROM {src('visit_occurrence')} v
+        JOIN {src('condition_occurrence')} co
+          ON v.visit_occurrence_id = co.visit_occurrence_id
+        WHERE v.visit_concept_id = '9203'
+          AND v.visit_start_date <= co.condition_start_date
+    """)
+
+    expired = ", ".join(f"'{v}'" for v in EXPIRED_VISITS)
+    write("visit_occurrence", f"""
+        WITH base AS (
+            SELECT v.*, (u.visit_occurrence_id IS NOT NULL) AS upgrade
+            FROM {src('visit_occurrence')} v
+            LEFT JOIN er_upgrades u USING (visit_occurrence_id)
+        )
+        SELECT
+            visit_occurrence_id, person_id,
+            CASE WHEN upgrade THEN '262' ELSE visit_concept_id END AS visit_concept_id,
+            visit_start_date, visit_start_datetime,
+            CASE
+                WHEN visit_concept_id = '9201' THEN strftime(
+                    CAST(visit_start_datetime AS TIMESTAMP)
+                        + INTERVAL {INPATIENT_EXTEND_HOURS} HOURS, '%Y-%m-%d')
+                WHEN upgrade THEN strftime(
+                    CAST(visit_start_datetime AS TIMESTAMP)
+                        + INTERVAL {ER_EXTEND_HOURS} HOURS, '%Y-%m-%d')
+                ELSE visit_end_date
+            END AS visit_end_date,
+            CASE
+                WHEN visit_concept_id = '9201' THEN strftime(
+                    CAST(visit_start_datetime AS TIMESTAMP)
+                        + INTERVAL {INPATIENT_EXTEND_HOURS} HOURS, '%Y-%m-%d %H:%M:%S.%f')
+                WHEN upgrade THEN strftime(
+                    CAST(visit_start_datetime AS TIMESTAMP)
+                        + INTERVAL {ER_EXTEND_HOURS} HOURS, '%Y-%m-%d %H:%M:%S.%f')
+                ELSE visit_end_datetime
+            END AS visit_end_datetime,
+            visit_type_concept_id, provider_id, care_site_id,
+            visit_source_value, visit_source_concept_id,
+            admitting_source_concept_id, admitting_source_value,
+            discharge_to_source_value,
+            CASE
+                WHEN visit_occurrence_id IN ({expired}) THEN '4216643'
+                WHEN visit_concept_id = '9201' OR upgrade THEN '8536'
+                ELSE discharge_to_concept_id
+            END AS discharge_to_concept_id,
+            preceding_visit_occurrence_id
+        FROM base
+    """)
+
+    hf_rows = ", ".join(
+        f"({HF_ANCESTOR}, {d}, 1, 1)" for d in sorted(HF_DESCENDANTS)
+    )
+    write("concept_ancestor", f"""
+        SELECT * FROM {src('concept_ancestor')}
+        UNION ALL
+        SELECT * FROM (VALUES ({HF_ANCESTOR}, {HF_ANCESTOR}, 0, 0), {hf_rows})
+            t(ancestor_concept_id, descendant_concept_id,
+              min_levels_of_separation, max_levels_of_separation)
+    """)
+
+    concept_rows = ", ".join(
+        f"({cid}, '{name}')" for cid, name in sorted(HF_DESCENDANTS.items())
+    ) + f", ({HF_ANCESTOR}, 'Heart failure golden fixture ancestor')"
+    write("concept", f"""
+        SELECT * FROM {src('concept')}
+        UNION ALL
+        SELECT concept_id, concept_name, 'Condition' AS domain_id,
+               'SNOMED' AS vocabulary_id, 'Clinical Finding' AS concept_class_id,
+               'S' AS standard_concept, CAST(concept_id AS VARCHAR) AS concept_code,
+               DATE '1970-01-01' AS valid_start_date,
+               DATE '2099-12-31' AS valid_end_date,
+               CAST(NULL AS VARCHAR) AS invalid_reason
+        FROM (VALUES {concept_rows}) t(concept_id, concept_name)
+    """)
+
+    death_rows = ", ".join(f"('{p}', '{d}')" for p, d in DEATHS)
+    write("death", f"""
+        SELECT person_id, death_date,
+               death_date || ' 00:00:00.000000' AS death_datetime,
+               '38003565' AS death_type_concept_id,
+               '0' AS cause_concept_id,
+               CAST(NULL AS VARCHAR) AS cause_source_value,
+               '0' AS cause_source_concept_id
+        FROM (VALUES {death_rows}) t(person_id, death_date)
+    """)
+
+    dnr_person, dnr_concept, dnr_date = DNR_OBSERVATION
+    write("observation", f"""
+        SELECT * FROM (VALUES
+            ('900001', '{dnr_person}', '{dnr_concept}', '{dnr_date}',
+             '{dnr_date} 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0'),
+            ('900002', '1', '0', '2010-01-01',
+             '2010-01-01 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0'),
+            ('900003', '2', '0', '2011-06-01',
+             '2011-06-01 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0')
+        ) t(observation_id, person_id, observation_concept_id, observation_date,
+            observation_datetime, observation_type_concept_id,
+            value_as_string, observation_source_concept_id)
+    """)
+
+    for table in TABLES:
+        if table not in ("visit_occurrence", "concept", "concept_ancestor"):
+            write(table, f"SELECT * FROM {src(table)}")
+    con.close()
+    return out_dir

@@ -1,0 +1,241 @@
+"""Regenerate every committed golden fixture from the REFERENCE's own code.
+
+The fixtures under ``tests/fixtures/golden/`` are outputs of the reference
+pipeline (/root/reference) run on its bundled 22-person OMOP sample — or, for
+the cohorts the raw sample can't support, on the deterministic augmented copy
+built by ``tests/augmented_sample.py``. This tool is the committed record of
+exactly how each fixture was produced, so any of them can be regenerated (and
+therefore audited) from scratch:
+
+    python tools/make_golden.py list
+    python tools/make_golden.py training day_day
+    python tools/make_golden.py cohort readmission_pw1000
+    python tools/make_golden.py all            # everything, sequentially
+
+Add ``--check`` to regenerate into a temp dir and DIFF against the committed
+fixture instead of overwriting it — proves the recipe reproduces what's
+committed without touching it.
+
+The reference pins pyspark 3.1 but executes correctly under this
+environment's Spark 4 once Spark-3-era semantics are restored via
+spark-defaults (ANSI off, LEGACY time parser, ambiguous-self-join check off —
+see ROUND_NOTES.md round 5). Reference runs are deterministic across local
+parallelism on this input (verified local[8] vs local[4]).
+
+Cohort fixtures run with the reference's DEFAULT feature flags, which route
+through its legacy ``create_sequence_data`` representation (columns orders /
+dates / ages / concept_ids / visit_segments ...). The ATT-feature cohort path
+(``is_new_patient_representation``) trips a MISSING_ATTRIBUTES resolution
+error in the reference's own dataframe surgery under Spark 4 and cannot be
+pinned this way; ATT-token parity is pinned by the training goldens instead.
+The cohort golden tests compare the LABEL columns only.
+
+Run this tool only while no other Spark JVM is active (single-box rule).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SRC = "/root/reference/src"
+SAMPLE = "/root/reference/sample_data/omop_sample"
+GOLDEN_DIR = os.path.join(REPO, "tests", "fixtures", "golden")
+
+SPARK_DEFAULTS = """
+spark.master local[8]
+spark.driver.memory 12g
+spark.sql.shuffle.partitions 8
+spark.sql.ansi.enabled false
+spark.sql.legacy.timeParserPolicy LEGACY
+spark.sql.analyzer.failAmbiguousSelfJoin false
+spark.ui.enabled false
+"""
+
+#: fixture dir -> (att_type, inpatient_att_type, extra CLI flags)
+TRAINING_FIXTURES = {
+    "day_day": ("day", "day", []),
+    "cehrbert_mix": ("cehr_bert", "mix", []),
+    "cehrbert_mix_artificial": (
+        "cehr_bert", "mix", ["--should_construct_artificial_visits"],
+    ),
+}
+
+#: fixture dir -> (reference app module, cohort_name, input kind, extra flags)
+COHORT_FIXTURES = {
+    "readmission_pw1000": (
+        "cehrbert_data.prediction_cohorts.readmission", "readmission", "sample",
+        ["-ow", "360", "-pw", "1000"],
+    ),
+    "hospitalization_pw720": (
+        "cehrbert_data.prediction_cohorts.hospitalization", "hospitalization", "sample",
+        ["-ow", "360", "-hw", "180", "-pw", "720"],
+    ),
+    "hosp_mortality_aug_pw360": (
+        "cehrbert_data.prediction_cohorts.hospitalization_mortality",
+        "hospitalization_mortality", "augmented",
+        ["-ow", "360", "-pw", "360"],
+    ),
+    "home_death_aug_pw360": (
+        "cehrbert_data.prediction_cohorts.discharge_home_death",
+        "discharge_home_death", "augmented",
+        ["-ow", "360", "-pw", "360"],
+    ),
+    "hf_readmission_aug_pw360": (
+        "cehrbert_data.prediction_cohorts.hf_readmission",
+        "hf_readmission", "augmented",
+        ["-ow", "360", "-pw", "360"],
+    ),
+}
+
+
+def _run_reference(argv: list[str], workdir: str) -> None:
+    conf_dir = os.path.join(workdir, "spark-conf")
+    os.makedirs(conf_dir, exist_ok=True)
+    with open(os.path.join(conf_dir, "spark-defaults.conf"), "w") as f:
+        f.write(SPARK_DEFAULTS)
+    env = dict(
+        os.environ,
+        PYTHONPATH=REF_SRC,
+        SPARK_CONF_DIR=conf_dir,
+    )
+    subprocess.run([sys.executable, *argv], env=env, check=True, cwd=workdir)
+
+
+def _input_folder(kind: str, workdir: str) -> str:
+    if kind == "sample":
+        return SAMPLE
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from augmented_sample import build_augmented_sample
+
+    return build_augmented_sample(os.path.join(workdir, "augmented_sample"))
+
+
+CHECK_MODE = False
+
+
+def _commit_fixture(src_glob: str, fixture: str, filename: str) -> None:
+    import duckdb
+
+    parts = sorted(glob.glob(src_glob))
+    if not parts:
+        raise SystemExit(f"reference produced no parquet at {src_glob}")
+    files = "[" + ", ".join(f"'{p}'" for p in parts) + "]"
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet({files})").fetchone()[0]
+    if CHECK_MODE:
+        committed = sorted(
+            glob.glob(os.path.join(GOLDEN_DIR, fixture, "*.parquet"))
+        )
+        if not committed:
+            raise SystemExit(f"--check: no committed fixture {fixture}")
+        cfiles = "[" + ", ".join(f"'{p}'" for p in committed) + "]"
+        nc = duckdb.sql(f"SELECT count(*) FROM read_parquet({cfiles})").fetchone()[0]
+        # order-insensitive full-row diff in both directions
+        diff = duckdb.sql(
+            f"SELECT count(*) FROM ("
+            f"(SELECT * FROM read_parquet({files}) EXCEPT ALL"
+            f" SELECT * FROM read_parquet({cfiles}))"
+            f" UNION ALL "
+            f"(SELECT * FROM read_parquet({cfiles}) EXCEPT ALL"
+            f" SELECT * FROM read_parquet({files})))"
+        ).fetchone()[0]
+        status = "MATCH" if (diff == 0 and n == nc) else "DIFF"
+        print(f"--check {fixture}: regenerated {n} rows vs committed {nc}; "
+              f"row-level mismatches: {diff} -> {status}")
+        if status != "MATCH":
+            raise SystemExit(1)
+        return
+    dest = os.path.join(GOLDEN_DIR, fixture)
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet({files})) TO "
+        f"'{os.path.join(dest, filename)}' (FORMAT PARQUET)"
+    )
+    print(f"committed {fixture}/{filename}: {n} rows")
+
+
+def make_training(fixture: str) -> None:
+    att, inpatient_att, extra = TRAINING_FIXTURES[fixture]
+    with tempfile.TemporaryDirectory() as workdir:
+        out = os.path.join(workdir, "out")
+        os.makedirs(out)
+        _run_reference(
+            [
+                "-m", "cehrbert_data.apps.generate_training_data",
+                "--input_folder", SAMPLE, "--output_folder", out,
+                "--domain_table_list",
+                "condition_occurrence", "drug_exposure", "procedure_occurrence",
+                "-d", "1985-01-01",
+                "-iv", "-ip",
+                "--gpt_patient_sequence",
+                "--apply_age_filter",
+                "--include_inpatient_hour_token",
+                "--with_drug_rollup",
+                "--att_type", att,
+                "--inpatient_att_type", inpatient_att,
+                *extra,
+            ],
+            workdir,
+        )
+        _commit_fixture(
+            os.path.join(out, "patient_sequence", "*.parquet"),
+            fixture, "patient_sequence.parquet",
+        )
+
+
+def make_cohort(fixture: str) -> None:
+    module, cohort_name, input_kind, extra = COHORT_FIXTURES[fixture]
+    with tempfile.TemporaryDirectory() as workdir:
+        out = os.path.join(workdir, "out")
+        os.makedirs(out)
+        input_folder = _input_folder(input_kind, workdir)
+        _run_reference(
+            [
+                "-m", module,
+                "-c", cohort_name,
+                "-i", input_folder, "-o", out,
+                "-dl", "1985-01-01", "-du", "2023-12-31",
+                "-l", "0", "-u", "100",
+                "-ps", "0",
+                *extra,
+            ],
+            workdir,
+        )
+        _commit_fixture(
+            os.path.join(out, cohort_name.replace("-", "_"), "data", "*.parquet"),
+            fixture, "cohort.parquet",
+        )
+
+
+def main() -> None:
+    global CHECK_MODE
+    if "--check" in sys.argv:
+        sys.argv.remove("--check")
+        CHECK_MODE = True
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help", "list"):
+        print(__doc__)
+        print("training fixtures:", ", ".join(TRAINING_FIXTURES))
+        print("cohort fixtures:  ", ", ".join(COHORT_FIXTURES))
+        return
+    cmd = sys.argv[1]
+    if cmd == "all":
+        for f in TRAINING_FIXTURES:
+            make_training(f)
+        for f in COHORT_FIXTURES:
+            make_cohort(f)
+    elif cmd == "training":
+        make_training(sys.argv[2])
+    elif cmd == "cohort":
+        make_cohort(sys.argv[2])
+    else:
+        raise SystemExit(f"unknown subcommand {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
