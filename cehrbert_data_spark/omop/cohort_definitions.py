@@ -182,35 +182,47 @@ def hospitalization_target(total_window: int = 540, date_lower_bound: str = "198
     )
 
 
-def last_visit_discharged_home(max_visit_length_days: int = 30) -> QueryBuilder:
-    """Most recent completed visit discharged to home
-    (cohorts/last_visit_discharged_home.py's ROW_NUMBER ... DESC shape)."""
+def last_visit_discharged_home() -> QueryBuilder:
+    """Most recent inpatient stay discharged to home, not outlived by the
+    person's death record (cohorts/last_visit_discharged_home.py:4-33):
+    inpatient/ER-inpatient visits only, completed (visit_end_date present),
+    discharged to 8536, ending on or before the earliest recorded death;
+    ranked per person by visit END date descending, indexed at the discharge
+    timestamp. Golden-pinned against the reference's own output in
+    tests/test_golden_cohort.py (home_death_aug_pw360)."""
     query = QuerySpec(
         table_name="last_visit_discharged_home",
         query_template="""
-            SELECT person_id, index_date, visit_occurrence_id
+            WITH first_death AS (
+                SELECT person_id, MIN(death_date) AS death_date
+                FROM death GROUP BY person_id
+            )
+            SELECT DISTINCT person_id, visit_occurrence_id, index_date
             FROM (
-                SELECT person_id,
-                       visit_end_date AS index_date,
-                       visit_occurrence_id,
+                SELECT v.person_id, v.visit_occurrence_id,
+                       COALESCE(v.visit_end_datetime,
+                                CAST(v.visit_end_date AS TIMESTAMP)) AS index_date,
                        ROW_NUMBER() OVER (
-                           PARTITION BY person_id
-                           ORDER BY visit_end_date DESC, visit_occurrence_id DESC
+                           PARTITION BY v.person_id
+                           ORDER BY DATE(v.visit_end_date) DESC,
+                                    v.visit_occurrence_id DESC
                        ) AS rn
-                FROM visit_occurrence
-                WHERE discharged_to_concept_id = {home_concept}
-                  AND DATEDIFF(visit_end_date, visit_start_date)
-                      BETWEEN 0 AND {max_len}
+                FROM visit_occurrence v
+                LEFT JOIN first_death d ON v.person_id = d.person_id
+                WHERE v.visit_concept_id IN ({inpatient_concepts})
+                  AND v.visit_end_date IS NOT NULL
+                  AND v.discharged_to_concept_id = {home_concept}
+                  AND (d.death_date IS NULL OR v.visit_end_date <= d.death_date)
             )
             WHERE rn = 1
         """,
         parameters={
             "home_concept": HOME_DISCHARGE_CONCEPT_ID,
-            "max_len": max_visit_length_days,
+            "inpatient_concepts": ",".join(map(str, INPATIENT_CONCEPT_IDS)),
         },
     )
     return QueryBuilder(
         cohort_name="last_visit_discharged_home",
-        dependency_list=["person", "visit_occurrence"],
+        dependency_list=["person", "visit_occurrence", "death"],
         query=query,
     )

@@ -14,12 +14,23 @@ reference cohort apps produce non-empty, discriminating output:
   inpatient stay) are discharged to 4216643 (expired), so the expired flag
   splits the cohort.
 - ``discharge_home_death`` (cohorts/last_visit_discharged_home.py +
-  cohorts/death.py): a ``death`` table with four deaths — person 10 dying at
-  the end of their expired stay, person 3 shortly after their last visit,
-  person 21 dead but DNR'd (an ``observation`` row with concept 4119499
-  predates the death, exercising the NOT EXISTS exclusion), and person 15
-  whose death predates their last visit (excluded by the
-  last-visit <= death-date join).
+  cohorts/death.py): a ``death`` table with five deaths, each probing a
+  different branch of the label engine. The reference's outcome builder
+  requires the death to fall inside the person's observation period AND on
+  or after their last visit start, so qualifying deaths must land in the
+  narrow [last_visit_start, observation_period_end] window:
+  - person 13 dies 11 days after their last home-discharged inpatient stay
+    -> the cohort's only label-1 row;
+  - person 10 dies > prediction_window after theirs -> member, label 0
+    (outcome exists but outside the window);
+  - person 3 would be a second label-1 but carries a DNR ``observation``
+    row (concept 4119499) predating the death -> the NOT EXISTS exclusion
+    removes their outcome and, lacking follow-up, drops them from the
+    cohort entirely (an engine that ignores DNR resurrects them — caught);
+  - person 15's death predates their last visit -> excluded by the
+    last-visit <= death-date join (member, label 0);
+  - person 21 dies at their observation end, decades after their only
+    inpatient stay -> member, label 0.
 - ``hf_readmission`` (prediction_cohorts/hf_readmission.py): every ER visit
   (9203) that carries a same-day-or-later condition row is upgraded to
   ER-inpatient (262, 72 h, discharged home), and ``concept_ancestor`` gains
@@ -58,15 +69,17 @@ HF_DESCENDANTS = {
 }
 HF_ANCESTOR = 316139
 
-#: (person_id, death_date) — see module docstring for why each was chosen
+#: (person_id, death_date) — see module docstring for why each was chosen;
+#: every qualifying death sits in [last_visit_start, observation_period_end]
 DEATHS = (
-    ("10", "2019-09-05"),
-    ("3", "2020-06-15"),
-    ("21", "2020-06-01"),
+    ("13", "2020-01-27"),
+    ("10", "2019-09-02"),
+    ("3", "2020-05-27"),
     ("15", "2020-02-01"),
+    ("21", "2020-05-21"),
 )
-#: person 21 is DNR'd before their death -> excluded from the death cohort
-DNR_OBSERVATION = ("21", "4119499", "2020-01-01")
+#: person 3 is DNR'd before their death -> excluded from the death cohort
+DNR_OBSERVATION = ("3", "4119499", "2020-01-01")
 
 TABLES = (
     "person", "visit_occurrence", "condition_occurrence", "drug_exposure",

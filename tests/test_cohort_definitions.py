@@ -120,7 +120,31 @@ def test_hospitalization_target_and_outcome(spark):
 
 def test_last_visit_discharged_home(spark):
     tables = _tables(spark)
-    cohort = create_cohort(spark, last_visit_discharged_home(), tables)
-    got = {r["person_id"]: r["visit_occurrence_id"] for r in cohort.collect()}
-    # person 1's home-discharged visit is 10 (visit 11 discharged elsewhere)
-    assert got == {1: 10, 2: 20}
+    # Reference semantics (cohorts/last_visit_discharged_home.py): inpatient
+    # stays only, discharged home, ending on or before the earliest death.
+    visit = spark.createDataFrame(
+        [
+            # p1: outpatient home discharge — ineligible despite being last
+            (10, 1, 9202, _d(2020, 4, 1), _dt(2020, 4, 1), _d(2020, 4, 1), _dt(2020, 4, 1), 8536),
+            # p1: inpatient home discharge before death -> the keeper
+            (11, 1, 9201, _d(2020, 3, 1), _dt(2020, 3, 1), _d(2020, 3, 5), _dt(2020, 3, 5), 8536),
+            # p1: later inpatient home discharge AFTER death (2020-06-01) -> excluded
+            (12, 1, 9201, _d(2020, 6, 20), _dt(2020, 6, 20), _d(2020, 6, 25), _dt(2020, 6, 25), 8536),
+            # p2: ER-inpatient home discharge, no death row -> the keeper
+            (21, 2, 262, _d(2020, 2, 1), _dt(2020, 2, 1), _d(2020, 2, 10), _dt(2020, 2, 10), 8536),
+            # p2: inpatient but discharged elsewhere
+            (22, 2, 9201, _d(2020, 5, 1), _dt(2020, 5, 1), _d(2020, 5, 3), _dt(2020, 5, 3), 0),
+        ],
+        "visit_occurrence_id: long, person_id: long, visit_concept_id: int, "
+        "visit_start_date: date, visit_start_datetime: timestamp, "
+        "visit_end_date: date, visit_end_datetime: timestamp, "
+        "discharged_to_concept_id: int",
+    )
+    cohort = create_cohort(
+        spark, last_visit_discharged_home(), {**tables, "visit_occurrence": visit}
+    )
+    got = {
+        r["person_id"]: (r["visit_occurrence_id"], r["index_date"])
+        for r in cohort.collect()
+    }
+    assert got == {1: (11, _dt(2020, 3, 5)), 2: (21, _dt(2020, 2, 10))}

@@ -16,6 +16,22 @@ failAmbiguousSelfJoin=false:
   sample at any window; the evidence here is the 11-member MEMBERSHIP and
   per-member index dates/ages, which are sharply data-dependent.
 
+Three more configs run on the AUGMENTED sample (tests/augmented_sample.py —
+extended inpatient stays, death/observation tables, seeded HF ancestry),
+against fixtures produced by the reference's own apps on that same input
+(tools/make_golden.py):
+
+- ``hosp_mortality_aug_pw360``: in-hospital death via the expired-discharge
+  flag — two label-1 members whose last >48 h inpatient stay ended expired.
+- ``home_death_aug_pw360``: death-table outcome with DNR exclusion — one
+  label-1 (death 11 days post-discharge), one member whose death falls
+  outside the window (label 0), one DNR'd person whose death is suppressed
+  (dropping them from the cohort — an engine that ignores the DNR NOT
+  EXISTS resurrects them), one death-before-last-visit exclusion.
+- ``hf_readmission_aug_pw360``: concept-ancestor-driven target (316139
+  descendants seeded into concept_ancestor) with multi-membership persons
+  (up to 3 index dates each) and one label-1 readmission.
+
 Only the COHORT/LABEL columns are compared — target selection, outcome
 attribution, prediction windows, observation filtering, demographics.
 The reference's ATT-feature path for cohorts cannot execute under Spark 4
@@ -42,17 +58,32 @@ LABEL_COLUMNS = [
     "race_concept_id",
 ]
 
-#: fixture dir -> (cohort_name, main() kwargs, expected label classes)
+#: fixture dir -> (cohort_name, input kind, main() kwargs, expected labels)
 COHORT_CONFIGS = {
     "readmission_pw1000": (
-        "readmission",
+        "readmission", "sample",
         dict(observation_window=360, prediction_window=1000),
         {"0", "1"},
     ),
     "hospitalization_pw720": (
-        "hospitalization",
+        "hospitalization", "sample",
         dict(observation_window=360, hold_off_window=180, prediction_window=720),
         {"0"},
+    ),
+    "hosp_mortality_aug_pw360": (
+        "hospitalization_mortality", "augmented",
+        dict(observation_window=360, prediction_window=360),
+        {"0", "1"},
+    ),
+    "home_death_aug_pw360": (
+        "discharge_home_death", "augmented",
+        dict(observation_window=360, prediction_window=360),
+        {"0", "1"},
+    ),
+    "hf_readmission_aug_pw360": (
+        "hf_readmission", "augmented",
+        dict(observation_window=360, prediction_window=360),
+        {"0", "1"},
     ),
 }
 
@@ -68,14 +99,27 @@ def _norm(v):
     return str(v) if v is not None else None
 
 
+@pytest.fixture(scope="session")
+def augmented_dir(tmp_path_factory):
+    from augmented_sample import build_augmented_sample
+
+    return build_augmented_sample(
+        str(tmp_path_factory.mktemp("augmented") / "omop")
+    )
+
+
 @pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="reference sample data not present")
 @pytest.mark.parametrize("fixture", sorted(COHORT_CONFIGS))
-def test_golden_cohort_labels(spark, tmp_path, fixture):
+def test_golden_cohort_labels(spark, tmp_path, fixture, request):
     from cehrbert_data_spark.apps.generate_prediction_cohort import main
 
-    cohort_name, overrides, label_classes = COHORT_CONFIGS[fixture]
+    cohort_name, input_kind, overrides, label_classes = COHORT_CONFIGS[fixture]
+    input_folder = (
+        SAMPLE if input_kind == "sample"
+        else request.getfixturevalue("augmented_dir")
+    )
     out = main(
-        input_folder=SAMPLE,
+        input_folder=input_folder,
         output_folder=str(tmp_path / fixture),
         cohort_name=cohort_name,
         date_lower_bound="1985-01-01",
