@@ -31,11 +31,12 @@ reference cohort apps produce non-empty, discriminating output:
     last-visit <= death-date join (member, label 0);
   - person 21 dies at their observation end, decades after their only
     inpatient stay -> member, label 0.
-- ``hf_readmission`` (prediction_cohorts/hf_readmission.py): every ER visit
-  (9203) that carries a same-day-or-later condition row is upgraded to
+- ``hf_readmission`` / ``copd_readmission`` (prediction_cohorts/): every ER
+  visit (9203) that carries a same-day-or-later condition row is upgraded to
   ER-inpatient (262, 72 h, discharged home), and ``concept_ancestor`` gains
-  316139 -> {81151, 4218389, 4134304, 78272} rows (plus matching ``concept``
-  rows) so the heart-failure concept-set join selects those stays.
+  heart-failure (316139) and COPD (255573, 258780) descendant rows over
+  disjoint condition-concept sets (plus matching ``concept`` rows) so each
+  cohort's concept-set join selects a different subset of those stays.
 
 Everything is derived with fixed rules from the sample itself — no RNG, no
 wall-clock — so the reference pipeline and this repo's engine can both be run
@@ -59,15 +60,27 @@ ER_EXTEND_HOURS = 72
 #: visit_occurrence_ids discharged to 4216643 (expired); each is its person's
 #: chronologically last inpatient stay so it stays rank-1 in the mortality query
 EXPIRED_VISITS = ("628", "1732")
-#: heart-failure (316139) descendant concepts seeded into concept_ancestor;
-#: all four appear as condition_concept_id on upgraded ER-inpatient stays
-HF_DESCENDANTS = {
-    81151: "Heart failure golden fixture concept A",
-    4218389: "Heart failure golden fixture concept B",
-    4134304: "Heart failure golden fixture concept C",
-    78272: "Heart failure golden fixture concept D",
+#: ancestor -> descendant concepts seeded into concept_ancestor (+ concept
+#: rows); every descendant appears as condition_concept_id on upgraded
+#: ER-inpatient stays. 316139 drives hf_readmission; 255573/258780 drive
+#: copd_readmission (disjoint descendant sets so the cohorts differ).
+SEEDED_ANCESTRY = {
+    316139: {
+        81151: "Heart failure golden fixture concept A",
+        4218389: "Heart failure golden fixture concept B",
+        4134304: "Heart failure golden fixture concept C",
+        78272: "Heart failure golden fixture concept D",
+    },
+    255573: {
+        4109685: "COPD golden fixture concept A",
+        4278672: "COPD golden fixture concept B",
+        4296204: "COPD golden fixture concept C",
+        4001336: "COPD golden fixture concept D",
+    },
+    258780: {
+        4237458: "COPD golden fixture concept E",
+    },
 }
-HF_ANCESTOR = 316139
 
 #: (person_id, death_date) — see module docstring for why each was chosen;
 #: every qualifying death sits in [last_visit_start, observation_period_end]
@@ -157,20 +170,33 @@ def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
         FROM base
     """)
 
-    hf_rows = ", ".join(
-        f"({HF_ANCESTOR}, {d}, 1, 1)" for d in sorted(HF_DESCENDANTS)
+    ancestry_rows = ", ".join(
+        [f"({a}, {a}, 0, 0)" for a in sorted(SEEDED_ANCESTRY)]
+        + [
+            f"({a}, {d}, 1, 1)"
+            for a, descs in sorted(SEEDED_ANCESTRY.items())
+            for d in sorted(descs)
+        ]
     )
     write("concept_ancestor", f"""
         SELECT * FROM {src('concept_ancestor')}
         UNION ALL
-        SELECT * FROM (VALUES ({HF_ANCESTOR}, {HF_ANCESTOR}, 0, 0), {hf_rows})
+        SELECT * FROM (VALUES {ancestry_rows})
             t(ancestor_concept_id, descendant_concept_id,
               min_levels_of_separation, max_levels_of_separation)
     """)
 
     concept_rows = ", ".join(
-        f"({cid}, '{name}')" for cid, name in sorted(HF_DESCENDANTS.items())
-    ) + f", ({HF_ANCESTOR}, 'Heart failure golden fixture ancestor')"
+        [
+            f"({cid}, '{name}')"
+            for descs in SEEDED_ANCESTRY.values()
+            for cid, name in sorted(descs.items())
+        ]
+        + [
+            f"({a}, 'Golden fixture ancestor {a}')"
+            for a in sorted(SEEDED_ANCESTRY)
+        ]
+    )
     write("concept", f"""
         SELECT * FROM {src('concept')}
         UNION ALL

@@ -85,6 +85,11 @@ COHORT_CONFIGS = {
         dict(observation_window=360, prediction_window=360),
         {"0", "1"},
     ),
+    "copd_readmission_aug_pw1800": (
+        "copd_readmission", "augmented",
+        dict(observation_window=360, prediction_window=1800),
+        {"0", "1"},
+    ),
 }
 
 
@@ -136,21 +141,26 @@ def test_golden_cohort_labels(spark, tmp_path, fixture, request):
     golden = spark.read.parquet(*golden_path).toPandas()
     mine = spark.read.parquet(out).toPandas()
 
-    def by_person(df):
+    def by_member(df):
+        # key by (person, member) — persons can contribute several index
+        # dates (e.g. copd_readmission), and cohort_member_id assignment
+        # (dense_rank over person/index_date/visit) is part of the contract
         return {
-            str(r["person_id"]): {c: _norm(r[c]) for c in LABEL_COLUMNS}
+            (str(r["person_id"]), _norm(r["cohort_member_id"])): {
+                c: _norm(r[c]) for c in LABEL_COLUMNS
+            }
             for _, r in df.iterrows()
         }
 
-    g, m = by_person(golden), by_person(mine)
+    g, m = by_member(golden), by_member(mine)
     assert sorted(m) == sorted(g), (
         f"cohort membership drifted: only-golden={sorted(set(g) - set(m))} "
         f"only-ours={sorted(set(m) - set(g))}"
     )
     assert {v["label"] for v in g.values()} == label_classes
-    for pid in sorted(g):
+    for key in sorted(g):
         for col in LABEL_COLUMNS:
-            assert m[pid][col] == g[pid][col], (
-                f"{fixture} pid={pid} col={col}: "
-                f"{m[pid][col]!r} != golden {g[pid][col]!r}"
+            assert m[key][col] == g[key][col], (
+                f"{fixture} member={key} col={col}: "
+                f"{m[key][col]!r} != golden {g[key][col]!r}"
             )

@@ -59,6 +59,12 @@ CONFIGS = {
             should_construct_artificial_visits=True,
         ),
     ),
+    # week/month bucket tokens (W1/W4/M3/LT edges) — the two ATT vocabularies
+    # not exercised by the day/cehr_bert configs above
+    "week_month": (
+        "week_month",
+        dict(att_type="week", inpatient_att_type="month"),
+    ),
 }
 
 # Every column of the reference's new-patient-representation output.

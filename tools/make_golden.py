@@ -64,6 +64,7 @@ TRAINING_FIXTURES = {
     "cehrbert_mix_artificial": (
         "cehr_bert", "mix", ["--should_construct_artificial_visits"],
     ),
+    "week_month": ("week", "month", []),
 }
 
 #: fixture dir -> (reference app module, cohort_name, input kind, extra flags)
@@ -90,6 +91,11 @@ COHORT_FIXTURES = {
         "cehrbert_data.prediction_cohorts.hf_readmission",
         "hf_readmission", "augmented",
         ["-ow", "360", "-pw", "360"],
+    ),
+    "copd_readmission_aug_pw1800": (
+        "cehrbert_data.prediction_cohorts.copd_readmission",
+        "copd_readmission", "augmented",
+        ["-ow", "360", "-pw", "1800"],
     ),
 }
 
