@@ -90,33 +90,30 @@ def main(
             tables["concept"], tables["concept_ancestor"], spec.ancestor_concept_ids
         )
 
-    def build(builder):
+    def build(builder, build_tables, prior_observation_period):
+        # Reference: the target qualifies on observation_window +
+        # hold_off_window days of prior observation; the outcome on 0 —
+        # but BOTH pass through the observation-period / demographics /
+        # age / date qualification (spark_app_base.py:794-846, 200-213).
         return build_base_cohort(
-            spark, builder, tables,
+            spark, builder, build_tables,
             age_lower_bound=age_lower_bound, age_upper_bound=age_upper_bound,
             date_lower_bound=date_lower_bound, date_upper_bound=date_upper_bound,
+            prior_observation_period=prior_observation_period,
             ancestor_table_fn=ancestor_fn,
         )
 
-    target = build(target_builder)
+    target = build(target_builder, tables, observation_window + hold_off_window)
     # outcome builders may consume views the target build registered
     # (e.g. hospitalization_mortality); missing deps resolve from the catalog
     outcome_tables = {
-        n: tables[n] for n in outcome_builder.dependency_list if n in tables
+        **tables,
+        **{
+            n: spark.table(n)
+            for n in outcome_builder.dependency_list if n not in tables
+        },
     }
-    if set(outcome_builder.dependency_list) <= set(outcome_tables):
-        outcome = build(outcome_builder)
-    else:
-        from cehrbert_data_spark.omop.cohort import create_cohort
-
-        outcome = create_cohort(
-            spark, outcome_builder,
-            {**outcome_tables, **{
-                n: spark.table(n)
-                for n in outcome_builder.dependency_list if n not in outcome_tables
-            }},
-            ancestor_fn,
-        )
+    outcome = build(outcome_builder, outcome_tables, 0)
 
     labeled = label_cohort(
         target, outcome, tables["observation_period"],

@@ -80,6 +80,16 @@ SEEDED_ANCESTRY = {
     258780: {
         4237458: "COPD golden fixture concept E",
     },
+    # afib_ischemic_stroke: widely-occurring conditions whose first-occurrence
+    # timing splits labels (several persons stroke within 2y of first afib)
+    313217: {
+        260139: "Atrial fibrillation golden fixture concept A",
+        28060: "Atrial fibrillation golden fixture concept B",
+    },
+    443454: {
+        372328: "Ischemic stroke golden fixture concept A",
+        4112343: "Ischemic stroke golden fixture concept B",
+    },
 }
 
 #: (person_id, death_date) — see module docstring for why each was chosen;

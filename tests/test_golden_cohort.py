@@ -90,6 +90,13 @@ COHORT_CONFIGS = {
         dict(observation_window=360, prediction_window=1800),
         {"0", "1"},
     ),
+    # first-diagnosis target/outcome with AncestorTableSpec resolution and
+    # the 23:59 index convention (incl. visit-backdating CASE)
+    "afib_stroke_aug_pw720": (
+        "afib_ischemic_stroke", "augmented",
+        dict(observation_window=360, prediction_window=720),
+        {"0", "1"},
+    ),
 }
 
 

@@ -97,6 +97,11 @@ COHORT_FIXTURES = {
         "copd_readmission", "augmented",
         ["-ow", "360", "-pw", "1800"],
     ),
+    "afib_stroke_aug_pw720": (
+        "cehrbert_data.prediction_cohorts.afib_ischemic_stroke",
+        "afib_ischemic_stroke", "augmented",
+        ["-ow", "360", "-pw", "720"],
+    ),
 }
 
 
