@@ -90,6 +90,20 @@ SEEDED_ANCESTRY = {
         372328: "Ischemic stroke golden fixture concept A",
         4112343: "Ischemic stroke golden fixture concept B",
     },
+    # cad_cabg: CAD conditions; 4186930 as a prior graft/stent procedure
+    # (person 12's 2012 graft predates their 2014 CAD diagnosis, so the
+    # NOT EXISTS exclusion removes a would-be label-1 member); 4060626 as
+    # the CABG outcome procedure (98/714-day gaps split labels at pw=720)
+    317576: {
+        4217975: "CAD golden fixture concept A",
+        439777: "CAD golden fixture concept B",
+    },
+    4296227: {
+        4186930: "Graft-stent golden fixture procedure",
+    },
+    4305852: {
+        4060626: "CABG golden fixture procedure",
+    },
 }
 
 #: (person_id, death_date) — see module docstring for why each was chosen;

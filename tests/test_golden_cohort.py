@@ -97,6 +97,14 @@ COHORT_CONFIGS = {
         dict(observation_window=360, prediction_window=720),
         {"0", "1"},
     ),
+    # procedure-based first-event outcome + NOT EXISTS prior-procedure
+    # exclusion (person 12's graft predates their CAD dx -> dropped), and
+    # the outcome-at-index boundary (o.index >= t.index + 0 is inclusive)
+    "cad_cabg_aug_pw720": (
+        "cad_cabg", "augmented",
+        dict(observation_window=360, prediction_window=720),
+        {"0", "1"},
+    ),
 }
 
 

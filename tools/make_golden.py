@@ -102,6 +102,11 @@ COHORT_FIXTURES = {
         "afib_ischemic_stroke", "augmented",
         ["-ow", "360", "-pw", "720"],
     ),
+    "cad_cabg_aug_pw720": (
+        "cehrbert_data.prediction_cohorts.cad_cabg_cohort",
+        "cad_cabg", "augmented",
+        ["-ow", "360", "-pw", "720"],
+    ),
 }
 
 
