@@ -68,7 +68,18 @@ def main(
         )
     spark = spark or build_session(f"generate_prediction_cohort_{cohort_name}")
     target_fn, outcome_fn = PREDICTION_COHORTS[cohort_name]
-    target_builder, outcome_builder = target_fn(), outcome_fn()
+
+    def instantiate(factory):
+        # SQL-templated builders embed the date lower bound (the reference
+        # threads spark_args.date_lower_bound into its query templates)
+        import inspect
+
+        params = inspect.signature(factory).parameters
+        if "date_lower_bound" in params:
+            return factory(date_lower_bound=date_lower_bound)
+        return factory()
+
+    target_builder, outcome_builder = instantiate(target_fn), instantiate(outcome_fn)
 
     def load(name):
         return normalize_domain_table(read_parquet(spark, os.path.join(input_folder, name)))
@@ -86,6 +97,14 @@ def main(
     }
 
     def ancestor_fn(spec):
+        if not spec.is_standard:
+            # non-standard seeds resolve by the iterative 'Subsumes' BFS
+            # (reference: vocab_utils.build_ancestry_table_for)
+            from cehrbert_data_spark.omop.vocab import build_ancestry_table
+
+            return build_ancestry_table(
+                tables["concept_relationship"], spec.ancestor_concept_ids
+            )
         return get_descendant_concepts(
             tables["concept"], tables["concept_ancestor"], spec.ancestor_concept_ids
         )
@@ -115,12 +134,20 @@ def main(
     }
     outcome = build(outcome_builder, outcome_tables, 0)
 
+    # An outcome with a negative ("questionable") query removes those persons
+    # from the target (reference: create_prediction_cohort sets
+    # is_questionable_outcome_existed from the outcome builder).
+    negative = (
+        spark.table(outcome_builder.negative_query.table_name)
+        if outcome_builder.negative_query is not None else None
+    )
     labeled = label_cohort(
         target, outcome, tables["observation_period"],
         prediction_start_days=prediction_start_days,
         prediction_window=prediction_window,
         prediction_window_unbounded=prediction_window_unbounded,
         single_contribution=single_contribution,
+        negative_cohort=negative,
     )
     # study_end_date / time_to_event always ride along in the reference's
     # final cohort output (spark_app_base.py:559-583).

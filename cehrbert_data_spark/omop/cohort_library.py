@@ -17,7 +17,13 @@ collide.
 
 from __future__ import annotations
 
-from cehrbert_data_spark.omop.cohort import AncestorTableSpec, QueryBuilder, QuerySpec
+from cehrbert_data_spark.omop.cohort import (
+    ENTRY_COHORT,
+    NEGATIVE_COHORT,
+    AncestorTableSpec,
+    QueryBuilder,
+    QuerySpec,
+)
 from cehrbert_data_spark.omop.cohort_definitions import (
     hospitalization_outcome,
     hospitalization_target,
@@ -395,16 +401,24 @@ def ventilation() -> QueryBuilder:
 def heart_failure() -> QueryBuilder:
     """Heart-failure phenotype (cohorts/heart_failure.py): earliest HF
     diagnosis visit (requiring the first visit at/before the first diagnosis)
-    with an inclusion criterion of elevated BNP/NT-proBNP, an HF-specific
-    treatment procedure, or an HF drug at a diagnosis visit. The diuretics
-    class rolls up to ingredients through 'Maps to' + concept_ancestor."""
+    with an inclusion flag for elevated BNP/NT-proBNP, an HF-specific
+    treatment procedure, or an HF drug at a diagnosis visit. Mirrors the
+    reference's builder structure (heart_failure.py:316-425): an
+    ``intermediate_heart_failure`` dependency view carrying the inclusion
+    flag, a main query keeping inclusion=1, a NEGATIVE query (inclusion=0 —
+    the 'questionable outcome' persons removed from any target this cohort
+    labels), an entry-cohort query, and a diuretics ancestry built by the
+    iterative 'Subsumes' BFS (is_standard=False) whose descendants map to
+    ingredients through 'Maps to' + concept_ancestor. Golden-pinned via
+    t2dm_hf in tests/test_golden_cohort.py."""
     diuretics_rollup = QuerySpec(
         table_name="hf_diuretic_ingredient_concepts",
         query_template="""
             SELECT DISTINCT c.concept_id
-            FROM hf_diuretic_class_concepts a
+            FROM hf_diuretics_ancestry a
             JOIN concept_relationship cr
-              ON a.concept_id = cr.concept_id_1 AND cr.relationship_id = 'Maps to'
+              ON a.descendant_concept_id = cr.concept_id_1
+             AND cr.relationship_id = 'Maps to'
             JOIN concept_ancestor ca
               ON cr.concept_id_2 = ca.descendant_concept_id
             JOIN concept c
@@ -413,8 +427,8 @@ def heart_failure() -> QueryBuilder:
         """,
         parameters={},
     )
-    query = QuerySpec(
-        table_name="heart_failure",
+    intermediate = QuerySpec(
+        table_name="intermediate_heart_failure",
         query_template="""
             WITH hf_events AS (
                 SELECT co.person_id, co.visit_occurrence_id, co.condition_start_date
@@ -467,13 +481,22 @@ def heart_failure() -> QueryBuilder:
                     UNION SELECT concept_id FROM hf_diuretic_ingredient_concepts
                 ) dc ON d.drug_concept_id = dc.concept_id
             )
-            SELECT e.person_id, e.index_date, e.visit_occurrence_id
+            SELECT e.person_id, e.index_date, e.visit_occurrence_id,
+                   CAST(COALESCE(b.person_id, t.person_id, d.person_id)
+                        IS NOT NULL AS INT) AS inclusion
             FROM entry e
-            WHERE EXISTS (SELECT 1 FROM bnp b WHERE b.person_id = e.person_id)
-               OR EXISTS (SELECT 1 FROM treatment t WHERE t.person_id = e.person_id)
-               OR EXISTS (SELECT 1 FROM drug_at_dx_visit d WHERE d.person_id = e.person_id)
+            LEFT JOIN (SELECT DISTINCT person_id FROM bnp) b
+              ON e.person_id = b.person_id
+            LEFT JOIN (SELECT DISTINCT person_id FROM treatment) t
+              ON e.person_id = t.person_id
+            LEFT JOIN (SELECT DISTINCT person_id FROM drug_at_dx_visit) d
+              ON e.person_id = d.person_id
         """,
         parameters={},
+    )
+    select_inclusion = (
+        "SELECT person_id, index_date, visit_occurrence_id "
+        "FROM intermediate_heart_failure WHERE inclusion = {inclusion}"
     )
     return QueryBuilder(
         cohort_name="heart_failure",
@@ -482,8 +505,15 @@ def heart_failure() -> QueryBuilder:
             "procedure_occurrence", "measurement", "concept",
             "concept_relationship", "concept_ancestor",
         ],
-        query=query,
-        dependency_queries=[diuretics_rollup],
+        query=QuerySpec("heart_failure", select_inclusion, {"inclusion": 1}),
+        negative_query=QuerySpec(NEGATIVE_COHORT, select_inclusion, {"inclusion": 0}),
+        entry_cohort_query=QuerySpec(
+            ENTRY_COHORT,
+            "SELECT person_id, index_date, visit_occurrence_id "
+            "FROM intermediate_heart_failure",
+            {},
+        ),
+        dependency_queries=[diuretics_rollup, intermediate],
         ancestor_table_specs=[
             AncestorTableSpec("heart_failure_concepts", HEART_FAILURE_CONCEPTS, is_standard=True),
             AncestorTableSpec("hf_bnp_concepts", HF_BNP_CONCEPTS, is_standard=True),
@@ -496,7 +526,7 @@ def heart_failure() -> QueryBuilder:
             AncestorTableSpec(
                 "hf_artificial_heart_concepts", HF_ARTIFICIAL_HEART_CONCEPTS, is_standard=True
             ),
-            AncestorTableSpec("hf_diuretic_class_concepts", HF_DIURETIC_CONCEPTS, is_standard=True),
+            AncestorTableSpec("hf_diuretics_ancestry", HF_DIURETIC_CONCEPTS, is_standard=False),
         ],
     )
 

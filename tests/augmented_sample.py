@@ -31,6 +31,14 @@ reference cohort apps produce non-empty, discriminating output:
     last-visit <= death-date join (member, label 0);
   - person 21 dies at their observation end, decades after their only
     inpatient stay -> member, label 0.
+- ``t2dm_hf`` (prediction_cohorts/t2dm_hf_cohort.py): a ``measurement``
+  table (BNP / NT-proBNP rows) plus t2dm condition/drug and HF drug
+  ancestry make the richest reference pair non-degenerate: drug-inclusion
+  drops t2dm-dx persons without the seeded drug, an observation row
+  excludes person 8, person 19's BNP 800 includes them in the HF outcome
+  via the lab branch alone, person 13's sub-threshold NT-proBNP lands them
+  in the NEGATIVE heart-failure cohort (removed from the target as a
+  questionable outcome), and person 16 falls to the prior-observation rule.
 - ``hf_readmission`` / ``copd_readmission`` (prediction_cohorts/): every ER
   visit (9203) that carries a same-day-or-later condition row is upgraded to
   ER-inpatient (262, 72 h, discharged home), and ``concept_ancestor`` gains
@@ -104,7 +112,39 @@ SEEDED_ANCESTRY = {
     4305852: {
         4060626: "CABG golden fixture procedure",
     },
+    # t2dm_hf: t2dm inclusion dx (19 persons), t2dm inclusion drug (11
+    # persons — t2dm-dx persons without it drop), HF drug whose exposures sit
+    # ON HF-dx visits (the drug-at-dx-visit inclusion branch); the BNP /
+    # NT-proBNP / observation-exclusion ancestors resolve to themselves
+    # (self-rows) and are exercised through MEASUREMENTS / T2DM_EXCLUSION_OBS
+    443238: {
+        40481087: "T2DM inclusion golden fixture concept",
+    },
+    1503297: {
+        19133873: "T2DM drug golden fixture concept",
+    },
+    956874: {
+        19078461: "HF drug golden fixture concept",
+    },
+    4307029: {},
+    3029187: {},
+    40769338: {},
 }
+
+#: (measurement_id, person_id, concept_id, date, value_source_value):
+#: person 19 -> BNP 800 (> 500: HF inclusion via lab alone); person 13 ->
+#: NT-proBNP 1500 (<= 2000: NOT included -> lands in the negative HF cohort
+#: and is removed from the t2dm target as a questionable outcome)
+MEASUREMENTS = (
+    ("900101", "19", "4307029", "2010-01-15", "800"),
+    ("900102", "13", "3029187", "2015-03-10", "1500"),
+    ("900103", "1", "0", "2012-05-01", "7.2"),
+    ("900104", "2", "0", "2013-06-01", "not-a-number"),
+)
+
+#: person 8 carries a 40769338 observation predating their first t2dm
+#: diagnosis (1998-04-15) -> excluded from the t2dm target
+T2DM_EXCLUSION_OBS = ("8", "40769338", "1997-01-01")
 
 #: (person_id, death_date) — see module docstring for why each was chosen;
 #: every qualifying death sits in [last_visit_start, observation_period_end]
@@ -245,6 +285,7 @@ def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
     """)
 
     dnr_person, dnr_concept, dnr_date = DNR_OBSERVATION
+    t2dm_person, t2dm_concept, t2dm_date = T2DM_EXCLUSION_OBS
     write("observation", f"""
         SELECT * FROM (VALUES
             ('900001', '{dnr_person}', '{dnr_concept}', '{dnr_date}',
@@ -252,10 +293,24 @@ def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
             ('900002', '1', '0', '2010-01-01',
              '2010-01-01 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0'),
             ('900003', '2', '0', '2011-06-01',
-             '2011-06-01 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0')
+             '2011-06-01 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0'),
+            ('900004', '{t2dm_person}', '{t2dm_concept}', '{t2dm_date}',
+             '{t2dm_date} 00:00:00.000000', '38000280', CAST(NULL AS VARCHAR), '0')
         ) t(observation_id, person_id, observation_concept_id, observation_date,
             observation_datetime, observation_type_concept_id,
             value_as_string, observation_source_concept_id)
+    """)
+
+    measurement_rows = ", ".join(
+        f"('{mid}', '{p}', '{cid}', '{d}', '{d} 00:00:00.000000', "
+        f"'44818702', '{v}', CAST(NULL AS VARCHAR), '0')"
+        for mid, p, cid, d, v in MEASUREMENTS
+    )
+    write("measurement", f"""
+        SELECT * FROM (VALUES {measurement_rows})
+        t(measurement_id, person_id, measurement_concept_id, measurement_date,
+          measurement_datetime, measurement_type_concept_id, value_source_value,
+          unit_source_value, visit_occurrence_id)
     """)
 
     for table in TABLES:

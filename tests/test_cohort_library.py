@@ -148,6 +148,14 @@ def tables(spark):
 @pytest.fixture(scope="module")
 def ancestor_fn(tables):
     def fn(spec):
+        if not spec.is_standard:
+            # iterative 'Subsumes' ancestry (reference build_ancestry_table_for
+            # shape) — the diuretics seed has no Subsumes edges here, so empty
+            from cehrbert_data_spark.omop.vocab import build_ancestry_table
+
+            return build_ancestry_table(
+                tables["concept_relationship"], spec.ancestor_concept_ids
+            )
         return get_descendant_concepts(
             tables["concept"], tables["concept_ancestor"], spec.ancestor_concept_ids
         )

@@ -105,6 +105,17 @@ COHORT_CONFIGS = {
         dict(observation_window=360, prediction_window=720),
         {"0", "1"},
     ),
+    # the richest pair: drug-inclusion, observation exclusion, negative
+    # ("questionable") heart-failure cohort removal, BNP lab inclusion,
+    # and a sub-1985 date bound threaded into the SQL templates
+    "t2dm_hf_aug_pw2000": (
+        "t2dm_hf", "augmented",
+        dict(
+            observation_window=360, prediction_window=2000,
+            date_lower_bound="1960-01-01",
+        ),
+        {"0", "1"},
+    ),
 }
 
 
@@ -142,7 +153,7 @@ def test_golden_cohort_labels(spark, tmp_path, fixture, request):
         input_folder=input_folder,
         output_folder=str(tmp_path / fixture),
         cohort_name=cohort_name,
-        date_lower_bound="1985-01-01",
+        date_lower_bound=overrides.pop("date_lower_bound", "1985-01-01"),
         date_upper_bound="2023-12-31",
         age_lower_bound=0,
         age_upper_bound=100,

@@ -107,6 +107,13 @@ COHORT_FIXTURES = {
         "cad_cabg", "augmented",
         ["-ow", "360", "-pw", "720"],
     ),
+    # -dl repeats: argparse keeps the last occurrence, overriding the base
+    # 1985 bound so person 17's 1960s-era indexes stay in range
+    "t2dm_hf_aug_pw2000": (
+        "cehrbert_data.prediction_cohorts.t2dm_hf_cohort",
+        "t2dm_hf", "augmented",
+        ["-ow", "360", "-pw", "2000", "-dl", "1960-01-01"],
+    ),
 }
 
 
