@@ -368,7 +368,19 @@ def add_time_to_event(
     person_id_column: str = "person_id",
 ) -> DataFrame:
     """study_end_date = outcome, else window end (bounded) or observation end
-    (unbounded); time_to_event in days (reference: spark_app_base.py:559-583)."""
+    (unbounded); time_to_event in days (reference: spark_app_base.py:559-583).
+
+    When the outcome index came from an untyped external table (e.g. the
+    ``vent`` table's string ``earliest_placement_instant``), legacy Spark
+    widens COALESCE(string, date) to STRING; ANSI mode would instead cast
+    the string down to DATE and silently truncate the time component. Follow
+    the reference's widening by casting the fallback to string."""
+
+    def _study_end(fallback: F.Column) -> F.Column:
+        if dict(cohort.dtypes).get("outcome_date") == "string":
+            fallback = fallback.cast("string")
+        return F.coalesce(F.col("outcome_date"), fallback)
+
     if prediction_window_unbounded:
         op = observation_period.select(
             F.col("person_id").alias("__op_pid"), "observation_period_end_date"
@@ -377,16 +389,15 @@ def add_time_to_event(
             cohort.join(op, cohort[person_id_column] == F.col("__op_pid"))
             .withColumn(
                 "study_end_date",
-                F.coalesce(F.col("outcome_date"), F.col("observation_period_end_date")),
+                _study_end(F.col("observation_period_end_date")),
             )
             .drop("__op_pid", "observation_period_end_date")
         )
     else:
         cohort = cohort.withColumn(
             "study_end_date",
-            F.coalesce(
-                F.col("outcome_date"),
-                F.expr(f"{index_date_column} + INTERVAL {prediction_window} DAYS"),
+            _study_end(
+                F.expr(f"{index_date_column} + INTERVAL {prediction_window} DAYS")
             ),
         )
     return cohort.withColumn("time_to_event", F.datediff("study_end_date", index_date_column))

@@ -131,15 +131,41 @@ SEEDED_ANCESTRY = {
     40769338: {},
 }
 
-#: (measurement_id, person_id, concept_id, date, value_source_value):
+#: (measurement_id, person_id, concept_id, datetime, value_source_value,
+#:  value_as_concept_id, visit_occurrence_id):
 #: person 19 -> BNP 800 (> 500: HF inclusion via lab alone); person 13 ->
 #: NT-proBNP 1500 (<= 2000: NOT included -> lands in the negative HF cohort
-#: and is removed from the t2dm target as a questionable outcome)
+#: and is removed from the t2dm target as a questionable outcome); the two
+#: covid PCR rows drive covid_death/covid_ventilation — person 13's is
+#: attached to their 2020 ER-inpatient stay, person 8's has NO visit and
+#: must be re-linked to their ER visit starting 3 days later (the test
+#: DATETIME stays the index; only the visit id/type are adopted)
 MEASUREMENTS = (
-    ("900101", "19", "4307029", "2010-01-15", "800"),
-    ("900102", "13", "3029187", "2015-03-10", "1500"),
-    ("900103", "1", "0", "2012-05-01", "7.2"),
-    ("900104", "2", "0", "2013-06-01", "not-a-number"),
+    ("900101", "19", "4307029", "2010-01-15 00:00:00", "800", "0", "0"),
+    ("900102", "13", "3029187", "2015-03-10 00:00:00", "1500", "0", "0"),
+    ("900103", "1", "0", "2012-05-01 00:00:00", "7.2", "0", "0"),
+    ("900104", "2", "0", "2013-06-01 00:00:00", "not-a-number", "0", "0"),
+    ("900105", "13", "723475", "2020-01-13 08:00:00", "Detected", "45884084", "1105"),
+    ("900106", "8", "706178", "2020-05-28 10:30:00", "Detected", "45884084", "0"),
+)
+
+#: concept rows appended verbatim (value_as_concept_id -> 'Detected' for the
+#: covid.py variant's concept-name join; note the reference also accepts the
+#: misspelled 'Positve')
+EXTRA_CONCEPTS = ((45884084, "Detected"),)
+
+#: covid U07.1 diagnosis on person 21's 2020 ER visit (1945) — the condition
+#: route into both covid cohorts. Appended AFTER the ER-upgrade rule is
+#: computed from the raw sample, so visit 1945 stays 9203 (ER) and no other
+#: fixture's membership shifts.
+COVID_CONDITION = ("900201", "21", "37311061", "2020-02-15", "1945")
+
+#: external ventilation table (cohorts/ventilation.py reads global_temp.vent):
+#: person 13 ventilated 7 days after their covid index -> covid_ventilation's
+#: label-1 row; person 2's 2015 placement predates any covid signal
+VENT_ROWS = (
+    ("13", "2020-01-20 10:00:00.000000"),
+    ("2", "2015-02-01 09:00:00.000000"),
 )
 
 #: person 8 carries a 40769338 observation predating their first t2dm
@@ -260,6 +286,7 @@ def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
             f"({a}, 'Golden fixture ancestor {a}')"
             for a in sorted(SEEDED_ANCESTRY)
         ]
+        + [f"({cid}, '{name}')" for cid, name in EXTRA_CONCEPTS]
     )
     write("concept", f"""
         SELECT * FROM {src('concept')}
@@ -302,19 +329,48 @@ def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
     """)
 
     measurement_rows = ", ".join(
-        f"('{mid}', '{p}', '{cid}', '{d}', '{d} 00:00:00.000000', "
-        f"'44818702', '{v}', CAST(NULL AS VARCHAR), '0')"
-        for mid, p, cid, d, v in MEASUREMENTS
+        f"('{mid}', '{p}', '{cid}', '{dt[:10]}', '{dt}.000000', "
+        f"'44818702', '{v}', '{vac}', CAST(NULL AS VARCHAR), '{vid}')"
+        for mid, p, cid, dt, v, vac, vid in MEASUREMENTS
     )
     write("measurement", f"""
         SELECT * FROM (VALUES {measurement_rows})
         t(measurement_id, person_id, measurement_concept_id, measurement_date,
           measurement_datetime, measurement_type_concept_id, value_source_value,
-          unit_source_value, visit_occurrence_id)
+          value_as_concept_id, unit_source_value, visit_occurrence_id)
+    """)
+
+    cid_, cp, cc, cd, cv = COVID_CONDITION
+    write("condition_occurrence", f"""
+        SELECT * FROM {src('condition_occurrence')}
+        UNION ALL
+        SELECT '{cid_}' AS condition_occurrence_id, '{cp}' AS person_id,
+               '{cc}' AS condition_concept_id,
+               '{cd}' AS condition_start_date,
+               '{cd} 00:00:00.000000' AS condition_start_datetime,
+               '{cd}' AS condition_end_date,
+               '{cd} 00:00:00.000000' AS condition_end_datetime,
+               '32020' AS condition_type_concept_id,
+               CAST(NULL AS VARCHAR) AS condition_status_concept_id,
+               CAST(NULL AS VARCHAR) AS stop_reason,
+               CAST(NULL AS VARCHAR) AS provider_id,
+               '{cv}' AS visit_occurrence_id,
+               CAST(NULL AS VARCHAR) AS condition_source_value,
+               '0' AS condition_source_concept_id,
+               CAST(NULL AS VARCHAR) AS condition_status_source_value
+    """)
+
+    vent_rows = ", ".join(f"('{p}', '{ts}')" for p, ts in VENT_ROWS)
+    write("vent", f"""
+        SELECT * FROM (VALUES {vent_rows})
+        t(person_id, earliest_placement_instant)
     """)
 
     for table in TABLES:
-        if table not in ("visit_occurrence", "concept", "concept_ancestor"):
+        if table not in (
+            "visit_occurrence", "concept", "concept_ancestor",
+            "condition_occurrence",
+        ):
             write(table, f"SELECT * FROM {src(table)}")
     con.close()
     return out_dir

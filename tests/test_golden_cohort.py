@@ -116,6 +116,30 @@ COHORT_CONFIGS = {
         ),
         {"0", "1"},
     ),
+    # CAD target with HF outcome: negative-HF removal drops persons 2 and 9
+    # from the target; person 18's HF lands 16 days past the window
+    "cad_hf_aug_pw1500": (
+        "cad_hf", "augmented",
+        dict(observation_window=360, prediction_window=1500),
+        {"0", "1"},
+    ),
+    # covid_inpatient target: PCR-positive by value_source_value, visitless
+    # test re-linked to the ER visit 3 days later (keeping the test's
+    # DATETIME as index), death outcome 14 days post-index
+    "covid_death_aug_pw30": (
+        "covid_death", "augmented",
+        dict(observation_window=360, prediction_window=30),
+        {"0", "1"},
+    ),
+    # covid target: PCR-positive by value_as_concept_id -> concept_name,
+    # visit-attached only (the relinked person drops out), index at first
+    # qualifying visit +1 day; ventilation outcome from the external vent
+    # table 6 days later
+    "covid_vent_aug_pw30": (
+        "covid_ventilation", "augmented",
+        dict(observation_window=360, prediction_window=30),
+        {"0", "1"},
+    ),
 }
 
 

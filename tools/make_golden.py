@@ -114,6 +114,21 @@ COHORT_FIXTURES = {
         "t2dm_hf", "augmented",
         ["-ow", "360", "-pw", "2000", "-dl", "1960-01-01"],
     ),
+    "covid_death_aug_pw30": (
+        "cehrbert_data.prediction_cohorts.covid_death",
+        "covid_death", "augmented",
+        ["-ow", "360", "-pw", "30"],
+    ),
+    "cad_hf_aug_pw1500": (
+        "cehrbert_data.prediction_cohorts.cad_hf_cohort",
+        "cad_hf", "augmented",
+        ["-ow", "360", "-pw", "1500"],
+    ),
+    "covid_vent_aug_pw30": (
+        "cehrbert_data.prediction_cohorts.covid_ventilation",
+        "covid_ventilation", "augmented",
+        ["-ow", "360", "-pw", "30"],
+    ),
 }
 
 
