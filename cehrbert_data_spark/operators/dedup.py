@@ -192,12 +192,17 @@ def minhash_lsh_pairs(
     Banding unpivots the wide signature with ``stack`` — a narrow generator,
     no shuffle; the only shuffles are the signature groupBy and the
     pair-count groupBy. The bucket join is a plain equi-join on
-    (band, band_key).
+    (band, band_key), HINTED to a shuffle join: a broadcast here would ship
+    the ENTIRE corpus's banded signatures to every executor (a non-starter
+    at scale), and — because a broadcast exchange differs from a shuffle
+    exchange — would force Spark to compute the whole scan→shingle→
+    signature subtree twice. With both sides shuffled on the same keys,
+    ReusedExchange computes the signature pipeline exactly once.
     """
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     banded = band_signature(sig, num_hashes, band_size)
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
