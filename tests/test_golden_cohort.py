@@ -116,6 +116,22 @@ COHORT_CONFIGS = {
         ),
         {"0", "1"},
     ),
+    # label-engine flag variants on the raw sample: unbounded prediction
+    # window (membership needs no follow-up; study_end falls back to the
+    # observation-period end) and single-contribution (one row per person —
+    # most recent positive, else most recent negative)
+    "readmission_unbounded": (
+        "readmission", "sample",
+        dict(observation_window=360, prediction_window=180,
+             prediction_window_unbounded=True),
+        {"0", "1"},
+    ),
+    "readmission_single_pw1000": (
+        "readmission", "sample",
+        dict(observation_window=360, prediction_window=1000,
+             single_contribution=True),
+        {"0", "1"},
+    ),
     # CAD target with HF outcome: negative-HF removal drops persons 2 and 9
     # from the target; person 18's HF lands 16 days past the window
     "cad_hf_aug_pw1500": (
@@ -169,6 +185,7 @@ def test_golden_cohort_labels(spark, tmp_path, fixture, request):
     from cehrbert_data_spark.apps.generate_prediction_cohort import main
 
     cohort_name, input_kind, overrides, label_classes = COHORT_CONFIGS[fixture]
+    overrides = dict(overrides)  # pops below must not mutate the shared config
     input_folder = (
         SAMPLE if input_kind == "sample"
         else request.getfixturevalue("augmented_dir")

@@ -65,6 +65,14 @@ CONFIGS = {
         "week_month",
         dict(att_type="week", inpatient_att_type="month"),
     ),
+    # age-group buckets instead of exact ages + VS/VE tokens dropped
+    "cehrbert_mix_agegroup_novs": (
+        "cehrbert_mix_agegroup_novs",
+        dict(
+            att_type="cehr_bert", inpatient_att_type="mix",
+            use_age_group=True, exclude_visit_tokens=True,
+        ),
+    ),
 }
 
 # Every column of the reference's new-patient-representation output.
@@ -102,6 +110,7 @@ def test_golden_parity(spark, tmp_path, config_name):
     from cehrbert_data_spark.apps.generate_training_data import main
 
     fixture_dir, overrides = CONFIGS[config_name]
+    overrides = dict(overrides)  # pops below must not mutate the shared config
     out = main(
         input_folder=SAMPLE,
         output_folder=str(tmp_path / config_name),
@@ -110,7 +119,7 @@ def test_golden_parity(spark, tmp_path, config_name):
         ],
         date_filter="1985-01-01",
         include_visit_type=True,
-        exclude_visit_tokens=False,
+        exclude_visit_tokens=overrides.pop("exclude_visit_tokens", False),
         include_inpatient_hour_token=True,
         include_death=False,
         exclude_demographic=False,

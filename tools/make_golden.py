@@ -67,6 +67,14 @@ TRAINING_FIXTURES = {
     "week_month": ("week", "month", []),
 }
 
+#: extra flag variants replayed on the cehr_bert/mix config (age-group
+#: buckets instead of exact ages; visit type kept but VS/VE tokens dropped)
+TRAINING_FLAG_FIXTURES = {
+    "cehrbert_mix_agegroup_novs": (
+        "cehr_bert", "mix", ["--use_age_group", "-ev"],
+    ),
+}
+
 #: fixture dir -> (reference app module, cohort_name, input kind, extra flags)
 COHORT_FIXTURES = {
     "readmission_pw1000": (
@@ -128,6 +136,15 @@ COHORT_FIXTURES = {
         "cehrbert_data.prediction_cohorts.covid_ventilation",
         "covid_ventilation", "augmented",
         ["-ow", "360", "-pw", "30"],
+    ),
+    # label-engine flag variants on the raw sample
+    "readmission_unbounded": (
+        "cehrbert_data.prediction_cohorts.readmission", "readmission", "sample",
+        ["-ow", "360", "--is_prediction_window_unbounded"],
+    ),
+    "readmission_single_pw1000": (
+        "cehrbert_data.prediction_cohorts.readmission", "readmission", "sample",
+        ["-ow", "360", "-pw", "1000", "--single_contribution"],
     ),
 }
 
@@ -199,7 +216,7 @@ def _commit_fixture(src_glob: str, fixture: str, filename: str) -> None:
 
 
 def make_training(fixture: str) -> None:
-    att, inpatient_att, extra = TRAINING_FIXTURES[fixture]
+    att, inpatient_att, extra = {**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}[fixture]
     with tempfile.TemporaryDirectory() as workdir:
         out = os.path.join(workdir, "out")
         os.makedirs(out)
@@ -258,12 +275,12 @@ def main() -> None:
         CHECK_MODE = True
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help", "list"):
         print(__doc__)
-        print("training fixtures:", ", ".join(TRAINING_FIXTURES))
+        print("training fixtures:", ", ".join({**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}))
         print("cohort fixtures:  ", ", ".join(COHORT_FIXTURES))
         return
     cmd = sys.argv[1]
     if cmd == "all":
-        for f in TRAINING_FIXTURES:
+        for f in {**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}:
             make_training(f)
         for f in COHORT_FIXTURES:
             make_cohort(f)
