@@ -149,6 +149,31 @@ COHORT_FIXTURES = {
 }
 
 
+#: fixture dir -> (min_num_of_patients,) for the concept-list app
+APP_FIXTURES = {
+    "concept_list_min2": ("2",),
+}
+
+
+def make_app(fixture: str) -> None:
+    (min_patients,) = APP_FIXTURES[fixture]
+    with tempfile.TemporaryDirectory() as workdir:
+        out = os.path.join(workdir, "out")
+        os.makedirs(out)
+        _run_reference(
+            [
+                "-m", "cehrbert_data.apps.generate_included_concept_list",
+                "-i", SAMPLE, "-o", out,
+                "--min_num_of_patients", min_patients,
+            ],
+            workdir,
+        )
+        _commit_fixture(
+            os.path.join(out, "qualified_concept_list", "*.parquet"),
+            fixture, "qualified_concept_list.parquet",
+        )
+
+
 def _run_reference(argv: list[str], workdir: str) -> None:
     conf_dir = os.path.join(workdir, "spark-conf")
     os.makedirs(conf_dir, exist_ok=True)
@@ -284,10 +309,14 @@ def main() -> None:
             make_training(f)
         for f in COHORT_FIXTURES:
             make_cohort(f)
+        for f in APP_FIXTURES:
+            make_app(f)
     elif cmd == "training":
         make_training(sys.argv[2])
     elif cmd == "cohort":
         make_cohort(sys.argv[2])
+    elif cmd == "app":
+        make_app(sys.argv[2])
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}")
 
