@@ -149,29 +149,39 @@ COHORT_FIXTURES = {
 }
 
 
-#: fixture dir -> (min_num_of_patients,) for the concept-list app
+#: fixture dir -> (module, extra argv, [(output subdir, fixture filename)]).
+#: Every app takes -i/--input_folder SAMPLE and -o/--output_folder.
 APP_FIXTURES = {
-    "concept_list_min2": ("2",),
+    "concept_list_min2": (
+        "cehrbert_data.apps.generate_included_concept_list",
+        ["--min_num_of_patients", "2"],
+        [("qualified_concept_list", "qualified_concept_list.parquet")],
+    ),
+    "connect_visit_default": (
+        "cehrbert_data.tools.connect_omop_visit",
+        [],
+        [
+            ("visit_occurrence", "visit_occurrence.parquet"),
+            ("visit_mapping", "visit_mapping.parquet"),
+        ],
+    ),
 }
 
 
 def make_app(fixture: str) -> None:
-    (min_patients,) = APP_FIXTURES[fixture]
+    module, extra, outputs = APP_FIXTURES[fixture]
     with tempfile.TemporaryDirectory() as workdir:
         out = os.path.join(workdir, "out")
         os.makedirs(out)
         _run_reference(
-            [
-                "-m", "cehrbert_data.apps.generate_included_concept_list",
-                "-i", SAMPLE, "-o", out,
-                "--min_num_of_patients", min_patients,
-            ],
+            ["-m", module, "--input_folder", SAMPLE, "--output_folder", out, *extra],
             workdir,
         )
-        _commit_fixture(
-            os.path.join(out, "qualified_concept_list", "*.parquet"),
-            fixture, "qualified_concept_list.parquet",
-        )
+        for idx, (subdir, filename) in enumerate(outputs):
+            _commit_fixture(
+                os.path.join(out, subdir, "*.parquet"),
+                fixture, filename, replace=(idx == 0),
+            )
 
 
 def _run_reference(argv: list[str], workdir: str) -> None:
@@ -199,7 +209,7 @@ def _input_folder(kind: str, workdir: str) -> str:
 CHECK_MODE = False
 
 
-def _commit_fixture(src_glob: str, fixture: str, filename: str) -> None:
+def _commit_fixture(src_glob: str, fixture: str, filename: str, replace: bool = True) -> None:
     import duckdb
 
     parts = sorted(glob.glob(src_glob))
@@ -231,8 +241,9 @@ def _commit_fixture(src_glob: str, fixture: str, filename: str) -> None:
             raise SystemExit(1)
         return
     dest = os.path.join(GOLDEN_DIR, fixture)
-    shutil.rmtree(dest, ignore_errors=True)
-    os.makedirs(dest)
+    if replace:
+        shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
     duckdb.sql(
         f"COPY (SELECT * FROM read_parquet({files})) TO "
         f"'{os.path.join(dest, filename)}' (FORMAT PARQUET)"
