@@ -5,6 +5,13 @@ After connect_omop_visit produced ``visit_mapping/``, every domain table's
 (reference: tools/update_omop_visit.py:9-42). Vocabulary tables and person
 are copied through unchanged.
 
+Deliberate divergence: the reference builds the coalesce-remap join but
+then writes the ORIGINAL ``omop_table`` (update_omop_visit.py:18-34 never
+rebinds the variable), so its output is an identity copy of the input.
+This app implements the evident intent — events actually move to their
+master visit — which is why this tool is pinned by unit tests
+(tests/test_apps_tools.py) rather than a reference-output golden.
+
 Run: ``python -m cehrbert_data_spark.apps.update_omop_visit
 --input_folder <omop_dir> --mapping_folder <dir_with_visit_mapping>
 --output_folder <out_dir>``

@@ -2,9 +2,11 @@
 
 Media are opaque ``binary`` columns with typed metadata alongside. The
 Spark-side contract — schema, Arrow batch shape, partition sizing — is real
-and tested; the actual codec step is stubbed (`decoder=None` raises
-NotImplementedError; image/audio libraries are not available in this
-environment) or injected as a deterministic fake in tests.
+and tested, and so is the default codec step: ``operators.codecs`` decodes
+PNG/BMP/PCM-WAV with nothing beyond zlib/wave/numpy (no codec libraries in
+this environment), with an injection seam (``decoder=`` / ``resizer=``)
+for library-backed codecs covering the formats stdlib can't (JPEG pixels,
+video frames).
 
 Scale notes: media rows are large — ``mapInPandas`` keeps them in Arrow
 batches (no per-row pickling), and ``media_repartition`` sizes partitions by
@@ -469,16 +471,17 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract media via ``mapInPandas`` (Arrow batches).
 
-    ``decoder(payload: bytes) -> dict`` fills the decoded fields. With no
-    decoder this raises NotImplementedError at plan-build time — the codec
-    libraries (PIL/ffmpeg/etc.) are intentionally not assumed present; tests
-    inject a deterministic fake to exercise the full Arrow path.
+    ``decoder(payload: bytes) -> dict`` fills the decoded fields. The
+    default is :func:`operators.codecs.default_media_decoder` — a real,
+    pure-stdlib/numpy decode of PNG (8-bit non-interlaced), BMP (24-bit)
+    and PCM WAV; unknown formats yield NULL fields. Inject a
+    codec-library-backed decoder through the same seam for the formats the
+    reference stack would hand to PIL/ffmpeg (JPEG, video).
     """
     if decoder is None:
-        raise NotImplementedError(
-            "no media decoder available in this environment; inject a "
-            "decoder(bytes)->dict (e.g. PIL/soundfile-backed) to decode"
-        )
+        from cehrbert_data_spark.operators.codecs import default_media_decoder
+
+        decoder = default_media_decoder
     schema = out_schema or T.StructType(
         list(df.schema.fields)
         + [
@@ -517,15 +520,15 @@ def resize_media(
 ) -> DataFrame:
     """Resize media payloads via ``mapInPandas`` (Arrow batches; no per-row
     pickling). ``resizer(payload, width, height) -> bytes`` performs the
-    pixel work; with no resizer this raises NotImplementedError at
-    plan-build time (the codec libraries are intentionally not assumed
-    present — tests inject a deterministic fake to exercise the Arrow
-    path and schema contract)."""
+    pixel work; the default is
+    :func:`operators.codecs.default_media_resizer` — decode (PNG/BMP) →
+    nearest-neighbor resample → re-encode as 24-bit BMP, undecodable
+    payloads resizing to NULL. Inject a codec-library-backed resizer for
+    richer formats/filters."""
     if resizer is None:
-        raise NotImplementedError(
-            "no media resizer available in this environment; inject a "
-            "resizer(bytes, w, h)->bytes (e.g. PIL-backed) to resize"
-        )
+        from cehrbert_data_spark.operators.codecs import default_media_resizer
+
+        resizer = default_media_resizer
     schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("resized", T.BinaryType(), True)]

@@ -28,9 +28,12 @@ def test_attach_media_metadata(spark):
     assert rows[1]["digest"] != rows[2]["digest"]
 
 
-def test_decode_media_requires_decoder(spark):
-    with pytest.raises(NotImplementedError, match="decoder"):
-        decode_media(_media(spark), "payload")
+def test_decode_media_default_decoder_handles_unknown(spark):
+    # default decoder: unknown formats yield NULL fields, not failures
+    out = decode_media(_media(spark), "payload")
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["decoded_width"] is None
+    assert rows[3]["decoded_summary"] is None
 
 
 def test_decode_media_fake_decoder_arrow_path(spark):
@@ -48,9 +51,6 @@ def test_decode_media_fake_decoder_arrow_path(spark):
 
 
 def test_resize_media_fake_resizer(spark):
-    with pytest.raises(NotImplementedError, match="resizer"):
-        resize_media(_media(spark), "payload", 8, 8)
-
     def fake_resizer(b: bytes, w: int, h: int) -> bytes:
         return b[: w]  # deterministic truncation stands in for pixel work
 
