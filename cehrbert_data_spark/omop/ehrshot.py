@@ -57,9 +57,11 @@ def convert_code_to_omop_concept(data: DataFrame, concept: DataFrame, field: str
         F.col("concept_code").alias("__c_concept_code"),
         F.col("concept_id").alias("__c_concept_id"),
     )
-    keyed = data.withColumn("__vocabulary_id", F.split(field, "/")[0]).withColumn(
-        "__concept_code", F.split(field, "/")[1]
-    )
+    # F.get (not []): slash-less codes like the minted visits' '0' have a
+    # 1-element split, which ANSI mode turns into an array-index error
+    keyed = data.withColumn(
+        "__vocabulary_id", F.get(F.split(field, "/"), 0)
+    ).withColumn("__concept_code", F.get(F.split(field, "/"), 1))
     return keyed.join(
         F.broadcast(codes),
         (F.col("__vocabulary_id") == F.col("__c_vocabulary_id"))
@@ -286,15 +288,20 @@ def generate_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
         .drop("new_visit_id")
     )
 
+    # Artificial visits span min..max of their events' START times and carry
+    # code '0' (reference: ehrshot_to_omop.py:559-576 — f.lit(0), max("start");
+    # the OMOP4822036 artificial-visit token belongs to the TRAINING
+    # pipeline's visit synthesis, not this converter). Golden-pinned by
+    # tests/test_golden_ehrshot.py.
     artificial_visits = (
         orphans.groupBy("patient_id", "new_visit_id")
-        .agg(F.min("start").alias("start"), F.max(F.coalesce("end", "start")).alias("end"))
+        .agg(F.min("start").alias("start"), F.max("start").alias("end"))
         .select(
             F.lit(None).cast(T.StringType()).alias("_c0"),
             "patient_id",
             "start",
             "end",
-            F.lit("Visit/OMOP4822036").alias("code"),
+            F.lit("0").alias("code"),
             F.lit(None).cast(T.StringType()).alias("value"),
             F.lit(None).cast(T.StringType()).alias("unit"),
             F.col("new_visit_id").cast(T.StringType()).alias("visit_id"),

@@ -184,6 +184,43 @@ def make_app(fixture: str) -> None:
             )
 
 
+EHRSHOT_FIXTURE = "ehrshot_small"
+#: tables the reference writes BEFORE its Spark-4 measurement crash (the
+#: MISSING_ATTRIBUTES dataframe-surgery failure also seen on the ATT cohort
+#: feature path); measurement/extract_value parity is unit-pinned instead
+EHRSHOT_TABLES = ("person", "visit_occurrence", "condition_occurrence", "drug_exposure")
+
+
+def make_ehrshot() -> None:
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from ehrshot_sample import build_ehrshot_input
+
+    with tempfile.TemporaryDirectory() as workdir:
+        csv_path, vocab_dir = build_ehrshot_input(os.path.join(workdir, "input"))
+        out = os.path.join(workdir, "out")
+        os.makedirs(out)
+        try:
+            _run_reference(
+                [
+                    "-m", "cehrbert_data.tools.ehrshot_to_omop",
+                    "--ehr_shot_file", csv_path,
+                    "--vocabulary_folder", vocab_dir,
+                    "--output_folder", out,
+                    "--refresh_ehrshot",
+                ],
+                workdir,
+            )
+        except subprocess.CalledProcessError:
+            # expected: the measurement branch trips Spark 4's
+            # MISSING_ATTRIBUTES resolution bug AFTER the tables below exist
+            pass
+        for idx, table in enumerate(EHRSHOT_TABLES):
+            _commit_fixture(
+                os.path.join(out, table, "*.parquet"),
+                EHRSHOT_FIXTURE, f"{table}.parquet", replace=(idx == 0),
+            )
+
+
 def _run_reference(argv: list[str], workdir: str) -> None:
     conf_dir = os.path.join(workdir, "spark-conf")
     os.makedirs(conf_dir, exist_ok=True)
@@ -322,12 +359,15 @@ def main() -> None:
             make_cohort(f)
         for f in APP_FIXTURES:
             make_app(f)
+        make_ehrshot()
     elif cmd == "training":
         make_training(sys.argv[2])
     elif cmd == "cohort":
         make_cohort(sys.argv[2])
     elif cmd == "app":
         make_app(sys.argv[2])
+    elif cmd == "ehrshot":
+        make_ehrshot()
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}")
 
