@@ -141,10 +141,13 @@ SEEDED_ANCESTRY = {
 #: must be re-linked to their ER visit starting 3 days later (the test
 #: DATETIME stays the index; only the visit id/type are adopted)
 MEASUREMENTS = (
-    ("900101", "19", "4307029", "2010-01-15 00:00:00", "800", "0", "0"),
-    ("900102", "13", "3029187", "2015-03-10 00:00:00", "1500", "0", "0"),
-    ("900103", "1", "0", "2012-05-01 00:00:00", "7.2", "0", "0"),
-    ("900104", "2", "0", "2013-06-01 00:00:00", "not-a-number", "0", "0"),
+    # lab rows ride real visits (dated at the visit) so the TRAINING
+    # pipeline's measurement domain emits them as sequence tokens with
+    # numeric values; person 8's visitless covid PCR stays detached
+    ("900101", "19", "4307029", "2010-02-01 00:00:00", "800", "0", "1589"),
+    ("900102", "13", "3029187", "2009-04-20 00:00:00", "1500", "0", "1081"),
+    ("900103", "1", "0", "2012-05-12 00:00:00", "7.2", "0", "37"),
+    ("900104", "2", "0", "2011-03-06 00:00:00", "not-a-number", "0", "113"),
     ("900105", "13", "723475", "2020-01-13 08:00:00", "Detected", "45884084", "1105"),
     ("900106", "8", "706178", "2020-05-28 10:30:00", "Detected", "45884084", "0"),
 )
@@ -328,16 +331,25 @@ def build_augmented_sample(out_dir: str, sample_dir: str = SAMPLE) -> str:
             value_as_string, observation_source_concept_id)
     """)
 
+    def _numeric_or_null(v):
+        try:
+            float(v)
+            return f"'{v}'"
+        except ValueError:
+            return "CAST(NULL AS VARCHAR)"
+
     measurement_rows = ", ".join(
         f"('{mid}', '{p}', '{cid}', '{dt[:10]}', '{dt}.000000', "
-        f"'44818702', '{v}', '{vac}', CAST(NULL AS VARCHAR), '{vid}')"
+        f"'44818702', '{v}', {_numeric_or_null(v)}, '{vac}', '0', "
+        f"CAST(NULL AS VARCHAR), '{vid}')"
         for mid, p, cid, dt, v, vac, vid in MEASUREMENTS
     )
     write("measurement", f"""
         SELECT * FROM (VALUES {measurement_rows})
         t(measurement_id, person_id, measurement_concept_id, measurement_date,
           measurement_datetime, measurement_type_concept_id, value_source_value,
-          value_as_concept_id, unit_source_value, visit_occurrence_id)
+          value_as_number, value_as_concept_id, unit_concept_id,
+          unit_source_value, visit_occurrence_id)
     """)
 
     cid_, cp, cc, cd, cv = COVID_CONDITION

@@ -73,6 +73,20 @@ CONFIGS = {
             use_age_group=True, exclude_visit_tokens=True,
         ),
     ),
+    # measurement domain on the augmented sample (which has a measurement
+    # table): numeric lab values -> concept_value_masks/number_as_values,
+    # 'Detected' -> concept_as_values; visitless labs dropped
+    "day_day_measurement": (
+        "day_day_measurement",
+        dict(
+            att_type="day", inpatient_att_type="day",
+            domain_table_list=[
+                "condition_occurrence", "drug_exposure",
+                "procedure_occurrence", "measurement",
+            ],
+            input_kind="augmented",
+        ),
+    ),
 }
 
 # Every column of the reference's new-patient-representation output.
@@ -93,6 +107,15 @@ def _cell(v):
         v = v.item()
     if isinstance(v, float):
         return None if math.isnan(v) else round(v, 6)
+    if isinstance(v, str):
+        # the reference's string-typed source tables leak into its arrays
+        # (e.g. number_as_values becomes VARCHAR[] when the measurement
+        # domain joins the union); compare numeric strings numerically so
+        # properly-typed output matches the same VALUES
+        try:
+            return round(float(v), 6)
+        except ValueError:
+            return v
     return v
 
 
@@ -104,19 +127,34 @@ def _by_person(df):
     }
 
 
+@pytest.fixture(scope="session")
+def augmented_training_dir(tmp_path_factory):
+    from augmented_sample import build_augmented_sample
+
+    return build_augmented_sample(
+        str(tmp_path_factory.mktemp("augmented_training") / "omop")
+    )
+
+
 @pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="reference sample data not present")
 @pytest.mark.parametrize("config_name", sorted(CONFIGS))
-def test_golden_parity(spark, tmp_path, config_name):
+def test_golden_parity(spark, tmp_path, config_name, request):
     from cehrbert_data_spark.apps.generate_training_data import main
 
     fixture_dir, overrides = CONFIGS[config_name]
     overrides = dict(overrides)  # pops below must not mutate the shared config
+    input_folder = (
+        request.getfixturevalue("augmented_training_dir")
+        if overrides.pop("input_kind", "sample") == "augmented"
+        else SAMPLE
+    )
     out = main(
-        input_folder=SAMPLE,
+        input_folder=input_folder,
         output_folder=str(tmp_path / config_name),
-        domain_table_list=[
-            "condition_occurrence", "drug_exposure", "procedure_occurrence"
-        ],
+        domain_table_list=overrides.pop(
+            "domain_table_list",
+            ["condition_occurrence", "drug_exposure", "procedure_occurrence"],
+        ),
         date_filter="1985-01-01",
         include_visit_type=True,
         exclude_visit_tokens=overrides.pop("exclude_visit_tokens", False),

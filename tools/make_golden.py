@@ -73,6 +73,14 @@ TRAINING_FLAG_FIXTURES = {
     "cehrbert_mix_agegroup_novs": (
         "cehr_bert", "mix", ["--use_age_group", "-ev"],
     ),
+    # measurement domain included (runs on the AUGMENTED sample, which has a
+    # measurement table): pins numeric-value tokens / concept-value masks
+    "day_day_measurement": (
+        "day", "day",
+        ["--domain_table_list", "condition_occurrence", "drug_exposure",
+         "procedure_occurrence", "measurement"],
+        "augmented",
+    ),
 }
 
 #: fixture dir -> (reference app module, cohort_name, input kind, extra flags)
@@ -289,14 +297,17 @@ def _commit_fixture(src_glob: str, fixture: str, filename: str, replace: bool = 
 
 
 def make_training(fixture: str) -> None:
-    att, inpatient_att, extra = {**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}[fixture]
+    cfg = {**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}[fixture]
+    att, inpatient_att, extra = cfg[0], cfg[1], cfg[2]
+    input_kind = cfg[3] if len(cfg) > 3 else "sample"
     with tempfile.TemporaryDirectory() as workdir:
         out = os.path.join(workdir, "out")
         os.makedirs(out)
+        input_folder = _input_folder(input_kind, workdir)
         _run_reference(
             [
                 "-m", "cehrbert_data.apps.generate_training_data",
-                "--input_folder", SAMPLE, "--output_folder", out,
+                "--input_folder", input_folder, "--output_folder", out,
                 "--domain_table_list",
                 "condition_occurrence", "drug_exposure", "procedure_occurrence",
                 "-d", "1985-01-01",
