@@ -75,6 +75,9 @@ def main(
     use_sequence: bool = True,
     att_type: str = "cehr_bert",
     inpatient_att_type: str = "mix",
+    include_visit_type: bool = False,
+    exclude_visit_tokens: bool = False,
+    include_inpatient_hour_token: bool = False,
     spark=None,
 ):
     spark = spark or build_session("extract_features")
@@ -95,7 +98,8 @@ def main(
         concept = load("concept")
 
     records = extract_ehr_records(
-        tables, domain_table_list, concept=concept, include_visit_type=True
+        tables, domain_table_list, concept=concept,
+        include_visit_type=include_visit_type,
     )
 
     # Duplicate events per cohort membership, clamp to the index date with
@@ -135,11 +139,33 @@ def main(
             .drop("birth_datetime"),
             att_type=att_type,
             inpatient_att_type=inpatient_att_type,
+            include_visit_type=include_visit_type,
+            exclude_visit_tokens=exclude_visit_tokens,
+            include_inpatient_hour_token=include_inpatient_hour_token,
+            cohort_index=cohort.select("person_id", "cohort_member_id", "index_date"),
         )
     else:
         features = create_concept_frequency_data(records)
 
-    out = features.join(cohort, ["person_id", "cohort_member_id"])
+    # Re-attach demographics + label the way the reference's task_labels
+    # output does (tools/extract_features.py:289-317): age at index year,
+    # race coalesced to 0, members without features drop (inner join).
+    labeled = cohort.join(
+        tables["person"].select(
+            "person_id",
+            "year_of_birth",
+            F.coalesce(F.col("race_concept_id"), F.lit(0))
+            .cast("int")
+            .alias("race_concept_id"),
+            "gender_concept_id",
+        ),
+        "person_id",
+    ).select(
+        "person_id", "cohort_member_id", "index_date", "label",
+        (F.year("index_date") - F.col("year_of_birth")).alias("age"),
+        "race_concept_id", "gender_concept_id",
+    )
+    out = features.join(labeled, ["person_id", "cohort_member_id"])
     out_path = os.path.join(output_folder, "task_features")
     write_parquet(out, out_path)
     return out_path

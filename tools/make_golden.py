@@ -192,6 +192,45 @@ def make_app(fixture: str) -> None:
             )
 
 
+FEATURES_FIXTURE = "extract_features_ext"
+
+
+def make_features() -> None:
+    """ATT feature extraction for an EXTERNAL cohort (tools/extract_features.py
+    -ip): the one path that exercises create_sequence_data_with_att against a
+    user-supplied cohort — and, unlike the prediction-cohort apps' feature
+    step, it executes cleanly under Spark 4."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from feature_cohort import write_cohort_csv
+
+    with tempfile.TemporaryDirectory() as workdir:
+        csv_path = write_cohort_csv(workdir)
+        out = os.path.join(workdir, "out")
+        os.makedirs(out)
+        _run_reference(
+            [
+                "-m", "cehrbert_data.tools.extract_features",
+                "-c", "ext_cohort",
+                "-i", SAMPLE, "-o", out,
+                "-dl", "1985-01-01", "-du", "2023-12-31",
+                "--cohort_dir", csv_path,
+                "--person_id_column", "subject_id",
+                "--index_date_column", "prediction_time",
+                "--label_column", "outcome",
+                "-ow", "730",
+                "--ehr_table_list",
+                "condition_occurrence", "drug_exposure", "procedure_occurrence",
+                "--att_type", "day", "--inpatient_att_type", "day",
+                "-iv", "--include_inpatient_hour_token", "-ip",
+            ],
+            workdir,
+        )
+        _commit_fixture(
+            os.path.join(out, "ext_cohort", "task_labels", "*.parquet"),
+            FEATURES_FIXTURE, "task_labels.parquet",
+        )
+
+
 EHRSHOT_FIXTURE = "ehrshot_small"
 #: tables the reference writes BEFORE its Spark-4 measurement crash (the
 #: MISSING_ATTRIBUTES dataframe-surgery failure also seen on the ATT cohort
@@ -371,6 +410,7 @@ def main() -> None:
         for f in APP_FIXTURES:
             make_app(f)
         make_ehrshot()
+        make_features()
     elif cmd == "training":
         make_training(sys.argv[2])
     elif cmd == "cohort":
@@ -379,6 +419,8 @@ def main() -> None:
         make_app(sys.argv[2])
     elif cmd == "ehrshot":
         make_ehrshot()
+    elif cmd == "features":
+        make_features()
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}")
 
