@@ -110,3 +110,85 @@ def asof_join(
         .where(F.col("__asof_rank") == 1)
         .drop("__asof_rank")
     )
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J7 (merge form): for each left row, the LAST right row at-or-before
+    its timestamp — computed as a union + one window, with NO join fan-out.
+
+    The windowed form (:func:`asof_join`) materializes every candidate pair
+    before ranking; with a long lookback its intermediate is
+    Σ|candidates per left row|. This form tags the two inputs, unions them,
+    and carries each key's most recent right payload forward with a single
+    ``last(ignorenulls)`` running window — cost is one shuffle + sort of
+    |left|+|right| regardless of match density, the shape that survives an
+    unbounded lookback at 100 TB (the streaming as-of operator's batch dual,
+    streaming/operators.py merge_asof).
+
+    ``right``'s non-key columns must not collide with ``left``'s. At
+    (key, ts) ties, rights sort before lefts (at-or-before is inclusive)
+    and the greatest right payload wins — ordering is by the payload STRUCT,
+    so callers make ties deterministic by projecting a unique column first.
+    ``how='left'`` keeps unmatched left rows with NULL right columns.
+    """
+    on_list = [on] if isinstance(on, str) else list(on)
+    right_value_cols = [
+        c for c in right.columns if c not in on_list and c != right_ts
+    ]
+    r_struct = F.struct(
+        *[F.col(c) for c in right_value_cols], F.col(right_ts).alias("__r_ts")
+    )
+    left_value_cols = [
+        c for c in left.columns if c not in on_list and c != left_ts
+    ]
+
+    tagged_left = left.select(
+        *[F.col(c) for c in on_list],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left_value_cols]).alias("__l"),
+        F.lit(None).alias("__r_pre"),
+    )
+    tagged_right = right.select(
+        *[F.col(c) for c in on_list],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).alias("__l_pre"),
+        r_struct.alias("__r"),
+    )
+    # align the null placeholders to the other side's struct type
+    tagged_left = tagged_left.withColumn(
+        "__r", F.col("__r_pre").cast(dict(tagged_right.dtypes)["__r"])
+    ).drop("__r_pre")
+    tagged_right = tagged_right.withColumn(
+        "__l", F.col("__l_pre").cast(dict(tagged_left.dtypes)["__l"])
+    ).drop("__l_pre")
+
+    w = (
+        Window.partitionBy(*on_list)
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        tagged_left.select("*").unionByName(tagged_right.select(tagged_left.columns))
+        .withColumn("__carried", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__is_left") == 1)
+    )
+    if how == "inner":
+        carried = carried.where(F.col("__carried").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join_union supports inner/left, got {how!r}")
+    return carried.select(
+        *[F.col(c) for c in on_list],
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l.{c}").alias(c) for c in left_value_cols],
+        *[F.col(f"__carried.{c}").alias(c) for c in right_value_cols],
+        F.col("__carried.__r_ts").alias(right_ts),
+    )

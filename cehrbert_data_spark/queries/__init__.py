@@ -51,6 +51,9 @@ _TAIL = [
     "d9_lab_prevalence",
     "t_fingerprint",
     "t_tokens",
+    # demoted when j7b_asof_union joined the head mid-round-5 (green r4,
+    # untouched since)
+    "t_quality",
 ]
 
 

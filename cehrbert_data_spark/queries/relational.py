@@ -298,6 +298,48 @@ SELECT o_orderkey, l_shipdate, l_linenumber FROM (
 """
 
 
+# --- J7b: merge-form as-of join (union + one window, no pair fan-out) --------
+
+def j7b_asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the user's most recent 'view' event
+    at-or-before it — the unbounded-lookback as-of, computed by the merge
+    form (operators/joins.py asof_join_union): one shuffle + sort of
+    views ∪ purchases per user, never |purchases| × |views| candidate pairs."""
+    from cehrbert_data_spark.operators.joins import asof_join_union
+
+    events = read_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), "ts"
+    )
+    return asof_join_union(
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts"
+    ).select(
+        "purchase_event_id", "user_id", "ts",
+        "view_event_id", "view_ts", "view_value",
+    )
+
+
+J7B_SQL = """
+SELECT purchase_event_id, user_id, ts, view_event_id, view_ts, view_value
+FROM (
+  SELECT p.event_id AS purchase_event_id, p.user_id, p.ts,
+         v.event_id AS view_event_id, v.ts AS view_ts, v.value AS view_value,
+         ROW_NUMBER() OVER (
+             PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC
+         ) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+) WHERE rn = 1
+"""
+
+
 # --- J8: self join ------------------------------------------------------------
 
 def j8_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,6 +1010,7 @@ QUERIES = {
     "j5_scalar_max": (j5_scalar_max, J5_SQL),
     "j6_interval_join": (j6_interval, J6_SQL),
     "j7_asof_join": (j7_asof, J7_SQL),
+    "j7b_asof_union": (j7b_asof_union, J7B_SQL),
     "j8_self_join": (j8_self_join, J8_SQL),
     "j10_theta_datediff": (j10_theta_datediff, J10_SQL),
     "a1_multi_agg": (a1_multi_agg, A1_SQL),

@@ -67,3 +67,58 @@ def test_asof_join_picks_best_metric(spark):
     ).collect()
     # Latest-starting covering visit wins.
     assert [(r["eid"], r["vid"]) for r in out] == [(10, 101)]
+
+
+def test_asof_join_union_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(42)
+    rights = [
+        (k, rng.randrange(0, 50), i, float(i))
+        for i, k in enumerate(rng.choices(range(5), k=40))
+    ]
+    lefts = [
+        (k, rng.randrange(0, 50), 1000 + i)
+        for i, k in enumerate(rng.choices(range(6), k=30))  # key 5 never matches
+    ]
+    right = spark.createDataFrame(rights, "k: int, rts: long, rid: int, rv: double")
+    left = spark.createDataFrame(lefts, "k: int, lts: long, lid: int")
+
+    from cehrbert_data_spark.operators.joins import asof_join_union
+
+    def brute(how):
+        out = {}
+        for k, lts, lid in lefts:
+            cands = [r for r in rights if r[0] == k and r[1] <= lts]
+            best = max(cands, key=lambda r: (r[1], r[2])) if cands else None
+            if best is not None:
+                out[lid] = (best[2], best[3], best[1])
+            elif how == "left":
+                out[lid] = (None, None, None)
+        return out
+
+    for how in ("inner", "left"):
+        got = {
+            r["lid"]: (r["rid"], r["rv"], r["rts"])
+            for r in asof_join_union(
+                left, right, on="k", left_ts="lts", right_ts="rts", how=how
+            ).collect()
+        }
+        assert got == brute(how), f"how={how}"
+
+
+def test_asof_join_union_tie_and_duplicate_lefts(spark):
+    # two rights at the exact left timestamp -> greatest payload wins
+    # (at-or-before is inclusive); two identical left rows both survive
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b")], "k: int, lts: long, tag: string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 9), (1, 11, 99)], "k: int, rts: long, rid: int"
+    )
+    from cehrbert_data_spark.operators.joins import asof_join_union
+
+    rows = asof_join_union(
+        left, right, on="k", left_ts="lts", right_ts="rts"
+    ).collect()
+    assert sorted((r["tag"], r["rid"]) for r in rows) == [("a", 9), ("b", 9)]
