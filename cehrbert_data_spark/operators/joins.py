@@ -192,3 +192,50 @@ def asof_join_union(
         *[F.col(f"__carried.{c}").alias(c) for c in right_value_cols],
         F.col("__carried.__r_ts").alias(right_ts),
     )
+
+
+def overlap_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 7 * 24 * 3600,
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join with NO selective equality key, made
+    hash-joinable by epoch bucketing (beyond-ref; the shape
+    :func:`interval_join` cannot serve when no key carries selectivity).
+
+    Each interval explodes to the epoch buckets it covers; the join is a
+    plain equi-join on bucket id plus the exact overlap predicate. A pair
+    sharing several buckets is emitted EXACTLY once — it is credited only
+    in the bucket containing the overlap's start (max of the two starts) —
+    so no distinct/dedup shuffle follows the join. Cost is
+    Σ_bucket |left_b|·|right_b|: pick ``bucket_seconds`` near the typical
+    interval length so intervals explode to ~2 buckets and bucket
+    populations stay balanced. Column names must be disjoint across inputs.
+    """
+    def _epoch(col: str) -> Column:
+        return F.unix_timestamp(F.col(col).cast("timestamp"))
+
+    def _bucketed(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        b_lo = F.floor(_epoch(start) / bucket_seconds)
+        b_hi = F.floor(_epoch(end) / bucket_seconds)
+        return df.withColumn(f"__{side}_bucket", F.explode(F.sequence(b_lo, b_hi)))
+
+    l = _bucketed(left, left_start, left_end, "l")
+    r = _bucketed(right, right_start, right_end, "r")
+    credit_bucket = F.floor(
+        F.greatest(_epoch(left_start), _epoch(right_start)) / bucket_seconds
+    )
+    cond = (
+        (F.col("__l_bucket") == F.col("__r_bucket"))
+        & (_epoch(left_start) <= _epoch(right_end))
+        & (_epoch(right_start) <= _epoch(left_end))
+        & (F.col("__l_bucket") == credit_bucket)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return l.join(r, cond).drop("__l_bucket", "__r_bucket")

@@ -51,9 +51,11 @@ _TAIL = [
     "d9_lab_prevalence",
     "t_fingerprint",
     "t_tokens",
-    # demoted when j7b_asof_union joined the head mid-round-5 (green r4,
-    # untouched since)
+    # demoted when j7b_asof_union / j6b_overlap_buckets joined the head
+    # mid-round-5 (both r4-DRIVER-green and their code paths untouched
+    # since; o1_global_topk was NOT eligible — it sat in the r4 tail)
     "t_quality",
+    "d_exact_dedup",
 ]
 
 

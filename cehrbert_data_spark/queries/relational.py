@@ -340,6 +340,65 @@ FROM (
 """
 
 
+# --- J6b: bucketed overlap join (no selective equi key) ----------------------
+
+def j6b_overlap_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of nation-1 customers vs ALL orders whose 7-day fulfilment
+    windows overlap — a pure time-overlap join with no selective equality
+    key, executed by epoch bucketing (operators/joins.py
+    overlap_join_buckets): explode to week buckets, equi-join on bucket id,
+    credit each pair exactly once in its first shared bucket. The plan the
+    naive formulation would run as a nested-loop cartesian."""
+    from cehrbert_data_spark.operators.joins import overlap_join_buckets
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    lft = (
+        orders.join(
+            F.broadcast(customer.where(F.col("c_nationkey") == 1)),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_orderkey").alias("lk"),
+            F.col("o_orderdate").alias("l_s"),
+            F.expr("o_orderdate + INTERVAL 7 DAYS").alias("l_e"),
+        )
+    )
+    rgt = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").alias("r_s"),
+        F.expr("o_orderdate + INTERVAL 7 DAYS").alias("r_e"),
+    )
+    pairs = overlap_join_buckets(
+        lft, rgt, "l_s", "l_e", "r_s", "r_e",
+        extra_condition=F.col("lk") != F.col("o_orderkey"),
+    )
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct("lk").alias("n_left_orders"),
+    )
+
+
+J6B_SQL = """
+WITH lft AS (
+  SELECT o.o_orderkey AS lk, o.o_orderdate AS l_s,
+         o.o_orderdate + INTERVAL 7 DAY AS l_e
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = 1
+),
+rgt AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate AS r_s,
+         o_orderdate + INTERVAL 7 DAY AS r_e
+  FROM orders
+)
+SELECT r.o_orderpriority, COUNT(*) AS n_overlaps,
+       COUNT(DISTINCT l.lk) AS n_left_orders
+FROM lft l JOIN rgt r
+  ON l.l_s <= r.r_e AND r.r_s <= l.l_e AND l.lk <> r.o_orderkey
+GROUP BY r.o_orderpriority
+"""
+
+
 # --- J8: self join ------------------------------------------------------------
 
 def j8_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,6 +1070,7 @@ QUERIES = {
     "j6_interval_join": (j6_interval, J6_SQL),
     "j7_asof_join": (j7_asof, J7_SQL),
     "j7b_asof_union": (j7b_asof_union, J7B_SQL),
+    "j6b_overlap_buckets": (j6b_overlap_buckets, J6B_SQL),
     "j8_self_join": (j8_self_join, J8_SQL),
     "j10_theta_datediff": (j10_theta_datediff, J10_SQL),
     "a1_multi_agg": (a1_multi_agg, A1_SQL),

@@ -122,3 +122,39 @@ def test_asof_join_union_tie_and_duplicate_lefts(spark):
         left, right, on="k", left_ts="lts", right_ts="rts"
     ).collect()
     assert sorted((r["tag"], r["rid"]) for r in rows) == [("a", 9), ("b", 9)]
+
+
+def test_overlap_join_buckets_matches_brute_force(spark):
+    import datetime
+    import random
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+
+    def interval(i):
+        s = base + datetime.timedelta(hours=rng.randrange(0, 24 * 60))
+        return (i, s, s + datetime.timedelta(hours=rng.randrange(1, 200)))
+
+    lefts = [interval(i) for i in range(25)]
+    rights = [interval(100 + i) for i in range(60)]
+    left = spark.createDataFrame(lefts, "lid: int, l_s: timestamp, l_e: timestamp")
+    right = spark.createDataFrame(rights, "rid: int, r_s: timestamp, r_e: timestamp")
+
+    from cehrbert_data_spark.operators.joins import overlap_join_buckets
+
+    expected = sorted(
+        (l[0], r[0])
+        for l in lefts
+        for r in rights
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+    # bucket smaller AND larger than typical interval length: pairs spanning
+    # many buckets must still be credited exactly once
+    for bucket in (6 * 3600, 14 * 24 * 3600):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in overlap_join_buckets(
+                left, right, "l_s", "l_e", "r_s", "r_e", bucket_seconds=bucket
+            ).collect()
+        )
+        assert got == expected, f"bucket={bucket}"
