@@ -97,9 +97,12 @@ def main(
     if os.path.exists(os.path.join(input_folder, "concept")):
         concept = load("concept")
 
+    # Events always carry visit_concept_id — this engine's decorator chain
+    # requires it internally; ``include_visit_type`` governs whether the
+    # SEQUENCE emits visit-type tokens (the reference threads the flag into
+    # both layers, but its decorators tolerate the missing column).
     records = extract_ehr_records(
-        tables, domain_table_list, concept=concept,
-        include_visit_type=include_visit_type,
+        tables, domain_table_list, concept=concept, include_visit_type=True
     )
 
     # Duplicate events per cohort membership, clamp to the index date with
