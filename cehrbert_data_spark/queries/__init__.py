@@ -21,7 +21,7 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: green driver verdicts on record yield their slots to ones that haven't
 #: been checked recently. The tail ROTATES each round so no query goes two
 #: consecutive rounds without a driver verdict (round-3 lesson: a demoted
-#: query can silently carry changed code). All 57 stay declared and are
+#: query can silently carry changed code). All 72 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
 #: Round-5 tail (20 of 70): queries that are DRIVER-GREEN in round 4
