@@ -302,11 +302,11 @@ def _commit_fixture(src_glob: str, fixture: str, filename: str, replace: bool = 
     files = "[" + ", ".join(f"'{p}'" for p in parts) + "]"
     n = duckdb.sql(f"SELECT count(*) FROM read_parquet({files})").fetchone()[0]
     if CHECK_MODE:
-        committed = sorted(
-            glob.glob(os.path.join(GOLDEN_DIR, fixture, "*.parquet"))
-        )
+        # compare against THIS output's committed file only — fixtures like
+        # connect_visit_default commit several tables into one directory
+        committed = sorted(glob.glob(os.path.join(GOLDEN_DIR, fixture, filename)))
         if not committed:
-            raise SystemExit(f"--check: no committed fixture {fixture}")
+            raise SystemExit(f"--check: no committed fixture {fixture}/{filename}")
         cfiles = "[" + ", ".join(f"'{p}'" for p in committed) + "]"
         nc = duckdb.sql(f"SELECT count(*) FROM read_parquet({cfiles})").fetchone()[0]
         # order-insensitive full-row diff in both directions
@@ -319,7 +319,7 @@ def _commit_fixture(src_glob: str, fixture: str, filename: str, replace: bool = 
             f" SELECT * FROM read_parquet({files})))"
         ).fetchone()[0]
         status = "MATCH" if (diff == 0 and n == nc) else "DIFF"
-        print(f"--check {fixture}: regenerated {n} rows vs committed {nc}; "
+        print(f"--check {fixture}/{filename}: regenerated {n} rows vs committed {nc}; "
               f"row-level mismatches: {diff} -> {status}")
         if status != "MATCH":
             raise SystemExit(1)
