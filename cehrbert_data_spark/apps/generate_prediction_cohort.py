@@ -71,13 +71,20 @@ def main(
 
     def instantiate(factory):
         # SQL-templated builders embed the date lower bound (the reference
-        # threads spark_args.date_lower_bound into its query templates)
+        # threads spark_args.date_lower_bound into its query templates) and
+        # window-derived params: hospitalization_target's total_window is
+        # observation_window + hold_off_window (reference:
+        # prediction_cohorts/hospitalization.py:63), NOT a constant — only
+        # the golden config (360+180) coincides with the 540 default.
         import inspect
 
         params = inspect.signature(factory).parameters
+        kwargs = {}
         if "date_lower_bound" in params:
-            return factory(date_lower_bound=date_lower_bound)
-        return factory()
+            kwargs["date_lower_bound"] = date_lower_bound
+        if "total_window" in params:
+            kwargs["total_window"] = observation_window + hold_off_window
+        return factory(**kwargs)
 
     target_builder, outcome_builder = instantiate(target_fn), instantiate(outcome_fn)
 

@@ -119,6 +119,7 @@ def asof_join_union(
     left_ts: str,
     right_ts: str,
     how: str = "inner",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """J7 (merge form): for each left row, the LAST right row at-or-before
     its timestamp — computed as a union + one window, with NO join fan-out.
@@ -133,12 +134,28 @@ def asof_join_union(
     streaming/operators.py merge_asof).
 
     ``right``'s non-key columns must not collide with ``left``'s. At
-    (key, ts) ties, rights sort before lefts (at-or-before is inclusive)
-    and the greatest right payload wins — ordering is by the payload STRUCT,
-    so callers make ties deterministic by projecting a unique column first.
+    (key, ts) ties, rights sort before lefts (at-or-before is inclusive).
+    Among right rows tied on (key, ts), the winner is the greatest
+    ``tiebreak`` value when given (pass a unique right column — e.g. its PK
+    — for total determinism); without ``tiebreak`` the greatest payload
+    STRUCT wins, which is deterministic only if the first projected right
+    column is unique within ties.
+
+    NULL timestamps never participate: right rows with NULL ``right_ts``
+    are dropped (a row with no time cannot be "at or before" anything), and
+    left rows with NULL ``left_ts`` are dropped under ``how='inner'`` /
+    kept with NULL right columns under ``how='left'``.
     ``how='left'`` keeps unmatched left rows with NULL right columns.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join_union supports inner/left, got {how!r}")
     on_list = [on] if isinstance(on, str) else list(on)
+    # NULL-ts guard (see docstring): a NULL-ts right row would sort first
+    # (ascending nulls-first) and its payload would be carried into every
+    # left row with no genuine match — even under how='inner'.
+    null_ts_left = left.where(F.col(left_ts).isNull()) if how == "left" else None
+    left = left.where(F.col(left_ts).isNotNull())
+    right = right.where(F.col(right_ts).isNotNull())
     right_value_cols = [
         c for c in right.columns if c not in on_list and c != right_ts
     ]
@@ -149,12 +166,16 @@ def asof_join_union(
         c for c in left.columns if c not in on_list and c != left_ts
     ]
 
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"tiebreak {tiebreak!r} is not a column of right")
+    tb_right = F.col(tiebreak) if tiebreak is not None else F.lit(0)
     tagged_left = left.select(
         *[F.col(c) for c in on_list],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_value_cols]).alias("__l"),
         F.lit(None).alias("__r_pre"),
+        F.lit(None).alias("__tb_pre"),
     )
     tagged_right = right.select(
         *[F.col(c) for c in on_list],
@@ -162,18 +183,23 @@ def asof_join_union(
         F.lit(0).alias("__is_left"),
         F.lit(None).alias("__l_pre"),
         r_struct.alias("__r"),
+        tb_right.alias("__tb"),
     )
-    # align the null placeholders to the other side's struct type
-    tagged_left = tagged_left.withColumn(
-        "__r", F.col("__r_pre").cast(dict(tagged_right.dtypes)["__r"])
-    ).drop("__r_pre")
+    # align the null placeholders to the other side's types
+    tagged_left = (
+        tagged_left.withColumn(
+            "__r", F.col("__r_pre").cast(dict(tagged_right.dtypes)["__r"])
+        )
+        .withColumn("__tb", F.col("__tb_pre").cast(dict(tagged_right.dtypes)["__tb"]))
+        .drop("__r_pre", "__tb_pre")
+    )
     tagged_right = tagged_right.withColumn(
         "__l", F.col("__l_pre").cast(dict(tagged_left.dtypes)["__l"])
     ).drop("__l_pre")
 
     w = (
         Window.partitionBy(*on_list)
-        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__r"))
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__tb"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
@@ -183,15 +209,23 @@ def asof_join_union(
     )
     if how == "inner":
         carried = carried.where(F.col("__carried").isNotNull())
-    elif how != "left":
-        raise ValueError(f"asof_join_union supports inner/left, got {how!r}")
-    return carried.select(
+    out = carried.select(
         *[F.col(c) for c in on_list],
         F.col("__ts").alias(left_ts),
         *[F.col(f"__l.{c}").alias(c) for c in left_value_cols],
         *[F.col(f"__carried.{c}").alias(c) for c in right_value_cols],
         F.col("__carried.__r_ts").alias(right_ts),
     )
+    if null_ts_left is not None:
+        nulls = null_ts_left.select(
+            *[F.col(c) for c in on_list],
+            F.col(left_ts),
+            *[F.col(c) for c in left_value_cols],
+            *[F.lit(None).cast(dict(out.dtypes)[c]).alias(c) for c in right_value_cols],
+            F.lit(None).cast(dict(out.dtypes)[right_ts]).alias(right_ts),
+        )
+        out = out.unionByName(nulls)
+    return out
 
 
 def overlap_join_buckets(
@@ -216,14 +250,27 @@ def overlap_join_buckets(
     Σ_bucket |left_b|·|right_b|: pick ``bucket_seconds`` near the typical
     interval length so intervals explode to ~2 buckets and bucket
     populations stay balanced. Column names must be disjoint across inputs.
+
+    Malformed intervals (NULL endpoints, or end < start) are EXCLUDED on
+    both sides before bucketing: ``F.sequence(b_lo, b_hi)`` with b_hi < b_lo
+    would still explode (descending), and the exactly-once credit-bucket
+    proof assumes start <= end — such rows would otherwise join in some
+    buckets and be silently dropped by the credit filter in others.
     """
     def _epoch(col: str) -> Column:
         return F.unix_timestamp(F.col(col).cast("timestamp"))
 
     def _bucketed(df: DataFrame, start: str, end: str, side: str) -> DataFrame:
+        well_formed = (
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (_epoch(start) <= _epoch(end))
+        )
         b_lo = F.floor(_epoch(start) / bucket_seconds)
         b_hi = F.floor(_epoch(end) / bucket_seconds)
-        return df.withColumn(f"__{side}_bucket", F.explode(F.sequence(b_lo, b_hi)))
+        return df.where(well_formed).withColumn(
+            f"__{side}_bucket", F.explode(F.sequence(b_lo, b_hi))
+        )
 
     l = _bucketed(left, left_start, left_end, "l")
     r = _bucketed(right, right_start, right_end, "r")

@@ -21,41 +21,39 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: green driver verdicts on record yield their slots to ones that haven't
 #: been checked recently. The tail ROTATES each round so no query goes two
 #: consecutive rounds without a driver verdict (round-3 lesson: a demoted
-#: query can silently carry changed code). All 72 stay declared and are
+#: query can silently carry changed code). All 73 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-5 tail (20 of 70): queries that are DRIVER-GREEN in round 4
-#: (CORRECTNESS_r04) and whose code paths round 5 did not touch. Round 4's
-#: entire 19-query tail is back in the head for fresh verdicts, as are all
-#: round-5-touched queries (j4_anti / u1_union / u3_union_all rewrites,
-#: st_asof_batch tie fix, the dedup shingle/components changes, the closure
-#: loop, every mm_* query incl. the new mm_av_meta).
+#: Round-6 tail (23 of 73): queries that are DRIVER-GREEN in round 5
+#: (CORRECTNESS_r05) and whose code paths round 6 does not touch. Round 5's
+#: entire 22-query tail is back in the head for fresh verdicts, as are all
+#: round-6-touched queries (j7b_asof_union null-ts/tiebreak rework,
+#: j6b_overlap_buckets malformed-interval guard, the d_minhash_lsh planning
+#: work, and the new mm_media_decode).
 _TAIL = [
-    "q1_pricing_summary",
-    "j1_equi_inner",
-    "j6_interval_join",
-    "j7_asof_join",
-    "a2_hourly_mean",
-    "a10_span_agg",
-    "a6_conditional_agg",
-    "a7_winsorize",
-    "w1_latest_order",
-    "w4_days_since_prev",
-    "w3_rank_with_gaps",
-    "w6_partition_max",
-    "w9_count_over",
-    "a3_count_per_group",
-    "a9_groupby_max",
-    "j9_exists",
-    "j9_not_exists",
-    "d9_lab_prevalence",
-    "t_fingerprint",
-    "t_tokens",
-    # demoted when j7b_asof_union / j6b_overlap_buckets joined the head
-    # mid-round-5 (both r4-DRIVER-green and their code paths untouched
-    # since; o1_global_topk was NOT eligible — it sat in the r4 tail)
-    "t_quality",
-    "d_exact_dedup",
+    "p_filter_project",
+    "j2_left_outer",
+    "j3_semi",
+    "j4_anti",
+    "j5_scalar_max",
+    "j8_self_join",
+    "j10_theta_datediff",
+    "a1_multi_agg",
+    "o1_global_topk",
+    "u3_union_all",
+    "w10_sql_rownum",
+    "a5_freq_filter",
+    "a8_stats",
+    "w2_dense_rank",
+    "w5_first_and_span",
+    "w11_trailing_range",
+    "u1_union",
+    "u5_distinct",
+    "f_scalar_datetime",
+    "f_scalar_string",
+    "c_label_cohort",
+    "t_language",
+    "t_clean_text",
 ]
 
 

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.operators.joins import (
@@ -122,6 +123,76 @@ def test_asof_join_union_tie_and_duplicate_lefts(spark):
         left, right, on="k", left_ts="lts", right_ts="rts"
     ).collect()
     assert sorted((r["tag"], r["rid"]) for r in rows) == [("a", 9), ("b", 9)]
+
+
+def test_asof_join_union_explicit_tiebreak(spark):
+    # Duplicate (key, ts) rights: without a tiebreak the payload STRUCT
+    # ordering decides (first projected column); with tiebreak= the stated
+    # column decides regardless of payload projection order.
+    left = spark.createDataFrame([(1, 10, "x")], "k: int, lts: long, tag: string")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "low"), (1, 10, 9, "high"), (1, 10, 8, "mid")],
+        "k: int, rts: long, rid: int, lab: string",
+    )
+    from cehrbert_data_spark.operators.joins import asof_join_union
+
+    # project lab FIRST so struct order would pick max(lab)='mid' — the
+    # explicit tiebreak must override and pick max(rid)=9
+    reordered = right.select("k", "rts", "lab", "rid")
+    rows = asof_join_union(
+        left, reordered, on="k", left_ts="lts", right_ts="rts", tiebreak="rid"
+    ).collect()
+    assert [(r["rid"], r["lab"]) for r in rows] == [(9, "high")]
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join_union(
+            left, right, on="k", left_ts="lts", right_ts="rts", tiebreak="nope"
+        )
+
+
+def test_asof_join_union_null_timestamps(spark):
+    # NULL-ts rights must never be carried as a match; NULL-ts lefts drop
+    # under inner and survive with NULL right columns under left.
+    left = spark.createDataFrame(
+        [(1, 10, "has_match"), (2, 10, "no_match"), (1, None, "null_ts")],
+        "k: int, lts: long, tag: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 7), (2, None, 666)], "k: int, rts: long, rid: int"
+    )
+    from cehrbert_data_spark.operators.joins import asof_join_union
+
+    inner = asof_join_union(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    assert [(r["tag"], r["rid"]) for r in inner] == [("has_match", 7)]
+    outer = sorted(
+        (r["tag"], r["rid"])
+        for r in asof_join_union(
+            left, right, on="k", left_ts="lts", right_ts="rts", how="left"
+        ).collect()
+    )
+    assert outer == [("has_match", 7), ("no_match", None), ("null_ts", None)]
+
+
+def test_overlap_join_buckets_malformed_intervals_excluded(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 5)
+    left = spark.createDataFrame(
+        [(1, t0, t1), (2, t1, t0), (3, None, t1)],  # 2 inverted, 3 null start
+        "lid: int, l_s: timestamp, l_e: timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, t0, t1)], "rid: int, r_s: timestamp, r_e: timestamp"
+    )
+    from cehrbert_data_spark.operators.joins import overlap_join_buckets
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join_buckets(
+            left, right, "l_s", "l_e", "r_s", "r_e", bucket_seconds=24 * 3600
+        ).collect()
+    )
+    assert got == [(1, 100)]
 
 
 def test_overlap_join_buckets_matches_brute_force(spark):
