@@ -213,6 +213,33 @@ def default_media_decoder(data: bytes) -> dict:
     return {}
 
 
+def stats_media_decoder(data: bytes) -> dict:
+    """Numeric-stats decoder for :func:`multimodal.decode_media`: same real
+    codecs as :func:`default_media_decoder` (PNG/BMP pixels, PCM WAV
+    samples) but every statistic comes back as a typed numeric field —
+    images yield (decoded_width, decoded_height, mean_pixel), WAV yields
+    (n_samples, sample_rate, rms) — so a DuckDB oracle can recompute them
+    exactly from planted payloads instead of string-matching a summary."""
+    try:
+        img = _decode_image(data)
+        if img is not None:
+            return {
+                "decoded_height": int(img.shape[0]),
+                "decoded_width": int(img.shape[1]),
+                "mean_pixel": float(img.mean()),
+            }
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            pcm, rate = decode_wav(data)
+            return {
+                "n_samples": int(pcm.shape[0]),
+                "sample_rate": int(rate),
+                "rms": float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))),
+            }
+    except (ValueError, zlib.error, wave.Error, struct.error, EOFError):
+        pass
+    return {}
+
+
 def default_media_resizer(data: bytes, width: int, height: int) -> bytes | None:
     """Decode (PNG/BMP) → nearest-resize → re-encode as 24-bit BMP.
     Gray is broadcast to 3 channels, alpha is dropped; undecodable

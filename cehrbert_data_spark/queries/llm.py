@@ -934,6 +934,95 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 """
 
 
+# --- multimodal full decode (real codecs through the mapInPandas seam) ---------------
+
+def mm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full media DECODE — not just header metadata: synthesizes a
+    deterministic 24-bit BMP (even doc_id) or PCM-WAV (odd) payload per
+    document with planted pixel/sample values, then runs it through
+    :func:`operators.multimodal.decode_media` — the Arrow-batched
+    ``mapInPandas`` seam — with the real pure-numpy codecs
+    (operators/codecs.py decode_bmp/decode_wav). The oracle recomputes the
+    planted statistics arithmetically, so any decode slip (stride, BGR
+    order, bottom-up rows, int16 framing) hash-mismatches. Constant
+    pixel/sample values keep mean and RMS IEEE-exact in both engines
+    (n·v/n and sqrt(v²) round-trip exactly when v is representable).
+    """
+    from cehrbert_data_spark.operators.codecs import stats_media_decoder
+    from cehrbert_data_spark.operators.multimodal import decode_media
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    hex2 = lambda c: F.lpad(F.hex(c % 256), 2, "0")  # noqa: E731
+    le16 = lambda c: F.concat(hex2(c), hex2((c / 256).cast("long")))  # noqa: E731
+    le32 = lambda c: F.concat(  # noqa: E731
+        hex2(c),
+        hex2((c / 256).cast("long")),
+        hex2((c / 65536).cast("long")),
+        hex2((c / 16777216).cast("long")),
+    )
+    # BMP plant: 4xH, all three channels = v everywhere -> mean_pixel = v.
+    # Width 4 makes the row stride exactly 12 bytes (no padding ambiguity).
+    v = (F.col("doc_id") % 251).cast("long")
+    bmp_h = (F.lit(1) + F.col("doc_id") % 8).cast("long")
+    bmp_pix_len = (bmp_h * 12).cast("long")
+    bmp_hex = F.concat(
+        F.lit("424D"), le32(F.lit(54).cast("long") + bmp_pix_len),  # BM + file size
+        F.lit("00000000"), le32(F.lit(54).cast("long")),  # reserved + pixel offset
+        le32(F.lit(40).cast("long")), le32(F.lit(4).cast("long")), le32(bmp_h),
+        F.lit("0100"), F.lit("1800"),  # planes 1, bpp 24
+        le32(F.lit(0).cast("long")), le32(bmp_pix_len),  # BI_RGB, image size
+        F.lit("00000000" * 4),  # ppm x/y, colors, important
+        F.repeat(hex2(v), bmp_pix_len.cast("int")),
+    )
+    # WAV plant: mono 16-bit, constant sample s -> rms = s exactly.
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("long")
+    n_samp = (F.lit(100) + F.col("doc_id") % 50).cast("long")
+    s = (F.col("doc_id") % 1000).cast("long")
+    data_len = (n_samp * 2).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(36).cast("long") + data_len), F.lit("57415645"),
+        F.lit("666D7420"), le32(F.lit(16).cast("long")), F.lit("0100"), F.lit("0100"),
+        le32(rate), le32(rate * 2), F.lit("0200"), F.lit("1000"),
+        F.lit("64617461"), le32(data_len), F.repeat(le16(s), n_samp.cast("int")),
+    )
+    payload = F.unhex(F.when(F.col("doc_id") % 2 == 0, bmp_hex).otherwise(wav_hex))
+    with_payload = docs.withColumn("payload", payload)
+    out_schema = T.StructType(
+        list(with_payload.schema.fields)
+        + [
+            T.StructField("decoded_width", T.IntegerType(), True),
+            T.StructField("decoded_height", T.IntegerType(), True),
+            T.StructField("mean_pixel", T.DoubleType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sample_rate", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+    decoded = decode_media(
+        with_payload, "payload", decoder=stats_media_decoder, out_schema=out_schema
+    )
+    return decoded.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("bmp")).otherwise(F.lit("wav")).alias("fmt"),
+        "decoded_width", "decoded_height", "mean_pixel",
+        "n_samples", "sample_rate", "rms",
+    )
+
+
+MM_MEDIA_DECODE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+       CASE WHEN doc_id % 2 = 0 THEN 4 END AS decoded_width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 8 AS INTEGER) END AS decoded_height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 251 AS DOUBLE) END AS mean_pixel,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 50 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 1000 AS DOUBLE) END AS rms
+FROM documents
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -954,6 +1043,7 @@ QUERIES = {
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
     "mm_av_meta": (mm_av_meta, MM_AV_META_SQL),
+    "mm_media_decode": (mm_media_decode, MM_MEDIA_DECODE_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),

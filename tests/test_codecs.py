@@ -180,3 +180,32 @@ def test_spark_decode_and_resize_real_payloads(spark):
     assert out.shape == (2, 3, 3)
     assert np.array_equal(out, resize_nearest(img_a, 3, 2))
     assert resized[5] is None and resized[6] is None
+
+
+def test_stats_media_decoder_numeric_fields():
+    from cehrbert_data_spark.operators.codecs import (
+        encode_bmp,
+        encode_png,
+        stats_media_decoder,
+    )
+
+    img = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    for payload in (encode_bmp(img), encode_png(img)):
+        d = stats_media_decoder(payload)
+        assert d["decoded_width"] == 6 and d["decoded_height"] == 4
+        assert d["mean_pixel"] == float(img.mean())
+        assert "n_samples" not in d
+
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(np.full(30, 250, np.int16).tobytes())
+    d = stats_media_decoder(buf.getvalue())
+    assert d == {"n_samples": 30, "sample_rate": 16000, "rms": 250.0}
+
+    assert stats_media_decoder(b"\x00garbage") == {}
