@@ -103,13 +103,115 @@ EVENTS = (
 )
 
 
-def build_ehrshot_input(out_dir: str) -> tuple[str, str]:
+def volume_events(n_patients: int = 120) -> tuple:
+    """Deterministic ~10-rows-per-patient export for the AT-VOLUME golden.
+
+    The 4-patient sample can't stress the scale-sensitive reference
+    behaviors: minted artificial visit ids are dense_rank over
+    (patient_id, start date) ABOVE the max real id
+    (reference tools/ehrshot_to_omop.py:523-527, 668-671), so id
+    assignment only discriminates when many patients mint interleaved
+    visits — and patient_id ORDER (string vs int: "100" < "2") only
+    diverges once ids pass one digit. Every branch is driven by modular
+    arithmetic on the patient number, no RNG:
+
+    - every patient: demographics + 1-3 real visits (OP/IP/ERIP mix) with
+      in-window conditions/drugs/measurements;
+    - p % 3 == 0: an orphan event with NO visit id (minted visit);
+    - p % 5 == 0: an event tied to visit 1 but 10 days past its end
+      (the disconnect/re-segmentation path);
+    - p % 7 == 0: duplicate visit rows for visit 1 — ERIP vs OP, distinct
+      priorities only (equal-priority dedup is order-nondeterministic in
+      the reference, so a fixture must never tie);
+    - p % 11 == 0: an extra OP visit whose events span ~30 h (the
+      inferred-inpatient promotion path).
+    """
+    import datetime
+
+    events = []
+    genders, races = ("M", "F"), ("White", "Black")
+    eths = ("Not Hispanic", "Hispanic")
+    conditions, drugs = ("C1", "C2", "C3"), ("D1", "D2")
+    vcodes = ("OP", "IP", "ERIP")
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for p in range(1, n_patients + 1):
+        birth = datetime.datetime(1950 + p % 50, (p % 12) + 1, (p % 28) + 1)
+        for code in (
+            "SNOMED/3950001",
+            f"Gender/{genders[p % 2]}",
+            f"Race/{races[(p // 2) % 2]}",
+            f"Ethnicity/{eths[(p // 4) % 2]}",
+        ):
+            events.append((p, birth.strftime(fmt), "", code, "", "", "", "person"))
+
+        base = datetime.datetime(2018 + p % 3, (p % 12) + 1, (p * 3) % 28 + 1, 8)
+        n_vis = 1 + p % 3
+        for k in range(1, n_vis + 1):
+            vid = p * 1000 + k
+            t0 = base + datetime.timedelta(days=30 * k)
+            code = vcodes[(p + k) % 3]
+            if k == 1 and p % 7 == 0:
+                code = "OP"  # the duplicate row below must outrank, not tie
+            dur = datetime.timedelta(hours=1) if code == "OP" else datetime.timedelta(days=3)
+            events.append(
+                (p, t0.strftime(fmt), (t0 + dur).strftime(fmt), f"Visit/{code}", "", "", str(vid), "visit_occurrence")
+            )
+            events.append(
+                (p, (t0 + datetime.timedelta(minutes=15)).strftime(fmt), "",
+                 f"SNOMED/{conditions[(p + k) % 3]}", "", "", str(vid), "condition_occurrence")
+            )
+            if (p + k) % 2 == 0:
+                ds = t0 + datetime.timedelta(minutes=30)
+                events.append(
+                    (p, ds.strftime(fmt), (ds + datetime.timedelta(days=7)).strftime(fmt),
+                     f"RxNorm/{drugs[p % 2]}", "", "", str(vid), "drug_exposure")
+                )
+            if (p + k) % 4 == 0:
+                events.append(
+                    (p, (t0 + datetime.timedelta(minutes=20)).strftime(fmt), "",
+                     "LOINC/L1", str(1.5 + (p % 10) * 0.25), "mg", str(vid), "measurement")
+                )
+        if p % 7 == 0:
+            t0 = base + datetime.timedelta(days=30)
+            events.append(
+                (p, t0.strftime(fmt), (t0 + datetime.timedelta(hours=8)).strftime(fmt),
+                 "Visit/ERIP", "", "", str(p * 1000 + 1), "visit_occurrence")
+            )
+        if p % 5 == 0:
+            late = base + datetime.timedelta(days=40)
+            events.append(
+                (p, late.strftime(fmt), "", "SNOMED/C3", "", "", str(p * 1000 + 1), "condition_occurrence")
+            )
+        if p % 3 == 0:
+            orphan = base + datetime.timedelta(days=200, hours=3)
+            events.append(
+                (p, orphan.strftime(fmt), "", f"SNOMED/{conditions[p % 3]}", "", "", "", "condition_occurrence")
+            )
+        if p % 11 == 0:
+            vid = p * 1000 + 9
+            t0 = base + datetime.timedelta(days=90)
+            events.append(
+                (p, t0.strftime(fmt), (t0 + datetime.timedelta(hours=1)).strftime(fmt),
+                 "Visit/OP", "", "", str(vid), "visit_occurrence")
+            )
+            events.append(
+                (p, (t0 + datetime.timedelta(minutes=10)).strftime(fmt), "",
+                 "LOINC/L2", "Positive", "", str(vid), "measurement")
+            )
+            events.append(
+                (p, (t0 + datetime.timedelta(hours=30)).strftime(fmt), "",
+                 "SNOMED/C2", "", "", str(vid), "condition_occurrence")
+            )
+    return tuple(events)
+
+
+def build_ehrshot_input(out_dir: str, events=EVENTS) -> tuple[str, str]:
     """Write ehrshot.csv + vocabulary/ under out_dir; return their paths."""
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "ehrshot.csv")
     with open(csv_path, "w") as fh:
         fh.write("_c0,patient_id,start,end,code,value,unit,visit_id,omop_table\n")
-        for i, (pid, start, end, code, value, unit, vid, table) in enumerate(EVENTS):
+        for i, (pid, start, end, code, value, unit, vid, table) in enumerate(events):
             fh.write(f"{i},{pid},{start},{end},{code},{value},{unit},{vid},{table}\n")
 
     vocab_dir = os.path.join(out_dir, "vocabulary")

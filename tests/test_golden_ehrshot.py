@@ -25,9 +25,14 @@ import os
 
 import pytest
 
-GOLDEN_DIR = os.path.join(
-    os.path.dirname(__file__), "fixtures", "golden", "ehrshot_small"
-)
+GOLDEN_ROOT = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+
+#: ehrshot_small = the 4-patient branch-coverage export;
+#: ehrshot_volume = the 120-patient export stressing minted-id assignment
+#: at volume (string-vs-int patient ordering, interleaved minting across
+#: patients, duplicate-dedup and disconnect paths at scale) — the
+#: reference behavior most sensitive to data size.
+FIXTURES = ("ehrshot_small", "ehrshot_volume")
 
 #: table -> (row key columns, compared columns)
 CONTRACTS = {
@@ -58,13 +63,15 @@ def _norm(v):
     return None if v is None else str(v)
 
 
-@pytest.fixture(scope="module")
-def converted(spark, tmp_path_factory):
-    from ehrshot_sample import build_ehrshot_input
+@pytest.fixture(scope="module", params=FIXTURES)
+def converted(spark, tmp_path_factory, request):
+    from ehrshot_sample import EVENTS, build_ehrshot_input, volume_events
     from cehrbert_data_spark.apps.ehrshot_to_omop import main
 
-    base = tmp_path_factory.mktemp("ehrshot")
-    csv_path, vocab_dir = build_ehrshot_input(str(base / "input"))
+    fixture = request.param
+    events = volume_events() if fixture == "ehrshot_volume" else EVENTS
+    base = tmp_path_factory.mktemp(fixture)
+    csv_path, vocab_dir = build_ehrshot_input(str(base / "input"), events=events)
     out = str(base / "out")
     main(
         ehr_shot_file=csv_path,
@@ -72,14 +79,15 @@ def converted(spark, tmp_path_factory):
         output_folder=out,
         spark=spark,
     )
-    return out
+    return fixture, out
 
 
 @pytest.mark.parametrize("table", sorted(CONTRACTS))
 def test_golden_ehrshot_table(spark, converted, table):
+    fixture, out_dir = converted
     key_cols, value_cols = CONTRACTS[table]
-    golden_path = glob.glob(os.path.join(GOLDEN_DIR, f"{table}.parquet"))
-    assert golden_path, f"missing committed ehrshot fixture {table}"
+    golden_path = glob.glob(os.path.join(GOLDEN_ROOT, fixture, f"{table}.parquet"))
+    assert golden_path, f"missing committed ehrshot fixture {fixture}/{table}"
 
     def rows(df):
         cols = key_cols + value_cols
@@ -89,7 +97,7 @@ def test_golden_ehrshot_table(spark, converted, table):
         }
 
     golden = rows(spark.read.parquet(*golden_path))
-    mine = rows(spark.read.parquet(os.path.join(converted, table)))
+    mine = rows(spark.read.parquet(os.path.join(out_dir, table)))
     assert sorted(mine) == sorted(golden), (
         f"{table} row-set drift: only-golden={sorted(set(golden) - set(mine))} "
         f"only-ours={sorted(set(mine) - set(golden))}"

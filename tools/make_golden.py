@@ -238,12 +238,23 @@ EHRSHOT_FIXTURE = "ehrshot_small"
 EHRSHOT_TABLES = ("person", "visit_occurrence", "condition_occurrence", "drug_exposure")
 
 
-def make_ehrshot() -> None:
-    sys.path.insert(0, os.path.join(REPO, "tests"))
-    from ehrshot_sample import build_ehrshot_input
+#: the 120-patient volume export: stresses minted-id assignment order
+#: (string-vs-int patient ordering only diverges past one digit) and the
+#: disconnect / duplicate-dedup / inferred-inpatient paths interleaved
+#: across many patients — see tests/ehrshot_sample.py volume_events
+EHRSHOT_VOLUME_FIXTURE = "ehrshot_volume"
 
+
+def make_ehrshot(volume: bool = False) -> None:
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from ehrshot_sample import EVENTS, build_ehrshot_input, volume_events
+
+    fixture = EHRSHOT_VOLUME_FIXTURE if volume else EHRSHOT_FIXTURE
+    events = volume_events() if volume else EVENTS
     with tempfile.TemporaryDirectory() as workdir:
-        csv_path, vocab_dir = build_ehrshot_input(os.path.join(workdir, "input"))
+        csv_path, vocab_dir = build_ehrshot_input(
+            os.path.join(workdir, "input"), events=events
+        )
         out = os.path.join(workdir, "out")
         os.makedirs(out)
         try:
@@ -264,7 +275,7 @@ def make_ehrshot() -> None:
         for idx, table in enumerate(EHRSHOT_TABLES):
             _commit_fixture(
                 os.path.join(out, table, "*.parquet"),
-                EHRSHOT_FIXTURE, f"{table}.parquet", replace=(idx == 0),
+                fixture, f"{table}.parquet", replace=(idx == 0),
             )
 
 
@@ -410,6 +421,7 @@ def main() -> None:
         for f in APP_FIXTURES:
             make_app(f)
         make_ehrshot()
+        make_ehrshot(volume=True)
         make_features()
     elif cmd == "training":
         make_training(sys.argv[2])
@@ -419,6 +431,8 @@ def main() -> None:
         make_app(sys.argv[2])
     elif cmd == "ehrshot":
         make_ehrshot()
+    elif cmd == "ehrshot_volume":
+        make_ehrshot(volume=True)
     elif cmd == "features":
         make_features()
     else:
