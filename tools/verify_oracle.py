@@ -5,13 +5,25 @@ the same scale factor, then compares row count, schema arity, and
 order-insensitive values (columns sorted by name, rows sorted by their string
 rendering). Usage:
 
-    python tools/verify_oracle.py [sf_dir] [query ...]
+    python tools/verify_oracle.py [sf_dir] [--sample N] [query ...]
+
+``--sample N`` verifies against a deterministic md5-sampled 1/N subset of
+the ``documents`` and ``embeddings`` tables (other tables untouched). This
+exists for the all-pairs dedup queries (d_embed_neardup,
+d_embed_neardup_exact, d_ngram_jaccard) at SCALED sf dirs: their DuckDB
+oracles are quadratic in document count and stop terminating around 50k
+docs, so scaled sweeps verify them on the sampled subset — Spark and
+DuckDB both read the same sampled parquet, so the comparison stays exact;
+only coverage (which pairs) is sampled, never precision. Full-population
+checks stay at sf0.01.
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -41,9 +53,43 @@ def _normalize(rows, cols):
     return [cols[i] for i in order], out
 
 
+#: (table, key column) pairs eligible for --sample subsetting
+SAMPLED_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def build_sampled_dir(sf_dir: str, n: int) -> str:
+    """Materialize a deterministic 1/n md5-sample of documents/embeddings
+    under a temp dir; symlink every other table unchanged."""
+    out = tempfile.mkdtemp(prefix=f"sf_sampled_{n}_")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t in SAMPLED_TABLES:
+            key = SAMPLED_TABLES[t]
+            con.execute(
+                f"COPY (SELECT * FROM '{src}' WHERE "
+                f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 6))::BIGINT % {n} = 0) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            os.symlink(src, dst)
+    con.close()
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    sample_n = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if sample_n:
+        sf_dir = build_sampled_dir(sf_dir, sample_n)
+        print(f"sampled 1/{sample_n} subset at {sf_dir}")
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
