@@ -227,9 +227,15 @@ def main(
     if plan_check:
         # App-level plan budget on the composed labeled-feature pipeline
         # (see plans.budget): analysis-only, fails fast on a degraded plan.
+        # Exchange ceiling: measured 74-116 across all 12 cohorts (the
+        # heaviest, t2dm_hf, was 302 before dependency views were
+        # checkpointed — see omop/cohort.py create_cohort); 144 leaves
+        # refactor headroom while failing on a doubled plan.
         from cehrbert_data_spark.plans.budget import assert_plan_budget
 
-        report = assert_plan_budget(result, f"generate_prediction_cohort:{cohort_name}")
+        report = assert_plan_budget(
+            result, f"generate_prediction_cohort:{cohort_name}", max_exchanges=144
+        )
         print(f"plan budget ok: {report}")
 
     out = os.path.join(output_folder, cohort_name)

@@ -153,11 +153,16 @@ def main(
     if plan_check:
         # App-level plan budget: turns the plan-discipline unit tests into a
         # guarantee about THIS composed pipeline — no single-partition
-        # window, no row-at-a-time Python eval, anywhere in the plan.
+        # window, no row-at-a-time Python eval, anywhere in the plan, and a
+        # shuffle-exchange ceiling (measured 25 default config / 33 with
+        # artificial visits — the heaviest supported config; 40 leaves
+        # refactor headroom while still failing on a doubled plan).
         # Analysis-only: no job runs.
         from cehrbert_data_spark.plans.budget import assert_plan_budget
 
-        report = assert_plan_budget(sequences, "generate_training_data")
+        report = assert_plan_budget(
+            sequences, "generate_training_data", max_exchanges=40
+        )
         print(f"plan budget ok: {report}")
 
     out = os.path.join(output_folder, "patient_sequence")

@@ -32,6 +32,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
 ENTRY_COHORT = "entry_cohort"
 NEGATIVE_COHORT = "negative_cohort"
 
@@ -120,7 +122,16 @@ def create_cohort(
 
     for spec_list in (builder.dependency_queries, ):
         for spec in spec_list or []:
-            register_cohort_view(spark.sql(spec.render()), spec.table_name)
+            # Dependency views are consumed by SEVERAL downstream queries
+            # (main + negative + entry, then again per prediction pipeline);
+            # a lazy temp view re-expands the whole subtree in every
+            # consumer — measured 302 shuffle exchanges for t2dm_hf vs ~92
+            # for single-consumer cohorts. Materializing once behind a
+            # checkpoint collapses the repeated lineage (and at scale stops
+            # the heavy ancestry/intermediate SQL recomputing 3-5×).
+            register_cohort_view(
+                checkpoint_barrier(spark.sql(spec.render())), spec.table_name
+            )
     if builder.entry_cohort_query:
         register_cohort_view(
             spark.sql(builder.entry_cohort_query.render()),

@@ -119,6 +119,51 @@ def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
     return (total % mod).alias("fingerprint")
 
 
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals per document (beyond-ref; the
+    quality gate large-scale corpus pipelines apply before training):
+
+    - ``rep_top_ngram_frac``: occurrences of the single most frequent
+      word k-gram as a fraction of all k-grams (a high value means one
+      phrase dominates the document);
+    - ``rep_dup_ngram_frac``: fraction of k-gram occurrences whose k-gram
+      appears more than once (bulk repetition, not just one hot phrase);
+    - ``rep_n_ngrams``: total k-gram occurrences (the denominator).
+
+    Computed in the shuffle-scalable form — explode k-grams, count per
+    (id, gram), re-aggregate per id — rather than per-row O(len²)
+    higher-order lambdas: counts stay in whole-stage codegen and the two
+    shuffles are both keyed on id/(id, gram), so the plan survives
+    arbitrarily long documents and 100 TB corpora. All ratios divide
+    exact integer counts (cross-engine IEEE-identical). Documents with
+    fewer than k words yield zero n-grams and drop out (same as a
+    GROUP BY over an empty set in the oracle).
+    """
+    from cehrbert_data_spark.operators.dedup import doc_shingles
+
+    grams = doc_shingles(
+        df.select(F.col(id_col).alias("id"), text_col), "id", text_col, k,
+        distinct=False,
+    )
+    per_gram = grams.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_gram.groupBy("id")
+        .agg(
+            F.max("n").alias("max_n"),
+            F.sum("n").alias("total_n"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).alias("dup_n"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("max_n").cast("double") / F.col("total_n")).alias("rep_top_ngram_frac"),
+            (F.col("dup_n").cast("double") / F.col("total_n")).alias("rep_dup_ngram_frac"),
+            F.col("total_n").alias("rep_n_ngrams"),
+        )
+    )
+
+
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword language-ID heuristic: per-language stopword hit rate,
     argmax → predicted label ('unknown' below a confidence floor)."""

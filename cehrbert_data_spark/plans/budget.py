@@ -46,14 +46,47 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def has_global_window(df: DataFrame) -> bool:
-    """True if any window runs with an EMPTY partition spec — the
+    """True if any window function runs with an EMPTY partition spec — the
     single-partition shape that cannot scale (operators.windows refuses to
-    build these; this catches ones composed around that guard)."""
-    # A partitioned window plans as 'Window [fns], [partcols], [ordercols]';
-    # a global one as 'Window [fns], [ordercols]' over an Exchange
-    # SinglePartition. The exchange probe is the robust signal.
+    build these; this catches ones composed around that guard).
+
+    Probes every ``windowspecdefinition(...)`` in the simple-mode plan. Its
+    argument list is: partition columns, then order columns (each tagged
+    ``ASC``/``DESC``), then ``specifiedwindowframe(...)`` — so the spec is
+    GLOBAL exactly when the FIRST argument is already an order column or
+    the frame itself. Coarser probes fail here: 'Exchange SinglePartition
+    anywhere + Window anywhere' false-positives on pipelines combining a
+    legitimate 1-row scalar aggregate with partitioned windows
+    (artificial-visit minting), and counting a Window line's bracket
+    groups can't tell partitioned-unordered ('Window [fns], [part]' —
+    cohort index-date min over person_id) from global-ordered
+    ('Window [fns], [order]')."""
     p = physical_plan(df, mode="simple")
-    return "Exchange SinglePartition" in p and "Window" in p
+    marker = "windowspecdefinition("
+    pos = p.find(marker)
+    while pos != -1:
+        i = pos + len(marker)
+        depth = 0
+        while i < len(p):
+            c = p[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            i += 1
+        first_arg = p[pos + len(marker): i].strip()
+        if (
+            first_arg.startswith("specifiedwindowframe")
+            or " ASC" in first_arg
+            or " DESC" in first_arg
+        ):
+            return True
+        pos = p.find(marker, pos + len(marker))
+    return False
 
 
 def assert_plan_budget(

@@ -21,15 +21,15 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: green driver verdicts on record yield their slots to ones that haven't
 #: been checked recently. The tail ROTATES each round so no query goes two
 #: consecutive rounds without a driver verdict (round-3 lesson: a demoted
-#: query can silently carry changed code). All 73 stay declared and are
+#: query can silently carry changed code). All 74 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-6 tail (23 of 73): queries that are DRIVER-GREEN in round 5
+#: Round-6 tail (24 of 74): queries that are DRIVER-GREEN in round 5
 #: (CORRECTNESS_r05) and whose code paths round 6 does not touch. Round 5's
 #: entire 22-query tail is back in the head for fresh verdicts, as are all
 #: round-6-touched queries (j7b_asof_union null-ts/tiebreak rework,
 #: j6b_overlap_buckets malformed-interval guard, the d_minhash_lsh planning
-#: work, and the new mm_media_decode).
+#: work, and the new mm_media_decode / t_repetition).
 _TAIL = [
     "p_filter_project",
     "j2_left_outer",
@@ -54,6 +54,7 @@ _TAIL = [
     "c_label_cohort",
     "t_language",
     "t_clean_text",
+    "st_session_batch",
 ]
 
 

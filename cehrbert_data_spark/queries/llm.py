@@ -934,6 +934,41 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 """
 
 
+# --- repetition quality signals (Gopher-style) ---------------------------------------
+
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (top-2-gram fraction, duplicate-
+    2-gram fraction) — the quality gate corpus pipelines apply before
+    training; computed in the explode + two-keyed-shuffles form that
+    survives arbitrarily long documents (operators/text.py
+    repetition_features)."""
+    from cehrbert_data_spark.operators.text import repetition_features
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(docs, "doc_id", "text", k=2)
+
+
+T_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+grams AS (
+  SELECT doc_id, ARRAY_TO_STRING(words[i:i+1], ' ') AS gram
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 1
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(MAX(n) AS DOUBLE) / SUM(n) AS rep_top_ngram_frac,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n)
+         AS rep_dup_ngram_frac,
+       CAST(SUM(n) AS BIGINT) AS rep_n_ngrams
+FROM per_gram GROUP BY doc_id
+"""
+
+
 # --- multimodal full decode (real codecs through the mapInPandas seam) ---------------
 
 def mm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1079,7 @@ QUERIES = {
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
     "mm_av_meta": (mm_av_meta, MM_AV_META_SQL),
     "mm_media_decode": (mm_media_decode, MM_MEDIA_DECODE_SQL),
+    "t_repetition": (t_repetition, T_REPETITION_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),

@@ -199,6 +199,9 @@ def test_golden_cohort_labels(spark, tmp_path, fixture, request):
         age_lower_bound=0,
         age_upper_bound=100,
         prediction_start_days=0,
+        # Budget gate rides along with parity (plans.budget ceiling 112
+        # exchanges, no global window / Python row eval; analysis-only).
+        plan_check=True,
         spark=spark,
         **overrides,
     )

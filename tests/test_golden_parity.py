@@ -162,6 +162,10 @@ def test_golden_parity(spark, tmp_path, config_name, request):
         include_death=False,
         exclude_demographic=False,
         apply_age_filter=True,
+        # Budget gate rides along with parity: every golden config's
+        # composed plan must stay inside the app's exchange ceiling with no
+        # global window / Python row eval (plans.budget; analysis-only).
+        plan_check=True,
         spark=spark,
         **overrides,
     )

@@ -156,3 +156,12 @@ def test_plan_budget_guard(spark):
         "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
     )
     assert not assert_plan_budget(partitioned, "ok")["global_window"]
+
+    # Regression: a 1-row scalar aggregate plans its own SinglePartition
+    # exchange; combined with a partitioned window it must NOT read as a
+    # global window (false-positived before the per-Window-line probe —
+    # the shape of artificial-visit minting: ids floored at max(visit_id))
+    from cehrbert_data_spark.operators.joins import with_scalar_max
+
+    scalar_plus_window = with_scalar_max(partitioned, "id", "max_id")
+    assert not assert_plan_budget(scalar_plus_window, "scalar+window")["global_window"]

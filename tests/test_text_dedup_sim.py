@@ -182,3 +182,31 @@ def test_shingles_short_docs_empty(spark):
         counts = {r["id"]: r["n"] for r in got.groupBy("id").agg(
             F.count(F.lit(1)).alias("n")).collect()}
         assert counts == {4: 1, 5: 2}, counts
+
+
+def test_repetition_features_hand_computed(spark):
+    from cehrbert_data_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # 2-grams: "a b","b a","a b","b a","a b" -> 5 total, top "a b"=3,
+            # every occurrence's gram repeats -> dup frac 1.0
+            (1, "a b a b a b"),
+            # "x y","y z","z w" -> 3 total, all unique
+            (2, "x y z w"),
+            # one word -> no 2-grams -> row drops out
+            (3, "solo"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_features(docs, "doc_id", "text", k=2).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["rep_n_ngrams"] == 5
+    assert rows[1]["rep_top_ngram_frac"] == 3 / 5
+    assert rows[1]["rep_dup_ngram_frac"] == 1.0
+    assert rows[2]["rep_n_ngrams"] == 3
+    assert rows[2]["rep_top_ngram_frac"] == 1 / 3
+    assert rows[2]["rep_dup_ngram_frac"] == 0.0
