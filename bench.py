@@ -122,15 +122,27 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         runs: list[float] = []
-        for _ in range(best_of):
+
+        def one_run() -> bool:
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001 — record and keep benching
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-                break
+                return False
             runs.append(time.time() - t0)
+            return True
+
+        for _ in range(best_of):
+            if not one_run():
+                break
+        # Sub-second queries: ±30 ms of scheduler noise is >5% relative, so
+        # take best-of-(best_of+2) — the extra runs cost <2 s total and pull
+        # run-to-run variance of the small lines under the 5% bar.
+        while runs and min(runs) < 1.0 and len(runs) < best_of + 2:
+            if not one_run():
+                break
         if not runs:
             timings[name] = None
             continue
