@@ -119,6 +119,42 @@ def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
     return (total % mod).alias("fingerprint")
 
 
+#: PII patterns (beyond-ref; the scrub every public-corpus pipeline runs).
+#: Restricted to syntax both Java regex (Spark) and RE2 (DuckDB oracles)
+#: interpret identically: character classes, bounded repetition, \b — no
+#: backreferences or lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: match order matters: SSN before phone would also be needed if patterns
+#: overlapped; these four are mutually exclusive on any given span except
+#: ssn ⊂ phone-with-dashes shapes — scrub applies ssn FIRST so a 3-2-4
+#: digit group reads as SSN, not a malformed phone.
+_PII_SCRUB_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts (native ``regexp_count`` — codegen, no
+    Python)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>`` …) —
+    chained native ``regexp_replace``, applied in :data:`_PII_SCRUB_ORDER`."""
+    out = text
+    for name in _PII_SCRUB_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
 def repetition_features(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 2
 ) -> DataFrame:

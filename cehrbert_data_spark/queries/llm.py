@@ -934,6 +934,81 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 """
 
 
+# --- PII detection + scrubbing -------------------------------------------------------
+
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection and scrubbing (operators/text.py pii_counts /
+    scrub_pii): plants deterministic doc_id-derived PII (email / phone /
+    SSN / IPv4) into each document, counts matches with native
+    ``regexp_count`` and scrubs with chained ``regexp_replace`` — all
+    codegen, no Python. The oracle rebuilds the same augmented text and
+    applies the same RE2/Java-compatible patterns, so any count or
+    replacement divergence (pattern dialect, scrub order, global-flag
+    slip) hash-mismatches on the scrubbed digest."""
+    from cehrbert_data_spark.operators.text import pii_counts, scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.format_string(" user%d@example.com", d)).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.format_string(
+            " %03d-%03d-%04d", d % 700 + 200, d % 900 + 100, d % 9000 + 1000
+        )).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.format_string(
+            " %03d-%02d-%04d", d % 900 + 100, d % 90 + 10, d % 9000 + 1000
+        )).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.format_string(
+            " 10.%d.%d.%d", d % 256, (d * 3) % 256, (d * 7) % 256
+        )).otherwise(F.lit("")),
+    )
+    counts = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(scrub_pii(aug)).alias("scrub_digest"),
+    )
+
+
+T_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN printf(' user%d@example.com', doc_id) ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN printf(' %03d-%03d-%04d', doc_id % 700 + 200,
+                             doc_id % 900 + 100, doc_id % 9000 + 1000) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN printf(' %03d-%02d-%04d', doc_id % 900 + 100,
+                             doc_id % 90 + 10, doc_id % 9000 + 1000) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN printf(' 10.%d.%d.%d', doc_id % 256,
+                             (doc_id * 3) % 256, (doc_id * 7) % 256) ELSE '' END
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(LEN(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phone,
+       CAST(LEN(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssn,
+       CAST(LEN(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+       ) AS scrub_digest
+FROM aug
+"""
+
+
 # --- repetition quality signals (Gopher-style) ---------------------------------------
 
 def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,6 +1155,7 @@ QUERIES = {
     "mm_av_meta": (mm_av_meta, MM_AV_META_SQL),
     "mm_media_decode": (mm_media_decode, MM_MEDIA_DECODE_SQL),
     "t_repetition": (t_repetition, T_REPETITION_SQL),
+    "t_pii_scrub": (t_pii_scrub, T_PII_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),

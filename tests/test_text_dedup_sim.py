@@ -210,3 +210,41 @@ def test_repetition_features_hand_computed(spark):
     assert rows[2]["rep_n_ngrams"] == 3
     assert rows[2]["rep_top_ngram_frac"] == 1 / 3
     assert rows[2]["rep_dup_ngram_frac"] == 0.0
+
+
+def test_pii_counts_and_scrub(spark):
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call 212-555-0199."),
+            (2, "ssn 123-45-6789 served from 10.0.255.7 twice: 10.0.255.7"),
+            (3, "no pii here, just 1234 and a-b-c and v1.2.3.4.5"),
+        ],
+        "id: long, text: string",
+    )
+    t = F.col("text")
+    counts = pii_counts(t)
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ssn"].alias("s"),
+            counts["ipv4"].alias("i"),
+            scrub_pii(t).alias("scrubbed"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["s"], out[1]["i"]) == (1, 1, 0, 0)
+    assert "<EMAIL>" in out[1]["scrubbed"] and "<PHONE>" in out[1]["scrubbed"]
+    assert "212-555" not in out[1]["scrubbed"]
+    assert (out[2]["e"], out[2]["p"], out[2]["s"], out[2]["i"]) == (0, 0, 1, 2)
+    assert out[2]["scrubbed"].count("<IPV4>") == 2 and "<SSN>" in out[2]["scrubbed"]
+    # v1.2.3.4.5: no \b between 'v' and '1' (both word chars), but '.' IS a
+    # boundary, so the leftmost dotted-quad match is "2.3.4.5" — a known
+    # limitation of \b-delimited IPv4 regexes, identical in both engines.
+    assert (out[3]["e"], out[3]["p"], out[3]["s"], out[3]["i"]) == (0, 0, 0, 1)
+    assert out[3]["scrubbed"] == "no pii here, just 1234 and a-b-c and v1.<IPV4>"
