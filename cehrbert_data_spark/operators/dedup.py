@@ -261,6 +261,99 @@ def minhash_verified_pairs(
     )
 
 
+def minhash_dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an existing CORPUS — the
+    incremental-ingest shape production dedup actually runs (a daily
+    increment against the full historical corpus), as opposed to the
+    one-shot self-join of :func:`minhash_lsh_pairs`.
+
+    Returns (new_id, corpus_id, n_bands). At 100 TB the corpus side's
+    banded signatures live in a persisted bucketed store and only the NEW
+    batch's signatures are computed per run; the join stays an equi-join on
+    (band, band_key) — cost Σ_bucket |new_b|·|corpus_b|, proportional to
+    the increment, never to corpus². The corpus side is shuffle-hash-hinted
+    for the same reason as the self-join form: broadcasting corpus-wide
+    signatures cannot scale.
+    """
+    sig_n = minhash_signatures(new_df, id_col, text_col, k, num_hashes)
+    sig_c = minhash_signatures(corpus_df, id_col, text_col, k, num_hashes)
+    bn = band_signature(sig_n, num_hashes, band_size).alias("n")
+    bc = band_signature(sig_c, num_hashes, band_size).hint("shuffle_hash").alias("c")
+    return (
+        bn.join(
+            bc,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .groupBy(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    centroid_mod: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster with the deterministic IVF codebook (similarity.ivf_assign,
+    nprobe=1), then within each inverted list mark every vector whose exact
+    quantized cosine to a SMALLER-id list member is >= ``threshold`` as a
+    duplicate of the smallest such id.
+
+    Returns one row per vector: (id, cid, dup_of, is_dup) — dup_of NULL
+    for keepers. Scale shape: the pair enumeration is an equi-join on cid
+    (Σ |list|², like IVF search — no n²), the centroid set broadcasts, and
+    the keeper rule (min id beats) needs no iteration because duplicates
+    are anchored to the smallest id per list, not chained. Like-for-like
+    near-dup pairs across DIFFERENT lists are out of scope by construction
+    (the recall/cost tradeoff SemDeDup makes).
+    """
+    from cehrbert_data_spark.operators.similarity import (
+        int_dot,
+        ivf_assign,
+        with_quantized_norm,
+    )
+
+    q = with_quantized_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "ivec", "inorm2"
+    )
+    assigned = q.join(
+        ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=1).select("id", "cid"),
+        "id",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (
+        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
+    )
+    dup_anchor = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cos >= threshold)
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.min(F.col("a.id")).alias("dup_of"))
+    )
+    return assigned.select("id", "cid").join(dup_anchor, "id", "left").select(
+        "id",
+        "cid",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

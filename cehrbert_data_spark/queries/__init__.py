@@ -21,10 +21,10 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: green driver verdicts on record yield their slots to ones that haven't
 #: been checked recently. The tail ROTATES each round so no query goes two
 #: consecutive rounds without a driver verdict (round-3 lesson: a demoted
-#: query can silently carry changed code). All 75 stay declared and are
+#: query can silently carry changed code). All 77 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-6 tail (25 of 75): queries that are DRIVER-GREEN in round 5
+#: Round-6 tail (27 of 77): queries that are DRIVER-GREEN in round 5
 #: (CORRECTNESS_r05) and whose code paths round 6 does not touch. Round 5's
 #: entire 22-query tail is back in the head for fresh verdicts, as are all
 #: round-6-touched queries (j7b_asof_union null-ts/tiebreak rework,
@@ -56,6 +56,8 @@ _TAIL = [
     "t_clean_text",
     "st_session_batch",
     "st_asof_batch",
+    "mm_media_meta",
+    "e_dim_stats",
 ]
 
 

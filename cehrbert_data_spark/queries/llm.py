@@ -934,6 +934,126 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 """
 
 
+# --- incremental dedup (new batch vs corpus) -----------------------------------------
+
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup candidates (operators/dedup.py
+    minhash_dedup_against): odd doc_ids act as the incoming increment, even
+    doc_ids as the persisted corpus — the production ingest shape where
+    only the new side's signatures are computed per run."""
+    from cehrbert_data_spark.operators.dedup import minhash_dedup_against
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return minhash_dedup_against(
+        new, corpus, "doc_id", "text", k=3, num_hashes=16, band_size=2
+    )
+
+
+def _minhash_incremental_sql() -> str:
+    from cehrbert_data_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coefficients,
+    )
+
+    coeffs = minhash_coefficients(16)
+    mins = ",\n         ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh_{h}"
+        for h, (a, b) in enumerate(coeffs)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN CAST(mh_{2 * b} AS VARCHAR) || ',' || CAST(mh_{2 * b + 1} AS VARCHAR)"
+        for b in range(8)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 2
+),
+hashed AS (
+  SELECT id, {_md5_long_sql('shingle')} % {MINHASH_P} AS x FROM sh
+),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM hashed GROUP BY id
+),
+banded AS (
+  SELECT id, b.band AS band,
+         CASE b.band {band_cases} END AS band_key
+  FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS band) b
+)
+SELECT n.id AS new_id, c.id AS corpus_id, COUNT(*) AS n_bands
+FROM banded n JOIN banded c
+  ON n.band = c.band AND n.band_key = c.band_key
+WHERE n.id % 2 = 1 AND c.id % 2 = 0
+GROUP BY n.id, c.id
+"""
+
+
+D_INCREMENTAL_SQL = _minhash_incremental_sql()
+
+
+# --- semantic dedup (SemDeDup-style, embedding clusters) -----------------------------
+
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings (operators/dedup.py
+    semantic_dedup): deterministic IVF clustering, then within-list
+    cosine >= threshold marks duplicates anchored to the smallest id."""
+    from cehrbert_data_spark.operators.dedup import semantic_dedup
+
+    vecs = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(vecs, "vec_id", "embedding", threshold=0.35, centroid_mod=64)
+
+
+D_SEMANTIC_SQL = """
+WITH q AS (
+  SELECT vec_id AS id, LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS (
+  SELECT id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+),
+centroids AS (
+  SELECT id AS cid, ivec AS cvec, norm2 AS cnorm2 FROM normed WHERE id % 64 = 0
+),
+assigned AS (
+  SELECT id, cid FROM (
+    SELECT n.id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.id
+             ORDER BY CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(n.ivec)),
+                           i -> n.ivec[i] * c.cvec[i])) AS DOUBLE)
+                      / (SQRT(n.norm2) * SQRT(c.cnorm2)) DESC,
+                      c.cid ASC
+           ) AS probe_rank
+    FROM normed n CROSS JOIN centroids c
+  ) WHERE probe_rank = 1
+),
+members AS (
+  SELECT a.id, a.cid, n.ivec, n.norm2
+  FROM assigned a JOIN normed n ON a.id = n.id
+),
+anchors AS (
+  SELECT b.id, MIN(a.id) AS dup_of
+  FROM members a JOIN members b ON a.cid = b.cid AND a.id < b.id
+  WHERE CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.ivec)),
+             i -> a.ivec[i] * b.ivec[i])) AS DOUBLE)
+          / (SQRT(a.norm2) * SQRT(b.norm2)) >= 0.35
+  GROUP BY b.id
+)
+SELECT m.id, m.cid, an.dup_of, an.dup_of IS NOT NULL AS is_dup
+FROM members m LEFT JOIN anchors an ON m.id = an.id
+"""
+
+
 # --- PII detection + scrubbing -------------------------------------------------------
 
 def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1156,6 +1276,8 @@ QUERIES = {
     "mm_media_decode": (mm_media_decode, MM_MEDIA_DECODE_SQL),
     "t_repetition": (t_repetition, T_REPETITION_SQL),
     "t_pii_scrub": (t_pii_scrub, T_PII_SQL),
+    "d_incremental_dedup": (d_incremental_dedup, D_INCREMENTAL_SQL),
+    "d_semantic_dedup": (d_semantic_dedup, D_SEMANTIC_SQL),
     "k_salted_count": (k_salted_count, K_SALTED_COUNT_SQL),
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),

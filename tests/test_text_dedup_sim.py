@@ -248,3 +248,54 @@ def test_pii_counts_and_scrub(spark):
     # limitation of \b-delimited IPv4 regexes, identical in both engines.
     assert (out[3]["e"], out[3]["p"], out[3]["s"], out[3]["i"]) == (0, 0, 0, 1)
     assert out[3]["scrubbed"] == "no pii here, just 1234 and a-b-c and v1.<IPV4>"
+
+
+def test_minhash_dedup_against_matches_self_join_restriction(spark):
+    # batch-vs-corpus candidates == the self-join pairs restricted to
+    # (odd new, even corpus), modulo the self-join's id_a < id_b ordering
+    from cehrbert_data_spark.operators.dedup import (
+        minhash_dedup_against,
+        minhash_lsh_pairs,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog and runs away fast"]
+    rows = [(i, texts[0] if i % 5 else texts[0] + " extra tail words here") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    new = docs.where("doc_id % 2 = 1")
+    corpus = docs.where("doc_id % 2 = 0")
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["n_bands"]
+        for r in minhash_dedup_against(new, corpus, "doc_id", "text").collect()
+    }
+    self_pairs = {}
+    for r in minhash_lsh_pairs(docs, "doc_id", "text").collect():
+        for n, c in ((r["id_a"], r["id_b"]), (r["id_b"], r["id_a"])):
+            if n % 2 == 1 and c % 2 == 0:
+                self_pairs[(n, c)] = r["n_bands"]
+    assert got == self_pairs and got  # nonempty and identical
+
+
+def test_semantic_dedup_marks_in_cluster_near_dups(spark):
+    from cehrbert_data_spark.operators.dedup import semantic_dedup
+
+    # centroid_mod=4 -> ids 0,4,8 are centroids; vectors 0..3 identical
+    # direction (dups of 0 inside its list), 4..7 orthogonal directions
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0, 0.0, 0.0]))
+    dirs = [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]]
+    for i, v in enumerate(dirs):
+        rows.append((4 + i, v))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9, centroid_mod=4
+    ).collect()}
+    assert len(out) == 8
+    # 1,2,3 are dups anchored to 0; 0 keeps
+    assert not out[0]["is_dup"] and out[0]["dup_of"] is None
+    for i in (1, 2, 3):
+        assert out[i]["is_dup"] and out[i]["dup_of"] == 0, out[i]
+    # orthogonal vectors never reach the 0.9 threshold
+    for i in (5, 6, 7):
+        assert not out[i]["is_dup"], out[i]
