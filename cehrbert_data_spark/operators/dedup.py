@@ -325,12 +325,21 @@ def semantic_dedup(
         with_quantized_norm,
     )
 
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
     q = with_quantized_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
-    assigned = q.join(
-        ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=1).select("id", "cid"),
-        "id",
+    # The assignment subtree (corpus × broadcast centroids, scored) feeds
+    # THREE consumers (both pair-join sides + the keeper output); column
+    # pruning makes their subtrees non-identical so exchange reuse never
+    # fires (verified: 3 BroadcastNestedLoopJoin instances, 0
+    # ReusedExchange) — materialize once instead of scoring the corpus 3×.
+    assigned = checkpoint_barrier(
+        q.join(
+            ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=1).select("id", "cid"),
+            "id",
+        )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = (
