@@ -235,9 +235,30 @@ def minhash_verified_pairs(
     shingles, then equi-joins side B's shingles on (id, shingle) — pairs
     with zero overlap drop out of the inner join, which is exactly the
     ``threshold > 0`` filter's behavior.
+
+    The distinct shingle set feeds THREE consumers (both verify-join sides
+    and the size counts); as a lazy subtree each consumer re-exploded the
+    whole corpus (column pruning defeats exchange reuse). Instead of
+    materializing corpus-wide shingles (corpus×k bytes — storage-hostile at
+    100 TB), the shingle set is first RESTRICTED to documents that appear
+    in some candidate pair (semi-join on the materialized candidates) and
+    only that bounded set is materialized once — sizes of non-candidate
+    docs are never consumed, so semantics are unchanged.
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, band_size)
-    sh = doc_shingles(df, id_col, text_col, k, distinct=True)
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    cand = checkpoint_barrier(
+        minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, band_size)
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_in_play = df.join(cand_ids, id_col, "left_semi")
+    sh = checkpoint_barrier(
+        doc_shingles(docs_in_play, id_col, text_col, k, distinct=True)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

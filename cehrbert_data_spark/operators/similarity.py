@@ -268,13 +268,22 @@ def ivf_topk(
     Scale shape: the pair join is an equi-join on cid — join volume is
     Σ |inverted list|², like the LSH path but with data-adaptive buckets;
     no n² enumeration, and the corpus shuffles only (id, cid) keys plus the
-    candidate join.
+    candidate join. The corpus×centroids scoring runs ONCE: both the
+    inverted lists (probe_rank = 1) and the query probes (<= nprobe) are
+    sliced from a single materialized assignment — as lazy subtrees the two
+    ivf_assign calls' exchanges are never reused (column pruning makes them
+    non-identical), so the corpus was scored twice.
     """
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
     q = with_quantized_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
-    lists_ = ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=1)
-    probes = ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=nprobe)
+    assigned = checkpoint_barrier(
+        ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=max(1, nprobe))
+    )
+    lists_ = assigned.where(F.col("probe_rank") == 1)
+    probes = assigned
     corpus = q.join(lists_.select("id", "cid"), "id")
     queries = q.join(probes.select("id", "cid"), "id")
     a, b = queries.alias("a"), corpus.alias("b")
