@@ -90,8 +90,15 @@ def ngram_jaccard_pairs(
     Pairs are only enumerated for documents sharing ≥1 shingle (inverted-
     index join), so cost scales with real overlap, not |docs|².
     Jaccard = |∩| / (|A| + |B| − |∩|) in exact integer arithmetic.
+
+    The (id, shingle) set feeds three consumers (both join sides + sizes);
+    it is materialized once — this IS the inverted index, the thing a
+    production shingle store persists — instead of re-exploding the corpus
+    per consumer (exchange reuse never fires across the aliases).
     """
-    sh = doc_shingles(df, id_col, text_col, k)
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    sh = checkpoint_barrier(doc_shingles(df, id_col, text_col, k))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

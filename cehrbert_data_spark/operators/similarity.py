@@ -154,10 +154,17 @@ def lsh_topk(
     fewer candidates. This is the scale path next to the brute-force
     :func:`cosine_topk` baseline — the join volume is Σ bucket², not n².
     """
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
     q = with_quantized_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
-    buckets = lsh_bucket(df, id_col, vec_col, num_planes)
+    # The bucket computation (posexplode over dims × planes + two groupBy
+    # shuffles) would otherwise run once per self-join side — column
+    # pruning defeats exchange reuse. Materialize the SMALL (id, bucket)
+    # table once; the per-row quantize projection re-runs per side, which
+    # is a scan-local no-shuffle cost.
+    buckets = checkpoint_barrier(lsh_bucket(df, id_col, vec_col, num_planes))
     side = q.join(buckets, q["id"] == buckets["id"]).select(
         q["id"].alias("id"), "ivec", "inorm2", "bucket"
     )
@@ -198,8 +205,15 @@ def lsh_candidate_pairs(
 
     The join is an equi-join on (tbl, bucket) — join volume Σ bucket² per
     table, never n². More tables → higher recall, linearly more candidates.
+    The bucket table (explode + two shuffles to build) is materialized once
+    instead of once per self-join side (exchange reuse never fires across
+    the aliases — column pruning makes the subtrees non-identical).
     """
-    buckets = lsh_buckets_multi(df, id_col, vec_col, num_planes, num_tables)
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    buckets = checkpoint_barrier(
+        lsh_buckets_multi(df, id_col, vec_col, num_planes, num_tables)
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
