@@ -618,3 +618,94 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document, the
+    fraction of its distinct k-gram shingles that also appear anywhere in
+    ``eval_df`` (the held-out benchmark / eval corpus).
+
+    This is the asymmetric *containment* check training pipelines run before
+    a data release (n-gram decontamination a la GPT-3 appendix C / PaLM):
+    pairwise Jaccard dedup (:func:`ngram_jaccard_pairs`) asks "are these two
+    documents alike?"; contamination asks "does this training document leak
+    any benchmark text?" — a doc can embed a whole eval example and still
+    have low Jaccard to it.
+
+    Returns (id, n_ngrams, n_hits, contam_ratio, flagged).
+
+    Scale shape: the benchmark side is tiny next to a 100 TB corpus, so its
+    distinct shingle-digest set is BROADCAST — the corpus never shuffles its
+    shingle text, only (id, is_hit) flags into the per-doc count aggregate
+    (map-side combinable). Shingles join on a 60-bit md5 digest, not the
+    raw string, to keep the broadcast table and the hash probes compact.
+    """
+    corpus_sh = doc_shingles(corpus, id_col, text_col, k).select(
+        "id", md5_long(F.col("shingle")).alias("digest")
+    )
+    eval_sh = (
+        doc_shingles(eval_df, id_col, text_col, k)
+        .select(md5_long(F.col("shingle")).alias("digest"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corpus_sh.join(F.broadcast(eval_sh), "digest", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+        )
+        .withColumn(
+            "contam_ratio",
+            F.col("n_hits").cast("double") / F.col("n_ngrams"),
+        )
+        .withColumn("flagged", F.col("contam_ratio") >= threshold)
+    )
+
+
+def dup_ngram_rates(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: of a doc's distinct k-grams,
+    how many occur in at least one OTHER document (corpus-level repetition, a
+    la Lee et al. "Deduplicating Training Data Makes Language Models Better").
+
+    Unlike the pairwise dedup ops this never enumerates document pairs — the
+    signal is computed from the global shingle document-frequency table, so
+    cost is two hash-aggregates plus one equi-join on the shingle digest
+    regardless of how many near-duplicate pairs exist. That makes it the
+    cheapest corpus-level dup signal at 100 TB: shuffle volume is the
+    distinct (id, digest) set, never n² pairs and never the shingle text.
+
+    Returns (id, n_ngrams, n_dup, dup_rate, max_df) where ``max_df`` is the
+    highest document frequency among the doc's shingles.
+    """
+    sh = doc_shingles(df, id_col, text_col, k).select(
+        "id", md5_long(F.col("shingle")).alias("digest")
+    )
+    # The (id, digest) set feeds both the doc-frequency aggregate and the
+    # per-doc rollup; materialize once (exchange reuse never fires across
+    # pruned subtrees — round-6 lesson).
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    sh = checkpoint_barrier(sh)
+    docfreq = sh.groupBy("digest").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(docfreq, "digest")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.max("df").alias("max_df"),
+        )
+        .withColumn("dup_rate", F.col("n_dup").cast("double") / F.col("n_ngrams"))
+        .select("id", "n_ngrams", "n_dup", "dup_rate", "max_df")
+    )

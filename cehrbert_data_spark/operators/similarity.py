@@ -316,3 +316,142 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_subspaces: int = 4,
+    centroid_mod: int = 64,
+) -> DataFrame:
+    """Product-quantization codes: split each vector into ``num_subspaces``
+    contiguous subvectors and assign each to its nearest codebook centroid by
+    exact quantized squared L2 distance (ties broken on centroid id).
+
+    The codebook is deterministic — per subspace, the centroids are the
+    subvectors of the rows whose id ≡ 0 (mod ``centroid_mod``) — so any
+    engine reproduces the same codes without a k-means training step (same
+    convention as :func:`ivf_assign`).
+
+    Returns (id, m, code) with one row per (vector, subspace). The codebook
+    is tiny and broadcast; assignment aggregates min(struct(dist2, cid))
+    per (id, m) — a lexicographic argmin that gets map-side partial
+    aggregation, so the corpus shuffles only (id, m, best) triples, never
+    the vectors.
+    """
+    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("ivec"))
+    subvecs = q.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("ivec"),
+                        F.expr(f"CAST(size(ivec) / {num_subspaces} * {m} AS INT) + 1"),
+                        F.expr(f"CAST(size(ivec) / {num_subspaces} AS INT)"),
+                    )
+                    for m in range(num_subspaces)
+                ]
+            )
+        ).alias("m", "sv"),
+    )
+    centroids = subvecs.where(F.col("id") % centroid_mod == 0).select(
+        F.col("id").alias("cid"), F.col("m").alias("cm"), F.col("sv").alias("cv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = subvecs.join(F.broadcast(centroids), F.col("m") == F.col("cm")).select(
+        "id", "m", F.struct(dist2.alias("d2"), F.col("cid").alias("cid")).alias("s")
+    )
+    return scored.groupBy("id", "m").agg(F.min("s").alias("best")).select(
+        "id", "m", F.col("best.cid").alias("code")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_subspaces: int = 4,
+    centroid_mod: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) product-quantization top-k: corpus vectors
+    are represented only by their PQ codes; each query scores a candidate as
+    the sum over subspaces of its exact quantized squared-L2 distance to the
+    candidate's assigned centroid.
+
+    This is the memory-compressed ANN scale path: at 100 TB the corpus
+    never re-reads its float vectors at query time — the scan touches
+    ``num_subspaces`` small ints per vector, and the per-query distance
+    lookup table (|queries| × |codebook| × subspaces) is broadcast. One
+    shuffle on (q_id, id) sums the subspace contributions; everything is
+    BIGINT arithmetic end-to-end, so results are bit-exact across engines.
+
+    Returns (q_id, n_id, adist2, rank) ranked ascending by approximate
+    squared distance (ties on n_id).
+    """
+    codes = pq_codes(df, id_col, vec_col, num_subspaces, centroid_mod)
+    # Query-to-centroid lookup table: |Q| × K × M rows, tiny → broadcast.
+    qsub = (
+        queries.select(F.col(id_col).alias("q_id"), quantize(F.col(vec_col)).alias("ivec"))
+        .select(
+            "q_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(
+                            F.col("ivec"),
+                            F.expr(f"CAST(size(ivec) / {num_subspaces} * {m} AS INT) + 1"),
+                            F.expr(f"CAST(size(ivec) / {num_subspaces} AS INT)"),
+                        )
+                        for m in range(num_subspaces)
+                    ]
+                )
+            ).alias("m", "qv"),
+        )
+    )
+    cent = (
+        df.select(F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("ivec"))
+        .where(F.col("cid") % centroid_mod == 0)
+        .select(
+            "cid",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(
+                            F.col("ivec"),
+                            F.expr(f"CAST(size(ivec) / {num_subspaces} * {m} AS INT) + 1"),
+                            F.expr(f"CAST(size(ivec) / {num_subspaces} AS INT)"),
+                        )
+                        for m in range(num_subspaces)
+                    ]
+                )
+            ).alias("cm", "cv"),
+        )
+    )
+    qdist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(cent, F.col("m") == F.col("cm")).select(
+        "q_id", "m", F.col("cid").alias("code"), qdist2.alias("qd2")
+    )
+    contrib = codes.join(F.broadcast(lut), ["m", "code"]).where(
+        F.col("id") != F.col("q_id")
+    )
+    scored = contrib.groupBy("q_id", F.col("id").alias("n_id")).agg(
+        F.sum("qd2").alias("adist2")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist2").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "adist2", "rank")
+    )

@@ -1253,6 +1253,136 @@ FROM documents
 """
 
 
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: score every non-eval document's 3-gram
+    containment against the src0 'benchmark' slice (GPT-3/PaLM-style n-gram
+    leak check — asymmetric containment, NOT pairwise Jaccard)."""
+    from cehrbert_data_spark.operators.dedup import contamination_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("source") == "src0")
+    train_df = docs.where(F.col("source") != "src0")
+    return contamination_scores(
+        train_df, eval_df, "doc_id", "text", k=3, threshold=0.5
+    ).withColumnRenamed("id", "doc_id")
+
+
+T_CONTAMINATION_SQL = f"""
+WITH w AS (
+  SELECT doc_id AS id, source, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, source, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 2
+),
+eval_set AS (
+  SELECT DISTINCT {_md5_long_sql('shingle')} AS digest FROM sh WHERE source = 'src0'
+),
+train AS (
+  SELECT id, {_md5_long_sql('shingle')} AS digest FROM sh WHERE source != 'src0'
+),
+scored AS (
+  SELECT t.id, COUNT(*) AS n_ngrams,
+         CAST(SUM(CASE WHEN e.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM train t LEFT JOIN eval_set e ON t.digest = e.digest
+  GROUP BY t.id
+)
+SELECT id AS doc_id, n_ngrams, n_hits,
+       CAST(n_hits AS DOUBLE) / n_ngrams AS contam_ratio,
+       CAST(n_hits AS DOUBLE) / n_ngrams >= 0.5 AS flagged
+FROM scored
+"""
+
+
+def d_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-n-gram fraction per document (Lee et al.
+    dedup signal): two hash-aggs + one digest equi-join, never n² pairs."""
+    from cehrbert_data_spark.operators.dedup import dup_ngram_rates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dup_ngram_rates(docs, "doc_id", "text", k=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+D_DUP_NGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 2
+),
+hashed AS (SELECT id, {_md5_long_sql('shingle')} AS digest FROM sh),
+docfreq AS (SELECT digest, COUNT(*) AS df FROM hashed GROUP BY digest)
+SELECT h.id AS doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate,
+       MAX(f.df) AS max_df
+FROM hashed h JOIN docfreq f ON h.digest = f.digest
+GROUP BY h.id
+"""
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-compressed ANN: product-quantization codes (4 subspaces,
+    deterministic codebook) scored by asymmetric distance — all-BIGINT."""
+    from cehrbert_data_spark.operators.similarity import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_subspaces=4, centroid_mod=64
+    )
+
+
+SIM_PQ_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+subvecs AS (
+  SELECT id, m.m AS m, ivec[(LEN(ivec) // 4) * m.m + 1 : (LEN(ivec) // 4) * (m.m + 1)] AS sv
+  FROM q, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS m) m
+),
+centroids AS (
+  SELECT id AS cid, m AS cm, sv AS cv FROM subvecs WHERE id % 64 = 0
+),
+assigned AS (
+  SELECT id, m, cid AS code FROM (
+    SELECT s.id, s.m, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.id, s.m
+             ORDER BY LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(s.sv)),
+                      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) ASC, c.cid ASC
+           ) AS rn
+    FROM subvecs s JOIN centroids c ON s.m = c.cm
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.id AS q_id, s.m, c.cid AS code,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(s.sv)),
+              i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS qd2
+  FROM subvecs s JOIN centroids c ON s.m = c.cm
+  WHERE s.id < 5
+),
+scored AS (
+  SELECT l.q_id, a.id AS n_id, CAST(SUM(l.qd2) AS BIGINT) AS adist2
+  FROM assigned a JOIN lut l ON a.m = l.m AND a.code = l.code
+  WHERE a.id != l.q_id
+  GROUP BY l.q_id, a.id
+)
+SELECT q_id, n_id, adist2, rank FROM (
+  SELECT q_id, n_id, adist2,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist2 ASC, n_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1284,4 +1414,7 @@ QUERIES = {
     "t_stratified_sample": (t_stratified_sample, T_STRATIFIED_SQL),
     "t_clean_text": (t_clean_text, T_CLEAN_SQL),
     "t_word_rarity": (t_word_rarity, T_WORD_RARITY_SQL),
+    "t_contamination": (t_contamination, T_CONTAMINATION_SQL),
+    "d_dup_ngram_rate": (d_dup_ngram_rate, D_DUP_NGRAM_SQL),
+    "sim_pq_topk": (sim_pq_topk, SIM_PQ_TOPK_SQL),
 }

@@ -299,3 +299,77 @@ def test_semantic_dedup_marks_in_cluster_near_dups(spark):
     # orthogonal vectors never reach the 0.9 threshold
     for i in (5, 6, 7):
         assert not out[i]["is_dup"], out[i]
+
+
+def test_contamination_scores_containment(spark):
+    from cehrbert_data_spark.operators.dedup import contamination_scores
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id: int, text: string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # embeds a full eval 3-gram run -> high containment
+            (1, "alpha beta gamma delta zeta eta"),
+            # no overlap at all
+            (2, "one two three four five six"),
+        ],
+        "doc_id: int, text: string",
+    )
+    out = {r["id"]: r for r in contamination_scores(
+        corpus, eval_df, "doc_id", "text", k=3, threshold=0.5
+    ).collect()}
+    # doc 1: shingles {abg, bgd, gdz, dze}; eval has {abg, bgd, gde}
+    assert out[1]["n_ngrams"] == 4 and out[1]["n_hits"] == 2
+    assert abs(out[1]["contam_ratio"] - 0.5) < 1e-12 and out[1]["flagged"]
+    assert out[2]["n_hits"] == 0 and not out[2]["flagged"]
+
+
+def test_dup_ngram_rates_corpus_level(spark):
+    from cehrbert_data_spark.operators.dedup import dup_ngram_rates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "a b c x"),          # shares "a b c" with doc 1
+            (3, "p q r s"),          # unique
+        ],
+        "doc_id: int, text: string",
+    )
+    out = {r["id"]: r for r in dup_ngram_rates(docs, "doc_id", "text", k=3).collect()}
+    assert out[1]["n_ngrams"] == 2 and out[1]["n_dup"] == 1 and out[1]["max_df"] == 2
+    assert abs(out[1]["dup_rate"] - 0.5) < 1e-12
+    assert out[2]["n_dup"] == 1
+    assert out[3]["n_dup"] == 0 and out[3]["max_df"] == 1
+
+
+def test_pq_codes_and_adc_topk(spark):
+    from cehrbert_data_spark.operators.similarity import pq_codes, pq_topk
+
+    # centroid_mod=2 -> ids 0 and 2 are codebook entries. 4-dim vectors,
+    # 2 subspaces of 2 dims.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [1.0, 0.1, 0.1, 1.0]),   # near 0 in both subspaces
+        (2, [-1.0, 0.0, 0.0, -1.0]),
+        (3, [-1.0, 0.1, 0.1, -1.0]),  # near 2 in both subspaces
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    codes = {(r["id"], r["m"]): r["code"] for r in pq_codes(
+        df, "vec_id", "embedding", num_subspaces=2, centroid_mod=2
+    ).collect()}
+    assert codes[(1, 0)] == 0 and codes[(1, 1)] == 0
+    assert codes[(3, 0)] == 2 and codes[(3, 1)] == 2
+    # every vector has exactly num_subspaces codes
+    assert len(codes) == 8
+
+    queries = df.where(F.col("vec_id") == 0)
+    out = pq_topk(
+        df, queries, "vec_id", "embedding", k=3, num_subspaces=2, centroid_mod=2
+    ).collect()
+    ranked = [r["n_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # 1 quantizes to centroid 0 (adist2=0 from query 0); 2 and 3 both sit on
+    # centroid 2 (equidistant) -> id tiebreak
+    assert ranked == [1, 2, 3]
+    adist = {r["n_id"]: r["adist2"] for r in out}
+    assert adist[1] == 0 and adist[2] == adist[3] > 0
