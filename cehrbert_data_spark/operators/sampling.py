@@ -1,0 +1,136 @@
+"""Dataset-composition operators: domain mixing and vocabulary coverage.
+
+Training-data pipelines rarely train on a corpus as-collected — they train
+on a *mix* (N% web, M% code, ...) and on a tokenizer vocabulary fitted to
+that mix. Both operators here are exact and deterministic (md5-ranked
+sampling, integer quota arithmetic), so the resulting dataset composition
+is auditable and reproducible across runs, engines, and cluster layouts —
+the property `rand()`-based samplers cannot give.
+
+100 TB design notes:
+  * quotas derive from a per-domain COUNT aggregate (rows = |domains|,
+    broadcast back to the corpus — the corpus itself never shuffles twice);
+  * per-domain ranking is a key-partitioned window (no global window);
+  * vocabulary coverage computes the global top-k with Spark's
+    TakeOrdered physical operator (heap per partition, k-row merge — no
+    full sort), then does rank/cumulative arithmetic on the k-row result
+    via a broadcast triangular self-join — no global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.text import md5_long, regex_tokens
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Deterministic resampling to a target domain mix.
+
+    ``weights`` maps domain value -> integer target weight (proportions are
+    weights / sum(weights)). The kept total T is the largest corpus size
+    achievable without oversampling any domain:
+
+        T = min_d floor(count_d * W / w_d),   W = sum(weights)
+        quota_d = floor(w_d * T / W)          (so quota_d <= count_d)
+
+    Each domain keeps its ``quota_d`` documents with the smallest
+    md5(id) — a uniform, engine-portable, layout-independent choice.
+    All quota arithmetic is integer (exact in Spark and any SQL oracle).
+
+    Returns kept rows: (id, domain, rk, quota).
+
+    Scale: one tiny COUNT agg (|domains| rows) broadcast back to the
+    corpus; ranking is a window partitioned by domain. Domains with no
+    weight are filtered before any shuffle.
+    """
+    wsum = sum(weights.values())
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    dom = (
+        df.where(F.col(domain_col).isin(*weights.keys()))
+        .select(F.col(id_col).alias("id"), F.col(domain_col).alias("domain"))
+        .withColumn("wt", wmap[F.col("domain")].cast("long"))
+    )
+
+    counts = dom.groupBy("domain", "wt").agg(F.count(F.lit(1)).alias("n"))
+    # T as a distributed scalar (no collect): 1-row agg, broadcast cross-join.
+    cap = counts.select(
+        F.min(F.expr(f"(n * {wsum}) div wt")).alias("cap")
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(cap))
+        .select(
+            "domain",
+            F.expr(f"(wt * cap) div {wsum}").cast("long").alias("quota"),
+        )
+    )
+
+    w = Window.partitionBy("domain").orderBy(
+        md5_long(F.col("id").cast("string"), bits=40), F.col("id")
+    )
+    ranked = dom.select("id", "domain", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(quotas), "domain")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("id", "domain", F.col("rk").cast("long").alias("rk"), "quota")
+    )
+
+
+def vocab_top_coverage(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Top-k tokenizer vocabulary with cumulative corpus coverage.
+
+    Tokenizes with the corpus BPE-ish regex, counts token frequencies, takes
+    the global top-k by (freq DESC, token ASC) — a total order, so ranks are
+    deterministic under frequency ties — and reports for each vocabulary
+    entry the fraction of all corpus tokens covered by the vocabulary up to
+    and including it (the curve a tokenizer's vocab size is chosen from).
+
+    Returns (token, freq, rank, cum_freq, total_tokens, coverage).
+    ``coverage`` is the only double — one division of two exact BIGINTs,
+    so it renders identically in any IEEE-754 engine.
+
+    Scale: token counting is one hash-agg over exploded tokens (map-side
+    combined); top-k uses sort().limit() — Spark plans TakeOrdered, a
+    per-partition heap + k-row driver merge, never a full sort; rank and
+    cumulative sums come from a broadcast triangular self-join on the
+    k-row set (k^2 rows total) instead of a single-partition window.
+    """
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    tok = df.select(F.explode(regex_tokens(F.col(text_col))).alias("token"))
+    # The corpus explode+agg feeds three consumers (total, and both sides of
+    # the triangular join via topk); materialize the |vocab|-row result once
+    # — exchange reuse never fires across aliases, and re-exploding the
+    # corpus per consumer is the expensive path at scale.
+    freqs = checkpoint_barrier(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = freqs.select(F.sum("freq").cast("long").alias("total_tokens"))
+    topk = freqs.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    a = topk.alias("a")
+    b = topk.alias("b")
+    before_or_self = (F.col("b.freq") > F.col("a.freq")) | (
+        (F.col("b.freq") == F.col("a.freq")) & (F.col("b.token") <= F.col("a.token"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), before_or_self)
+        .groupBy(F.col("a.token").alias("token"), F.col("a.freq").alias("freq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rank"),
+            F.sum(F.col("b.freq")).cast("long").alias("cum_freq"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+        "rank",
+        "cum_freq",
+        "total_tokens",
+        (F.col("cum_freq").cast("double") / F.col("total_tokens")).alias("coverage"),
+    )

@@ -1383,6 +1383,79 @@ SELECT q_id, n_id, adist2, rank FROM (
 """
 
 
+# --- dataset composition: domain mixing + vocabulary coverage ------------------------
+
+def t_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling of four sources to a 4:3:2:1 target mix —
+    the largest corpus achievable without oversampling any domain, each
+    domain keeping its md5-smallest documents (auditable, engine-portable).
+    Integer quota arithmetic end-to-end; see operators/sampling.py."""
+    from cehrbert_data_spark.operators.sampling import domain_mix_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = domain_mix_sample(
+        docs, "doc_id", "source", {"src0": 4, "src1": 3, "src2": 2, "src3": 1}
+    )
+    return kept.select(
+        F.col("id").alias("doc_id"), F.col("domain").alias("source"), "rk", "quota"
+    )
+
+
+T_DOMAIN_MIX_SQL = """
+WITH w(source, wt) AS (VALUES ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1)),
+c AS (
+  SELECT d.source, w.wt, COUNT(*) AS n
+  FROM documents d JOIN w ON d.source = w.source
+  GROUP BY d.source, w.wt
+),
+t AS (SELECT MIN((n * 10) // wt) AS cap FROM c),
+q AS (SELECT source, (wt * cap) // 10 AS quota FROM c, t),
+r AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST(('0x' || SUBSTRING(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)) AS BIGINT),
+                    d.doc_id
+         ) AS rk
+  FROM documents d JOIN w ON d.source = w.source
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, CAST(q.quota AS BIGINT) AS quota
+FROM r JOIN q ON r.source = q.source
+WHERE r.rk <= q.quota
+"""
+
+
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokenizer vocabulary with cumulative corpus coverage (the
+    curve a vocab size is chosen from). Global top-k via TakeOrdered, rank +
+    cumulative sums via a broadcast triangular self-join on the 20-row
+    result — no global window. Coverage is one BIGINT/BIGINT division."""
+    from cehrbert_data_spark.operators.sampling import vocab_top_coverage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_top_coverage(docs, "text", k=20)
+
+
+T_VOCAB_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS token
+  FROM documents
+),
+f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM f),
+topk AS (SELECT token, freq FROM f ORDER BY freq DESC, token ASC LIMIT 20)
+SELECT a.token, CAST(a.freq AS BIGINT) AS freq,
+       CAST(COUNT(*) AS BIGINT) AS rank,
+       CAST(SUM(b.freq) AS BIGINT) AS cum_freq,
+       tot.total_tokens,
+       CAST(CAST(SUM(b.freq) AS BIGINT) AS DOUBLE) / tot.total_tokens AS coverage
+FROM topk a
+JOIN topk b ON (b.freq > a.freq) OR (b.freq = a.freq AND b.token <= a.token)
+CROSS JOIN tot
+GROUP BY a.token, a.freq, tot.total_tokens
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1417,4 +1490,6 @@ QUERIES = {
     "t_contamination": (t_contamination, T_CONTAMINATION_SQL),
     "d_dup_ngram_rate": (d_dup_ngram_rate, D_DUP_NGRAM_SQL),
     "sim_pq_topk": (sim_pq_topk, SIM_PQ_TOPK_SQL),
+    "t_domain_mix": (t_domain_mix, T_DOMAIN_MIX_SQL),
+    "t_vocab_coverage": (t_vocab_coverage, T_VOCAB_COVERAGE_SQL),
 }

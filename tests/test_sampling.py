@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.sampling import domain_mix_sample, vocab_top_coverage
+
+
+def _md5_40(x) -> int:
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:10], 16)
+
+
+def test_domain_mix_quotas_and_determinism(spark):
+    # Skewed counts: a=30, b=10, c=4; weights 2:1:1 (W=4).
+    rows = (
+        [(i, "a") for i in range(30)]
+        + [(100 + i, "b") for i in range(10)]
+        + [(200 + i, "c") for i in range(4)]
+        + [(300 + i, "zzz") for i in range(7)]  # unweighted domain: dropped
+    )
+    df = spark.createDataFrame(rows, "id: long, dom: string")
+    out = domain_mix_sample(df, "id", "dom", {"a": 2, "b": 1, "c": 1}).collect()
+    # cap = min(30*4//2, 10*4//1, 4*4//1) = min(60, 40, 16) = 16
+    # quotas: a = 2*16//4 = 8, b = 1*16//4 = 4, c = 4
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {"a": 8, "b": 4, "c": 4}
+    assert all(r["quota"] == {"a": 8, "b": 4, "c": 4}[r["domain"]] for r in out)
+    # No domain oversampled; ranks within 1..quota.
+    for d, v in by_dom.items():
+        assert sorted(r["rk"] for r in v) == list(range(1, len(v) + 1))
+    # Kept ids are exactly the md5-smallest per domain (engine-portable rule).
+    expect_a = sorted(range(30), key=lambda i: (_md5_40(i), i))[:8]
+    assert sorted(r["id"] for r in by_dom["a"]) == sorted(expect_a)
+    # Deterministic across re-runs and layouts.
+    again = domain_mix_sample(
+        df.repartition(7), "id", "dom", {"a": 2, "b": 1, "c": 1}
+    ).collect()
+    assert {(r["id"], r["rk"]) for r in again} == {(r["id"], r["rk"]) for r in out}
+
+
+def test_domain_mix_weighted_domain_absent(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "id: long, dom: string")
+    out = domain_mix_sample(df, "id", "dom", {"a": 1, "ghost": 3}).collect()
+    # ghost has no rows -> contributes no cap constraint; 'a' keeps all.
+    assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_vocab_top_coverage_ranks_ties_and_coverage(spark):
+    # freqs: x=3, b=2, a=2, z=1 -> order x, a, b (tie broken token-asc), z.
+    df = spark.createDataFrame(
+        [("x x x b b",), ("a a z",)], "text: string"
+    )
+    out = {r["token"]: r for r in vocab_top_coverage(df, "text", k=3).collect()}
+    assert set(out) == {"x", "a", "b"}
+    assert [out[t]["rank"] for t in ("x", "a", "b")] == [1, 2, 3]
+    assert [out[t]["cum_freq"] for t in ("x", "a", "b")] == [3, 5, 7]
+    assert all(r["total_tokens"] == 8 for r in out.values())
+    assert out["b"]["coverage"] == 7 / 8
+
+
+def test_vocab_top_coverage_k_larger_than_vocab(spark):
+    df = spark.createDataFrame([("one two two",)], "text: string")
+    out = vocab_top_coverage(df, "text", k=50).collect()
+    assert len(out) == 2
+    top = max(out, key=lambda r: r["cum_freq"])
+    assert top["cum_freq"] == top["total_tokens"] == 3
+    assert top["coverage"] == 1.0
