@@ -455,3 +455,96 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "adist2", "rank")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k re-rank.
+
+    Greedy MMR: repeatedly pick argmax of
+    ``lam * relevance - mu * max_{s in selected} sim(cand, s)`` (max over the
+    empty set = 0.0), smallest-id tie-break. The greedy chain is inherently
+    sequential, so it runs per query group in ``applyInPandas`` — but ONLY
+    over the bounded ``pool`` of stage-1 candidates (exact cosine top-pool,
+    distributed, broadcast query side). The Python stage therefore touches
+    |Q|·pool rows regardless of corpus size, and the shuffle key is q_id.
+
+    Exactness discipline (what makes even this greedy loop oracle-checkable
+    cross-engine): relevance and candidate-candidate similarities are
+    int-dot / (sqrt·sqrt) doubles — the numpy side computes the exact same
+    IEEE expression (int64 Gram matrix, then /(sqrt·sqrt)), and the score
+    uses explicit ``lam`` / ``mu`` constants (never ``1 - lam``, which is
+    not the same double as ``0.3``).
+
+    Returns (q_id, n_id, mmr_rank, relevance, mmr_score).
+    """
+    import pandas as pd
+
+    cand = cosine_topk(corpus, queries, id_col, vec_col, k=pool)
+    cvec = with_quantized_norm(corpus, vec_col).select(
+        F.col(id_col).alias("n_id"), "ivec", F.col("inorm2").alias("n_norm2")
+    )
+    # Candidates are |Q|*pool rows — broadcast them into the corpus join so
+    # the big side never shuffles.
+    enriched = cvec.join(F.broadcast(cand), "n_id").select(
+        "q_id", "n_id", F.col("cosine").alias("relevance"), "ivec", "n_norm2"
+    )
+
+    schema = (
+        "q_id long, n_id long, mmr_rank long, relevance double, mmr_score double"
+    )
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        import numpy as np
+
+        pdf = pdf.sort_values("n_id").reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf["n_id"].to_numpy()
+        rel = pdf["relevance"].to_numpy()
+        V = np.stack(pdf["ivec"].to_numpy()).astype(np.int64)
+        gram = V @ V.T  # exact: |x|<=~2000, dim<=~1024 stays far under 2^63
+        n2 = pdf["n_norm2"].to_numpy().astype(np.int64)
+        inv = np.array([math.sqrt(float(x)) for x in n2])
+
+        selected: list[int] = []
+        out = []
+        remaining = list(range(n))  # ascending n_id => first-wins tie-break
+        while remaining and len(selected) < k:
+            best_i, best_score = None, None
+            for i in remaining:
+                # Max-sim over the selected set; empty set -> 0.0. A true
+                # max (sims can be negative), matching SQL MAX(sim).
+                ms = (
+                    max(float(gram[i, j]) / (inv[i] * inv[j]) for j in selected)
+                    if selected
+                    else 0.0
+                )
+                score = lam * rel[i] - mu * ms
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            remaining.remove(best_i)
+            out.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    int(ids[best_i]),
+                    len(selected),
+                    float(rel[best_i]),
+                    float(best_score),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["q_id", "n_id", "mmr_rank", "relevance", "mmr_score"]
+        )
+
+    return enriched.groupBy("q_id").applyInPandas(_greedy, schema)

@@ -24,22 +24,25 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: query can silently carry changed code). All 77 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-6 tail (32 of 82): queries that are DRIVER-GREEN in round 5
+#: Round-6 tail (33 of 83): queries that are DRIVER-GREEN in round 5
 #: (CORRECTNESS_r05) and whose code paths round 6 does not touch. Round 5's
 #: entire 22-query tail is back in the head for fresh verdicts, as are all
 #: round-6-touched queries (j7b_asof_union null-ts/tiebreak rework,
 #: j6b_overlap_buckets malformed-interval guard, the d_minhash_lsh planning
 #: work, and the new mm_media_decode / t_repetition / t_contamination /
-#: d_dup_ngram_rate / sim_pq_topk / t_domain_mix / t_vocab_coverage).
-#: d_simhash, k_salted_count, t_stratified_sample, w7_sessionize and
-#: seq_att_gap_tokens yielded their head slots to the round-6-new queries
-#: (all five are r5-driver-green and untouched this round).
+#: d_dup_ngram_rate / sim_pq_topk / t_domain_mix / t_vocab_coverage /
+#: sim_mmr_rerank). d_simhash, k_salted_count, t_stratified_sample,
+#: w7_sessionize, seq_att_gap_tokens and seq_user_sequence yielded their
+#: head slots to the round-6-new queries (all six are r5-driver-green and
+#: untouched this round; seq_user_sequence is additionally smoke-checked
+#: every round as the entry() flagship).
 _TAIL = [
     "d_simhash",
     "k_salted_count",
     "t_stratified_sample",
     "w7_sessionize",
     "seq_att_gap_tokens",
+    "seq_user_sequence",
     "p_filter_project",
     "j2_left_outer",
     "j3_semi",

@@ -1456,6 +1456,131 @@ GROUP BY a.token, a.freq, tot.total_tokens
 """
 
 
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR greedy re-rank of the exact top-20 cosine
+    pool per query (vec_id < 5), k=5, lam/mu = 0.7/0.3. The greedy chain is
+    sequential per query, so it runs in applyInPandas over the bounded
+    candidate pool; the oracle unrolls the same 5 argmax steps in SQL (the
+    int-dot/sqrt arithmetic is IEEE-identical on both sides)."""
+    from cehrbert_data_spark.operators.similarity import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return mmr_rerank(emb, queries, "vec_id", "embedding", k=5, pool=20)
+
+
+SIM_MMR_SQL = """
+WITH normed AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+n2 AS (
+  SELECT vec_id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM normed
+),
+pairs AS (
+  SELECT qv.vec_id AS q_id, nv.vec_id AS n_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qv.ivec)),
+              i -> qv.ivec[i] * nv.ivec[i])) AS DOUBLE)
+           / (SQRT(qv.norm2) * SQRT(nv.norm2)) AS rel
+  FROM n2 qv, n2 nv
+  WHERE qv.vec_id < 5 AND nv.vec_id != qv.vec_id
+),
+cand AS (
+  SELECT q_id, n_id, rel FROM (
+    SELECT q_id, n_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk
+    FROM pairs) WHERE rk <= 20
+),
+sims AS (
+  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(na.ivec)),
+              i -> na.ivec[i] * nb.ivec[i])) AS DOUBLE)
+           / (SQRT(na.norm2) * SQRT(nb.norm2)) AS sim
+  FROM cand a
+  JOIN cand b ON a.q_id = b.q_id AND a.n_id != b.n_id
+  JOIN n2 na ON na.vec_id = a.n_id
+  JOIN n2 nb ON nb.vec_id = b.n_id
+),
+s1 AS (
+  SELECT q_id, n_id, rel, 0.7 * rel - 0.3 * 0.0 AS score FROM (
+    SELECT q_id, n_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY 0.7 * rel - 0.3 * 0.0 DESC, n_id) AS rk
+    FROM cand) WHERE rk = 1
+),
+m2 AS (
+  SELECT c.q_id, c.n_id, c.rel, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+  FROM cand c
+  JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id
+  JOIN s1 p ON p.q_id = s.q_id AND p.n_id = s.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM s1 x WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+  GROUP BY c.q_id, c.n_id, c.rel
+),
+s2 AS (
+  SELECT q_id, n_id, rel, score FROM (
+    SELECT q_id, n_id, rel, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+    FROM m2) WHERE rk = 1
+),
+p3 AS (SELECT q_id, n_id FROM s1 UNION ALL SELECT q_id, n_id FROM s2),
+m3 AS (
+  SELECT c.q_id, c.n_id, c.rel, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+  FROM cand c
+  JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id
+  JOIN p3 p ON p.q_id = s.q_id AND p.n_id = s.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM p3 x WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+  GROUP BY c.q_id, c.n_id, c.rel
+),
+s3 AS (
+  SELECT q_id, n_id, rel, score FROM (
+    SELECT q_id, n_id, rel, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+    FROM m3) WHERE rk = 1
+),
+p4 AS (SELECT q_id, n_id FROM p3 UNION ALL SELECT q_id, n_id FROM s3),
+m4 AS (
+  SELECT c.q_id, c.n_id, c.rel, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+  FROM cand c
+  JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id
+  JOIN p4 p ON p.q_id = s.q_id AND p.n_id = s.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM p4 x WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+  GROUP BY c.q_id, c.n_id, c.rel
+),
+s4 AS (
+  SELECT q_id, n_id, rel, score FROM (
+    SELECT q_id, n_id, rel, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+    FROM m4) WHERE rk = 1
+),
+p5 AS (SELECT q_id, n_id FROM p4 UNION ALL SELECT q_id, n_id FROM s4),
+m5 AS (
+  SELECT c.q_id, c.n_id, c.rel, 0.7 * c.rel - 0.3 * MAX(s.sim) AS score
+  FROM cand c
+  JOIN sims s ON s.q_id = c.q_id AND s.a_id = c.n_id
+  JOIN p5 p ON p.q_id = s.q_id AND p.n_id = s.b_id
+  WHERE NOT EXISTS (SELECT 1 FROM p5 x WHERE x.q_id = c.q_id AND x.n_id = c.n_id)
+  GROUP BY c.q_id, c.n_id, c.rel
+),
+s5 AS (
+  SELECT q_id, n_id, rel, score FROM (
+    SELECT q_id, n_id, rel, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+    FROM m5) WHERE rk = 1
+)
+SELECT q_id, n_id, CAST(1 AS BIGINT) AS mmr_rank, rel AS relevance, score AS mmr_score FROM s1
+UNION ALL
+SELECT q_id, n_id, CAST(2 AS BIGINT), rel, score FROM s2
+UNION ALL
+SELECT q_id, n_id, CAST(3 AS BIGINT), rel, score FROM s3
+UNION ALL
+SELECT q_id, n_id, CAST(4 AS BIGINT), rel, score FROM s4
+UNION ALL
+SELECT q_id, n_id, CAST(5 AS BIGINT), rel, score FROM s5
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1492,4 +1617,5 @@ QUERIES = {
     "sim_pq_topk": (sim_pq_topk, SIM_PQ_TOPK_SQL),
     "t_domain_mix": (t_domain_mix, T_DOMAIN_MIX_SQL),
     "t_vocab_coverage": (t_vocab_coverage, T_VOCAB_COVERAGE_SQL),
+    "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
 }
