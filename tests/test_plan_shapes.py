@@ -165,3 +165,32 @@ def test_plan_budget_guard(spark):
 
     scalar_plus_window = with_scalar_max(partitioned, "id", "max_id")
     assert not assert_plan_budget(scalar_plus_window, "scalar+window")["global_window"]
+
+
+def test_domain_mix_partitioned_window_and_broadcast_quotas(spark, qs):
+    p = plan(qs["t_domain_mix"](spark, SF_DIR))
+    # ranking is a domain-partitioned window, never a global one
+    assert "windowspecdefinition(domain" in p
+    # quota side joins back via broadcast (corpus shuffles once, for the window)
+    assert "BroadcastHashJoin" in p
+    # the source-weight filter reaches the parquet scan
+    assert "PushedFilters" in p and "source" in p.split("PushedFilters", 1)[1]
+
+
+def test_vocab_coverage_takeordered_no_global_window(spark, qs):
+    p = plan(qs["t_vocab_coverage"](spark, SF_DIR))
+    # global top-k via heap merge, not a full sort or a 1-partition window
+    assert "TakeOrderedAndProject" in p
+    assert "windowspecdefinition" not in p
+    # token counting is map-side combined
+    assert "partial_count" in p
+
+
+def test_mmr_candidate_join_broadcasts_not_corpus(spark, qs):
+    p = plan(qs["sim_mmr_rerank"](spark, SF_DIR))
+    # the |Q|*pool candidate set broadcasts into the corpus-vector join
+    assert "BroadcastHashJoin" in p
+    # the only Python stage is the bounded-pool greedy (FlatMapGroupsInPandas);
+    # no row-at-a-time Python eval anywhere
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
