@@ -211,3 +211,98 @@ def test_connected_components_vs_unionfind(spark, seed):
     keepers = {r["id"]: r["keeper"] for r in dedup_keepers(docs, pairs).collect()}
     for v in range(n):
         assert keepers[v] == expected.get(v, v)
+
+
+def _mmr_expected(vecs, query_ids, k, pool, lam, mu):
+    """Naive MMR: quantized int dots, greedy argmax, smallest-id ties."""
+    import math
+
+    q = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+    n2 = {i: sum(x * x for x in v) for i, v in q.items()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(q[a], q[b]))
+        return float(d) / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+
+    out = []
+    for qi in query_ids:
+        cands = sorted(
+            ((cos(qi, i), i) for i in vecs if i != qi), key=lambda t: (-t[0], t[1])
+        )[:pool]
+        rel = {i: c for c, i in cands}
+        remaining = sorted(rel)
+        sel = []
+        while remaining and len(sel) < k:
+            best, best_s = None, None
+            for i in remaining:
+                ms = max((cos(i, j) for j in sel), default=0.0)
+                s = lam * rel[i] - mu * ms
+                if best_s is None or s > best_s:
+                    best, best_s = i, s
+            sel.append(best)
+            remaining.remove(best)
+            out.append((qi, best, len(sel)))
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_mmr_rerank_vs_bruteforce(spark, seed):
+    from cehrbert_data_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(seed)
+    dim = 8
+    # clustered vectors: near-duplicates are common, so diversification
+    # actually changes the selection vs plain top-k
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(4)]
+    vecs = {}
+    for i in range(40):
+        c = centers[rng.randrange(4)]
+        vecs[i] = [x + rng.uniform(-0.05, 0.05) for x in c]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<float>",
+    )
+    queries = df.where(F.col("vec_id") < 3)
+    got = {
+        (r["q_id"], r["mmr_rank"]): r["n_id"]
+        for r in mmr_rerank(
+            df, queries, "vec_id", "embedding", k=4, pool=10, lam=0.6, mu=0.4
+        ).collect()
+    }
+    expected = _mmr_expected(vecs, [0, 1, 2], k=4, pool=10, lam=0.6, mu=0.4)
+    assert len(got) == len(expected)
+    for qi, nid, rk in expected:
+        assert got[(qi, rk)] == nid
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_domain_mix_vs_bruteforce(spark, seed):
+    import hashlib
+
+    from cehrbert_data_spark.operators.sampling import domain_mix_sample
+
+    rng = random.Random(seed)
+    weights = {"a": 5, "b": 3, "c": 2}
+    wsum = sum(weights.values())
+    rows = [(i, rng.choice(["a", "b", "c", "junk"])) for i in range(300)]
+    df = spark.createDataFrame(rows, "id: long, dom: string")
+
+    counts = {}
+    for _, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    cap = min(counts[d] * wsum // w for d, w in weights.items())
+    quota = {d: w * cap // wsum for d, w in weights.items()}
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:10], 16)
+
+    expected = set()
+    for d, q in quota.items():
+        ids = sorted((i for i, dd in rows if dd == d), key=lambda i: (h(i), i))
+        expected |= {(i, d) for i in ids[:q]}
+
+    got = {
+        (r["id"], r["domain"])
+        for r in domain_mix_sample(df, "id", "dom", weights).collect()
+    }
+    assert got == expected
