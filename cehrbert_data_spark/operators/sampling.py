@@ -134,3 +134,69 @@ def vocab_top_coverage(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         "total_tokens",
         (F.col("cum_freq").cast("double") / F.col("total_tokens")).alias("coverage"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    k: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance-resampled selection (Xie et al., NeurIPS 2023:
+    "Data Selection for Language Models via Importance Resampling").
+
+    Scores every NON-target document by how target-like its hashed-unigram
+    feature distribution is, and keeps the top ``k``. Per feature bucket b
+    the standard method weights by ``log p_target(b) / p_background(b)``;
+    natural log is not correctly-rounded-portable across engines, so the
+    weight here is the exact integer quantization
+
+        w(b) = floor(log2(cnt_target(b) + 1)) - floor(log2(cnt_bg(b) + 1))
+
+    (bit lengths — see ``operators.sketches.ilog2``), and a document's
+    score is the sum of w over its token occurrences: an order-independent
+    integer sum any SQL engine reproduces bit-for-bit. The corpus-size
+    normalization term is constant per document count and omitted (it
+    shifts all scores equally only when documents have equal length;
+    occurrence-weighted scoring is the plain DSIR estimator).
+
+    Documents whose text yields zero whitespace tokens have no feature
+    rows and are not candidates (same in the SQL oracle).
+
+    Returns the k kept rows: (id, score_bits, n_toks), ties broken by
+    smallest id.
+
+    Scale: one explode + hash-agg builds the 2 x n_buckets count table
+    (map-side combined, ``n_buckets`` rows total — broadcast back); the
+    candidate corpus is scored by one broadcast join + hash-agg; top-k is
+    sort().limit() — Spark plans TakeOrdered (per-partition heap, k-row
+    driver merge), never a full sort.
+    """
+    from cehrbert_data_spark.operators.sketches import ilog2
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("tgt"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).select(
+        "id", "tgt", (md5_long(F.col("token"), bits=40) % n_buckets).alias("bucket")
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("cnt_t"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("cnt_b"),
+    )
+    weights = counts.select(
+        "bucket", (ilog2(F.col("cnt_t") + 1) - ilog2(F.col("cnt_b") + 1)).alias("w_bits")
+    )
+    scores = (
+        toks.where(~F.col("tgt"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("w_bits").cast("long").alias("score_bits"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+    )
+    return scores.orderBy(F.desc("score_bits"), F.asc("id")).limit(k)

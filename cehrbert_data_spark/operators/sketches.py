@@ -1,0 +1,162 @@
+"""Distributed sketch operators: deterministic HyperLogLog distinct counts.
+
+Spark ships ``approx_count_distinct`` (a HyperLogLog++ variant), but its
+hash seed and register layout are engine-private: no other system can
+reproduce its registers, so its output cannot be oracle-verified and is not
+stable across engine versions. The sketch here trades a few bits of
+per-register resolution for full determinism:
+
+  * hashing is md5-based (``operators.text.md5_long``) — any engine that
+    can compute md5 reproduces the registers bit-for-bit;
+  * the harmonic-mean denominator ``sum(2^-rank)`` is kept as an EXACT
+    integer (``sum(1L << (S - rank))`` with a fixed scale ``S``), so the
+    register aggregation is order-independent and cross-engine exact;
+  * the only floating-point step is one final division of two exact
+    numbers, which IEEE-754 rounds identically everywhere.
+
+Reference anchor: the reference computes exact distinct counts in its
+concept-stats pass (src/stats via COUNT(DISTINCT person_id)); this sketch
+is the 100 TB-scale complement — mergeable registers, fixed memory per
+group — that a reference user would reach for when the exact count no
+longer fits.
+
+100 TB design: the register table is ``|groups| * m`` rows regardless of
+input size, built by one hash-agg with map-side combine (``max`` is
+commutative); registers are mergeable, so per-partition partial registers
+combine without re-reading data. No windows, no collects.
+
+Small-range note: below ~2.5*m distinct values HyperLogLog's raw estimate
+biases high and production implementations switch to linear counting
+(``m * ln(m / empty_registers)``). ``ln`` is not correctly-rounded-portable
+across engines, so this operator emits the raw estimate plus
+``n_present`` — callers can apply the correction; the oracle checks the
+registers and raw estimate exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.text import md5_long
+
+
+def ilog2(col: Column) -> Column:
+    """Exact floor(log2(x)) for positive BIGINT via bit-length.
+
+    ``length(bin(x)) - 1`` — both Spark and DuckDB render ``bin`` of a
+    positive integer with no leading zeros, so the length IS the bit
+    length. Exact where ``log(x)/log(2)`` suffers double rounding.
+    """
+    return (F.length(F.bin(col)) - F.lit(1)).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HyperLogLog bias-correction constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: Sequence[str], value: Column, p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog registers: (groups..., bucket, register).
+
+    The 60-bit md5 hash splits into a ``p``-bit bucket and a ``60-p``-bit
+    suffix ``w``; the register rank is the position of w's highest set bit
+    counted from the top: ``rank = (60-p) + 1 - bitlen(w)`` (w == 0 ->
+    rank = 61-p, the all-zeros maximum). One hash-agg, map-side combined.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    h = md5_long(value.cast("string"), bits=60)
+    w = F.shiftright(h, p)
+    rank = F.when(w > 0, F.lit(wbits + 1) - (ilog2(w) + 1)).otherwise(
+        F.lit(wbits + 1)
+    )
+    return (
+        df.select(*group_cols, (h % m).alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").cast("long").alias("register"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: Sequence[str], value: Column, p: int = 6
+) -> DataFrame:
+    """Deterministic per-group HLL distinct estimate.
+
+    Returns (groups..., m, n_present, register_sum, hll_estimate) where
+    ``register_sum = sum_b 2^(S - register_b)`` over all m registers
+    (absent registers contribute 2^S, i.e. rank 0) with scale
+    ``S = 62 - p`` — the largest scale where ``m * 2^S`` still fits a
+    signed 64-bit integer — and ``hll_estimate = alpha_m * m^2 * 2^S /
+    register_sum`` (one exact-operand double division).
+    """
+    m = 1 << p
+    scale = 62 - p
+    regs = hll_registers(df, group_cols, value, p)
+    # Exact 2^(S - rank): shiftleft of a BIGINT one by a column-valued
+    # amount (rank >= 1, so the shift is at most S-1 and never overflows).
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({scale} - register AS INT))")
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(term).cast("long").alias("present_sum"),
+    )
+    # alpha * m^2 * 2^S embedded via repr() — the shortest round-trip
+    # decimal literal parses to the identical double in any IEEE engine.
+    numer = repr(hll_alpha(m) * m * m * float(1 << scale))
+    empty = F.expr(f"(CAST({m} AS BIGINT) - n_present) * shiftleft(CAST(1 AS BIGINT), {scale})")
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("long").alias("m"),
+        "n_present",
+        (F.col("present_sum") + empty).alias("register_sum"),
+        (F.lit(float(numer)) / (F.col("present_sum") + empty).cast("double")).alias(
+            "hll_estimate"
+        ),
+    )
+
+
+def hll_sql(
+    table: str, group_cols: Sequence[str], value_expr: str, p: int = 6
+) -> str:
+    """ANSI-SQL (DuckDB) rendering of :func:`hll_distinct` — the oracle."""
+    m = 1 << p
+    wbits = 60 - p
+    scale = 62 - p
+    numer = repr(hll_alpha(m) * m * m * float(1 << scale))
+    g = ", ".join(group_cols)
+    return f"""
+WITH h AS (
+  SELECT {g},
+         CAST(('0x' || SUBSTRING(md5(CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM {table}
+),
+r AS (
+  SELECT {g}, h % {m} AS bucket,
+         CASE WHEN h // {m} > 0
+              THEN {wbits + 1} - LENGTH(bin(h // {m}))
+              ELSE {wbits + 1} END AS rank
+  FROM h
+),
+regs AS (SELECT {g}, bucket, MAX(rank) AS register FROM r GROUP BY {g}, bucket),
+agg AS (
+  SELECT {g}, COUNT(*) AS n_present,
+         SUM((CAST(1 AS BIGINT) << ({scale} - register))) AS present_sum
+  FROM regs GROUP BY {g}
+)
+SELECT {g}, CAST({m} AS BIGINT) AS m, CAST(n_present AS BIGINT) AS n_present,
+       CAST(present_sum + ({m} - n_present) * (CAST(1 AS BIGINT) << {scale}) AS BIGINT)
+         AS register_sum,
+       {numer} / CAST(present_sum + ({m} - n_present) * (CAST(1 AS BIGINT) << {scale}) AS DOUBLE)
+         AS hll_estimate
+FROM agg
+"""

@@ -212,3 +212,58 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lid_predicted"
         ),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    idf_scale: int = 1024,
+) -> DataFrame:
+    """Top-k characteristic terms per document by exact-integer TF-IDF.
+
+    Standard TF-IDF multiplies term frequency by ``log(N / df)``; the log
+    makes scores engine-inexact, so the IDF here is the fixed-point
+    quantization ``idf_q = floor(log2(N * idf_scale / df))`` computed with
+    exact bit-length arithmetic (``length(bin(x)) - 1``) — monotone in
+    ``N/df`` with ~log2(idf_scale) bits of resolution, identical in any
+    engine. ``score = tf * idf_q``; top-k per document ordered by
+    (score DESC, term ASC), a total order.
+
+    Returns (doc_id, term, tf, df_docs, score, rk).
+
+    Scale: (doc, term) TF and per-term DF are two hash-aggs (map-side
+    combined); N is a 1-row aggregate broadcast back (no collect); the
+    TF->DF join shuffles on term (vocabulary-sized, bounded); top-k per doc
+    is a doc-partitioned window — no global window.
+    """
+    from pyspark.sql import Window
+
+    from cehrbert_data_spark.operators.sketches import ilog2
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            (
+                F.col("tf") * ilog2(F.expr(f"(n_docs * {idf_scale}) div df_docs"))
+            ).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

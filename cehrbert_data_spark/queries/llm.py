@@ -1581,6 +1581,82 @@ SELECT q_id, n_id, CAST(5 AS BIGINT), rel, score FROM s5
 """
 
 
+def t_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: pick the 100 non-English documents whose
+    hashed-unigram distribution looks most like the English target set.
+    Integer bit-length log quantization keeps the score engine-exact
+    (operators/sampling.py:dsir_select)."""
+    from cehrbert_data_spark.operators.sampling import dsir_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en", k=100, n_buckets=4096
+    )
+
+
+T_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tgt, {_md5_long_sql('token', 40)} % 4096 AS bucket FROM toks
+),
+c AS (
+  SELECT bucket,
+         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cnt_t,
+         SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cnt_b
+  FROM b GROUP BY bucket
+),
+w AS (
+  SELECT bucket,
+         (LENGTH(bin(cnt_t + 1)) - 1) - (LENGTH(bin(cnt_b + 1)) - 1) AS w_bits
+  FROM c
+)
+SELECT b.doc_id AS id, CAST(SUM(w.w_bits) AS BIGINT) AS score_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_toks
+FROM b JOIN w USING (bucket)
+WHERE NOT b.tgt
+GROUP BY b.doc_id
+ORDER BY score_bits DESC, id
+LIMIT 100
+"""
+
+
+def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by exact-integer TF-IDF
+    (operators/text.py:tfidf_topk)."""
+    from cehrbert_data_spark.operators.text import tfidf_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3, idf_scale=1024)
+
+
+T_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.df_docs AS BIGINT) AS df_docs,
+         CAST(tf.tf * (LENGTH(bin((n.n_docs * 1024) // dfreq.df_docs)) - 1) AS BIGINT)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df_docs, score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1618,4 +1694,6 @@ QUERIES = {
     "t_domain_mix": (t_domain_mix, T_DOMAIN_MIX_SQL),
     "t_vocab_coverage": (t_vocab_coverage, T_VOCAB_COVERAGE_SQL),
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
+    "t_dsir_sample": (t_dsir_sample, T_DSIR_SQL),
+    "t_tfidf_topk": (t_tfidf_topk, T_TFIDF_SQL),
 }

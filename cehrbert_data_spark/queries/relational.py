@@ -1059,6 +1059,38 @@ FROM l LEFT JOIN (SELECT event_id, asof_ts, asof_value FROM cand WHERE rn = 1) c
 """
 
 
+def a12_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-l_partkey sketch per return flag,
+    joined against the exact count it approximates. The register table and
+    raw estimate are cross-engine exact (operators/sketches.py) — unlike
+    ``approx_count_distinct``, whose registers are engine-private."""
+    from cehrbert_data_spark.operators.sketches import hll_distinct
+
+    li = read_table(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, ["l_returnflag"], F.col("l_partkey"), p=6)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag")
+
+
+def _a12_sql() -> str:
+    from cehrbert_data_spark.operators.sketches import hll_sql
+
+    est = hll_sql("lineitem", ["l_returnflag"], "l_partkey", p=6)
+    return f"""
+WITH est AS ({est}),
+ex AS (
+  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT est.*, ex.exact_distinct FROM est JOIN ex USING (l_returnflag)
+"""
+
+
+A12_SQL = _a12_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1095,4 +1127,5 @@ QUERIES = {
     "u5_distinct": (u5_distinct, U5_SQL),
     "f_scalar_datetime": (f_scalar_datetime, F_DATETIME_SQL),
     "f_scalar_string": (f_scalar_string, F_STRING_SQL),
+    "a12_hll_distinct": (a12_hll_distinct, A12_SQL),
 }

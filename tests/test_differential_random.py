@@ -306,3 +306,102 @@ def test_domain_mix_vs_bruteforce(spark, seed):
         for r in domain_mix_sample(df, "id", "dom", weights).collect()
     }
     assert got == expected
+
+
+def _py_ilog2(x):
+    return x.bit_length() - 1
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dsir_select_vs_bruteforce(spark, seed):
+    import hashlib
+
+    from cehrbert_data_spark.operators.sampling import dsir_select
+
+    rng = random.Random(seed)
+    vocab_t = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "psi", "chi", "alpha"]
+    rows = []
+    for i in range(120):
+        tgt = rng.random() < 0.5
+        vocab = vocab_t if tgt else vocab_b
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+        rows.append((i, text, tgt))
+    df = spark.createDataFrame(rows, "id: long, text: string, tgt: boolean")
+
+    n_buckets = 64
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:10], 16) % n_buckets
+
+    cnt_t, cnt_b = {}, {}
+    for _, text, tgt in rows:
+        for tok in text.lower().strip().split():
+            b = bucket(tok)
+            (cnt_t if tgt else cnt_b)[b] = (cnt_t if tgt else cnt_b).get(b, 0) + 1
+    scores = {}
+    for i, text, tgt in rows:
+        if tgt:
+            continue
+        toks = text.lower().strip().split()
+        if not toks:
+            continue
+        scores[i] = sum(
+            _py_ilog2(cnt_t.get(bucket(t), 0) + 1)
+            - _py_ilog2(cnt_b.get(bucket(t), 0) + 1)
+            for t in toks
+        )
+    k = 20
+    expected = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+
+    got = dsir_select(
+        df, "id", "text", F.col("tgt"), k=k, n_buckets=n_buckets
+    ).collect()
+    assert sorted(r["id"] for r in got) == sorted(expected)
+    for r in got:
+        assert r["score_bits"] == scores[r["id"]]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_tfidf_topk_vs_bruteforce(spark, seed):
+    from cehrbert_data_spark.operators.text import tfidf_topk
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    n = len(rows)
+    scale = 1024
+
+    tf = {}
+    dfreq = {}
+    for i, text in rows:
+        toks = text.lower().strip().split()
+        seen = set()
+        for t in toks:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+            seen.add(t)
+        for t in seen:
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    expected = {}
+    for i, _ in rows:
+        terms = [(t, c) for (d, t), c in tf.items() if d == i]
+        scored = sorted(
+            (
+                (c * _py_ilog2((n * scale) // dfreq[t]), t, c)
+                for t, c in terms
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rk, (s, t, c) in enumerate(scored, 1):
+            expected[(i, rk)] = (t, c, dfreq[t], s)
+
+    got = {
+        (r["doc_id"], r["rk"]): (r["term"], r["tf"], r["df_docs"], r["score"])
+        for r in tfidf_topk(df, "id", "text", k=3, idf_scale=scale).collect()
+    }
+    assert got == expected

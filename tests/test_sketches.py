@@ -1,0 +1,113 @@
+"""Sketch operators: deterministic HLL registers/estimate vs a pure-Python
+simulation, plus accuracy and exactness properties of the integer-log trick.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.sketches import (
+    hll_alpha,
+    hll_distinct,
+    hll_registers,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_hll(values, p):
+    """Reference register computation, straight from the definition."""
+    m = 1 << p
+    wbits = 60 - p
+    regs = {}
+    for v in values:
+        h = _md5_60(str(v))
+        b = h % m
+        w = h >> p
+        rank = (wbits + 1) if w == 0 else wbits - w.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rank)
+    return regs
+
+
+def _py_estimate(regs, p):
+    m = 1 << p
+    scale = 62 - p
+    s = sum(1 << (scale - r) for r in regs.values()) + (m - len(regs)) * (1 << scale)
+    return hll_alpha(m) * m * m * float(1 << scale) / s, s
+
+
+@pytest.mark.parametrize("p", [4, 6, 8])
+def test_hll_registers_match_python(spark, p):
+    rng = random.Random(p * 1000 + 17)
+    values = [rng.randrange(10**9) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in values], "v: long").withColumn(
+        "g", F.lit("all")
+    )
+    got = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(df, ["g"], F.col("v"), p=p).collect()
+    }
+    assert got == _py_hll(values, p)
+
+
+@pytest.mark.parametrize("p", [4, 6, 8])
+def test_hll_estimate_exact_vs_python(spark, p):
+    """The register_sum BIGINT and the one-division estimate must equal the
+    Python computation bit-for-bit — that is the cross-engine guarantee."""
+    rng = random.Random(p * 31 + 5)
+    values = [rng.randrange(10**12) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in values], "v: long").withColumn(
+        "g", F.lit("all")
+    )
+    row = hll_distinct(df, ["g"], F.col("v"), p=p).collect()[0]
+    est, s = _py_estimate(_py_hll(values, p), p)
+    assert row["register_sum"] == s
+    assert row["hll_estimate"] == est  # exact float equality, by design
+
+
+def test_hll_estimate_accuracy(spark):
+    """Raw HLL (no small-range correction) should land within ~3 standard
+    errors (1.04/sqrt(m)) once n >> m."""
+    n, p = 5000, 6
+    m = 1 << p
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 2**31).alias("v"), F.lit("g").alias("g")
+    )
+    row = hll_distinct(df, ["g"], F.col("v"), p=p).collect()[0]
+    rel = abs(row["hll_estimate"] - n) / n
+    assert rel < 3 * 1.04 / (m**0.5), rel
+
+
+def test_hll_registers_merge(spark):
+    """Registers from disjoint shards combine by max to the full-corpus
+    registers — the mergeability a 100 TB rollup relies on."""
+    rng = random.Random(99)
+    values = [rng.randrange(10**9) for _ in range(1000)]
+    half = len(values) // 2
+    p = 6
+    full = _py_hll(values, p)
+    a = _py_hll(values[:half], p)
+    b = _py_hll(values[half:], p)
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == full
+    # and the distributed registers agree shard-by-shard
+    df = spark.createDataFrame(
+        [(v, "a" if i < half else "b") for i, v in enumerate(values)],
+        "v: long, shard: string",
+    )
+    got = {}
+    for r in hll_registers(df, ["shard"], F.col("v"), p=p).collect():
+        key = (r["shard"], r["bucket"])
+        got[key] = r["register"]
+    for bkt, rank in a.items():
+        assert got[("a", bkt)] == rank
+    for bkt, rank in b.items():
+        assert got[("b", bkt)] == rank
