@@ -160,3 +160,172 @@ SELECT {g}, CAST({m} AS BIGINT) AS m, CAST(n_present AS BIGINT) AS n_present,
          AS hll_estimate
 FROM agg
 """
+
+
+# --- Bloom filter ------------------------------------------------------------
+
+def bloom_build(df: DataFrame, value: Column, m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Deterministic Bloom filter over a key column: (word, bits).
+
+    Kirsch-Mitzenmacher double hashing off one 60-bit md5: position_i =
+    (h1 + i*h2) mod m for i in 0..k-1, packed into 32-bit words inside
+    BIGINTs (shift <= 31, so no sign-bit overflow in any engine).
+
+    Scale: the filter is ``m_bits/32`` rows regardless of input size —
+    built by one explode + bit_or hash-agg (map-side combined, bit_or is
+    idempotent so duplicate keys cost nothing), broadcast to probers. This
+    is the distributed analogue of a join-pruning runtime filter, but
+    engine-portable and persistable.
+    """
+    m = m_bits
+    h = md5_long(value.cast("string"), bits=60)
+    h1 = (h % m).alias("h1")
+    h2 = ((F.shiftright(h, 30)) % m).alias("h2")
+    pos = (
+        df.select(h1, h2)
+        .select(
+            F.explode(
+                F.array(*[((F.col("h1") + i * F.col("h2")) % m) for i in range(k)])
+            ).alias("pos")
+        )
+    )
+    return (
+        pos.select(
+            F.expr("pos div 32").alias("word"),
+            F.expr("pos % 32").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias(
+                "bits"
+            )
+        )
+    )
+
+
+def bloom_probe(
+    probe_df: DataFrame,
+    filt: DataFrame,
+    value: Column,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Probe rows against a :func:`bloom_build` filter.
+
+    Returns the probe rows with a ``bloom_maybe`` flag: true iff all k bit
+    positions are set (classic one-sided guarantee — false positives
+    possible, false negatives impossible).
+
+    Scale: the filter is broadcast; the probe side explodes to k rows per
+    key, joins on word, and reduces with bool_and — cost k*|probe|, no
+    shuffle of the probe payload (only the k-row key stream aggregates).
+    """
+    m = m_bits
+    h = md5_long(value.cast("string"), bits=60)
+    keyed = probe_df.select(
+        value.alias("probe_key"), (h % m).alias("h1"), (F.shiftright(h, 30) % m).alias("h2")
+    ).distinct()
+    pos = keyed.select(
+        "probe_key",
+        F.explode(
+            F.array(*[((F.col("h1") + i * F.col("h2")) % m) for i in range(k)])
+        ).alias("pos"),
+    ).select(
+        "probe_key",
+        F.expr("pos div 32").alias("word"),
+        F.expr("pos % 32").alias("bit"),
+    )
+    hit = (
+        pos.join(F.broadcast(filt), "word", "left")
+        .select(
+            "probe_key",
+            F.coalesce(F.col("bits"), F.lit(0))
+            .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .alias("set_bit"),
+        )
+        .groupBy("probe_key")
+        .agg(F.expr("bool_and(set_bit != 0)").alias("bloom_maybe"))
+    )
+    return hit
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+def cms_build(
+    df: DataFrame, value: Column, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch of a key column's frequency: (r, c, counter).
+
+    Row-r hash is md5 of ``'r:value'`` mod width. Counters are exact
+    integer sums, so the sketch — and every estimate read from it — is
+    engine-portable bit-for-bit.
+
+    Scale: the sketch is ``depth*width`` rows no matter the input size;
+    one explode + hash-agg with map-side combine. Mergeable by summing
+    counters cell-wise.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            md5_long(
+                                F.concat_ws(":", F.lit(str(r)), value.cast("string")),
+                                bits=60,
+                            )
+                            % width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.c")
+    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).cast("long").alias("counter"))
+
+
+def cms_estimate(
+    probe_df: DataFrame,
+    sketch: DataFrame,
+    value: Column,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_build` sketch.
+
+    Returns (probe_key, cms_est) with ``cms_est = min_r counter[r][h_r(v)]``
+    — the classic upper-bound estimate (never underestimates).
+
+    Scale: sketch is broadcast (depth*width rows); probe explodes to depth
+    rows per key and min-reduces.
+    """
+    pos = probe_df.select(value.alias("probe_key")).distinct()
+    cells = pos.select(
+        "probe_key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            md5_long(
+                                F.concat_ws(
+                                    ":", F.lit(str(r)), F.col("probe_key").cast("string")
+                                ),
+                                bits=60,
+                            )
+                            % width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("probe_key", "cell.r", "cell.c")
+    return (
+        cells.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy("probe_key")
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).cast("long").alias("cms_est"))
+    )

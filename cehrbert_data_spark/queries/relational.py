@@ -1091,6 +1091,160 @@ SELECT est.*, ex.exact_distinct FROM est JOIN ex USING (l_returnflag)
 A12_SQL = _a12_sql()
 
 
+def a13_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build a 64Kbit/4-hash
+    filter over the custkeys that have orders, probe every customer, and
+    report per-nation how many customers the filter would pass vs the
+    exact semi-join — the false-positive column is the price of pruning
+    with m_bits/32 BIGINTs instead of the full key set
+    (operators/sketches.py:bloom_build/bloom_probe)."""
+    from cehrbert_data_spark.operators.sketches import bloom_build, bloom_probe
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    filt = bloom_build(orders, F.col("o_custkey"), m_bits=65536, k=4)
+    probed = bloom_probe(cust, filt, F.col("c_custkey"), m_bits=65536, k=4)
+    present = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "present", F.lit(True)
+    )
+    return (
+        cust.select("c_custkey", "c_nationkey")
+        .join(probed.withColumnRenamed("probe_key", "c_custkey"), "c_custkey")
+        .join(present, "c_custkey", "left")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("bloom_maybe"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe"),
+            F.sum(F.when(F.col("present").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_present"),
+            F.sum(
+                F.when(F.col("bloom_maybe") & F.col("present").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+    )
+
+
+def _bloom_hashes_sql(value_expr: str, m: int) -> str:
+    h = f"CAST(('0x' || SUBSTRING(md5(CAST({value_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"{h} % {m} AS h1, ({h} // 1073741824) % {m} AS h2"
+
+
+A13_SQL = f"""
+WITH build_pos AS (
+  SELECT UNNEST([(h1 + 0*h2) % 65536, (h1 + 1*h2) % 65536,
+                 (h1 + 2*h2) % 65536, (h1 + 3*h2) % 65536]) AS pos
+  FROM (SELECT {_bloom_hashes_sql('o_custkey', 65536)} FROM orders)
+),
+filt AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM build_pos GROUP BY 1
+),
+probe_pos AS (
+  SELECT c_custkey,
+         UNNEST([(h1 + 0*h2) % 65536, (h1 + 1*h2) % 65536,
+                 (h1 + 2*h2) % 65536, (h1 + 3*h2) % 65536]) AS pos
+  FROM (SELECT c_custkey, {_bloom_hashes_sql('c_custkey', 65536)} FROM customer)
+),
+probed AS (
+  SELECT c_custkey,
+         bool_and((COALESCE(bits, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) != 0)
+           AS bloom_maybe
+  FROM probe_pos LEFT JOIN filt ON filt.word = probe_pos.pos // 32
+  GROUP BY c_custkey
+),
+present AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN p.bloom_maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN pr.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CASE WHEN p.bloom_maybe AND pr.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM customer c
+JOIN probed p USING (c_custkey)
+LEFT JOIN present pr USING (c_custkey)
+GROUP BY 1
+"""
+
+
+def a14_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates vs exact counts: sketch how many
+    lineitems each supplier ships in 4x256 integer counters, probe every
+    supplier, and report the guaranteed-nonnegative overestimate
+    (operators/sketches.py:cms_build/cms_estimate)."""
+    from cehrbert_data_spark.operators.sketches import cms_build, cms_estimate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    sketch = cms_build(li, F.col("l_suppkey"), depth=4, width=256)
+    est = cms_estimate(supp, sketch, F.col("s_suppkey"), depth=4, width=256)
+    exact = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return (
+        supp.select("s_suppkey")
+        .join(est.withColumnRenamed("probe_key", "s_suppkey"), "s_suppkey")
+        .join(F.broadcast(exact), "s_suppkey", "left")
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).cast("long").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.coalesce(F.col("exact_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+def _cms_cell_sql(value_expr: str, r: int, width: int) -> str:
+    h = (
+        f"CAST(('0x' || SUBSTRING(md5(CONCAT('{r}', ':', CAST({value_expr} AS VARCHAR))), 1, 15))"
+        f" AS BIGINT)"
+    )
+    return f"{h} % {width}"
+
+
+A14_SQL = f"""
+WITH cells AS (
+  SELECT r, c, COUNT(*) AS counter FROM (
+    SELECT UNNEST([0, 1, 2, 3]) AS r,
+           UNNEST([{_cms_cell_sql('l_suppkey', 0, 256)},
+                   {_cms_cell_sql('l_suppkey', 1, 256)},
+                   {_cms_cell_sql('l_suppkey', 2, 256)},
+                   {_cms_cell_sql('l_suppkey', 3, 256)}]) AS c
+    FROM lineitem
+  ) GROUP BY r, c
+),
+probe AS (
+  SELECT s_suppkey, r, c FROM (
+    SELECT s_suppkey,
+           UNNEST([0, 1, 2, 3]) AS r,
+           UNNEST([{_cms_cell_sql('s_suppkey', 0, 256)},
+                   {_cms_cell_sql('s_suppkey', 1, 256)},
+                   {_cms_cell_sql('s_suppkey', 2, 256)},
+                   {_cms_cell_sql('s_suppkey', 3, 256)}]) AS c
+    FROM supplier
+  )
+),
+est AS (
+  SELECT s_suppkey, MIN(COALESCE(counter, 0)) AS cms_est
+  FROM probe LEFT JOIN cells USING (r, c)
+  GROUP BY s_suppkey
+),
+exact AS (SELECT l_suppkey AS s_suppkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+       CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - COALESCE(exact_cnt, 0) AS BIGINT) AS overestimate
+FROM supplier s JOIN est USING (s_suppkey) LEFT JOIN exact USING (s_suppkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1128,4 +1282,6 @@ QUERIES = {
     "f_scalar_datetime": (f_scalar_datetime, F_DATETIME_SQL),
     "f_scalar_string": (f_scalar_string, F_STRING_SQL),
     "a12_hll_distinct": (a12_hll_distinct, A12_SQL),
+    "a13_bloom_probe": (a13_bloom_probe, A13_SQL),
+    "a14_cms_freq": (a14_cms_freq, A14_SQL),
 }

@@ -194,3 +194,40 @@ def test_mmr_candidate_join_broadcasts_not_corpus(spark, qs):
     # no row-at-a-time Python eval anywhere
     assert "FlatMapGroupsInPandas" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_partial_agg_no_window(spark, qs):
+    p = plan(qs["a12_hll_distinct"](spark, SF_DIR))
+    # register build is a hash-agg with map-side combine, never a window
+    assert "partial_max" in p or "partial_" in p
+    assert "Window" not in p
+    # the exact-count side is the broadcast side of the final join
+    assert "BroadcastHashJoin" in p
+
+
+def test_bloom_filter_broadcast_to_probe(spark, qs):
+    p = plan(qs["a13_bloom_probe"](spark, SF_DIR))
+    # the m_bits/32-row filter must broadcast; the probe side never does
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_cms_sketch_broadcast(spark, qs):
+    p = plan(qs["a14_cms_freq"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_dsir_takeordered_and_broadcast_weights(spark, qs):
+    p = plan(qs["t_dsir_sample"](spark, SF_DIR))
+    # top-k must be TakeOrdered (no global sort), weights broadcast
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "Sort [" not in p
+
+
+def test_tfidf_doc_partitioned_window(spark, qs):
+    p = plan(qs["t_tfidf_topk"](spark, SF_DIR))
+    # the top-k window partitions by doc_id — never a global window
+    assert "Window" in p
+    assert "windowspecdefinition(doc_id" in p

@@ -111,3 +111,70 @@ def test_hll_registers_merge(spark):
         assert got[("a", bkt)] == rank
     for bkt, rank in b.items():
         assert got[("b", bkt)] == rank
+
+
+def _bloom_positions(v, m, k):
+    h = _md5_60(str(v))
+    h1, h2 = h % m, (h >> 30) % m
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def test_bloom_no_false_negatives_and_matches_python(spark):
+    from cehrbert_data_spark.operators.sketches import bloom_build, bloom_probe
+
+    rng = random.Random(4242)
+    members = sorted({rng.randrange(10**7) for _ in range(400)})
+    probes = members[:100] + [10**8 + i for i in range(300)]
+    m, k = 4096, 4
+
+    bits = set()
+    for v in members:
+        bits.update(_bloom_positions(v, m, k))
+    expected = {v: all(p in bits for p in _bloom_positions(v, m, k)) for v in probes}
+
+    mdf = spark.createDataFrame([(v,) for v in members], "v: long")
+    pdf = spark.createDataFrame([(v,) for v in probes], "v: long")
+    filt = bloom_build(mdf, F.col("v"), m_bits=m, k=k)
+    got = {
+        r["probe_key"]: r["bloom_maybe"]
+        for r in bloom_probe(pdf, filt, F.col("v"), m_bits=m, k=k).collect()
+    }
+    assert got == expected
+    # one-sided guarantee: every member probes positive
+    for v in members[:100]:
+        assert got[v] is True
+
+
+def test_cms_never_underestimates_and_matches_python(spark):
+    from cehrbert_data_spark.operators.sketches import cms_build, cms_estimate
+
+    rng = random.Random(777)
+    # zipf-ish stream: heavy key 0, light tail
+    stream = [0] * 500 + [rng.randrange(1, 200) for _ in range(1500)]
+    depth, width = 4, 64
+
+    def cell(r, v):
+        return _md5_60(f"{r}:{v}") % width
+
+    counters = {}
+    for v in stream:
+        for r in range(depth):
+            key = (r, cell(r, v))
+            counters[key] = counters.get(key, 0) + 1
+    exact = {}
+    for v in stream:
+        exact[v] = exact.get(v, 0) + 1
+    expected = {
+        v: min(counters.get((r, cell(r, v)), 0) for r in range(depth)) for v in exact
+    }
+
+    sdf = spark.createDataFrame([(v,) for v in stream], "v: long")
+    pdf = spark.createDataFrame([(v,) for v in exact], "v: long")
+    sketch = cms_build(sdf, F.col("v"), depth=depth, width=width)
+    got = {
+        r["probe_key"]: r["cms_est"]
+        for r in cms_estimate(pdf, sketch, F.col("v"), depth=depth, width=width).collect()
+    }
+    assert got == expected
+    for v, c in exact.items():
+        assert got[v] >= c  # CMS upper-bound guarantee
