@@ -241,12 +241,18 @@ def tfidf_topk(
     from pyspark.sql import Window
 
     from cehrbert_data_spark.operators.sketches import ilog2
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two consumers (the DF aggregate and the score join); column
+    # pruning makes the subtrees non-identical so exchange reuse never
+    # fires — materialize once instead of tokenizing the corpus twice.
+    tf = checkpoint_barrier(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
