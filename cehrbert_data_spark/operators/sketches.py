@@ -329,3 +329,73 @@ def cms_estimate(
         .groupBy("probe_key")
         .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).cast("long").alias("cms_est"))
     )
+
+
+# --- KMV (k-minimum-values) sketch -------------------------------------------
+
+def kmv_sketch(df: DataFrame, value: Column, k: int = 256) -> DataFrame:
+    """KMV distinct-value sketch: the k smallest md5 hashes of the set.
+
+    A k-row sample of the hash space that supports distinct-count
+    estimation (``(k-1) * 2^60 / h_k``) and — unlike HLL — set algebra:
+    union sketches by re-taking the k smallest, intersect by membership,
+    giving a Jaccard estimate (Beyer et al. 2007). Everything except one
+    final division is integer, so any md5-capable engine reproduces the
+    sketch exactly.
+
+    Scale: distinct-hash then TakeOrdered k — per-partition heaps and a
+    k-row driver merge; the sketch is k rows regardless of input size.
+    """
+    return (
+        df.select(md5_long(value.cast("string"), bits=60).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 256) -> DataFrame:
+    """Jaccard + per-set distinct estimates from two :func:`kmv_sketch` outputs.
+
+    Merges the sketches, re-takes the k smallest union hashes K, and
+    estimates J = |K ∩ A ∩ B| / k; distinct counts come from each
+    sketch's kth smallest hash. Returns one row:
+    (k, kth_a, kth_b, est_distinct_a, est_distinct_b, n_common, jaccard_est).
+
+    If either input set has fewer than k distinct values the estimates
+    degrade toward exact (the sketch IS the set); callers comparing to
+    exact counts will see that in the query output.
+
+    Scale: inputs are k-row sketches — every join here is broadcast-sized.
+    """
+    space = float(1 << 60)
+    union_k = (
+        sk_a.unionByName(sk_b).distinct().orderBy("h").limit(k)
+    )
+    in_both = (
+        union_k.join(sk_a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left_semi")
+        .join(sk_b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left_semi")
+    )
+    kth_a = sk_a.select(F.max("h").alias("kth_a"), F.count(F.lit(1)).alias("ka"))
+    kth_b = sk_b.select(F.max("h").alias("kth_b"), F.count(F.lit(1)).alias("kb"))
+    n_common = in_both.select(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return (
+        kth_a.crossJoin(kth_b)
+        .crossJoin(n_common)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "kth_a",
+            "kth_b",
+            # (k-1) * 2^60 / h_k — exact-operand division; if the set had
+            # fewer than k distinct values the sketch is exhaustive and the
+            # true count is the sketch size itself.
+            F.when(F.col("ka") < k, F.col("ka").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(space) / F.col("kth_a").cast("double"))
+            .alias("est_distinct_a"),
+            F.when(F.col("kb") < k, F.col("kb").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(space) / F.col("kth_b").cast("double"))
+            .alias("est_distinct_b"),
+            "n_common",
+            (F.col("n_common").cast("double") / F.lit(float(k))).alias("jaccard_est"),
+        )
+    )

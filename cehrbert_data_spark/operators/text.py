@@ -233,30 +233,29 @@ def tfidf_topk(
 
     Returns (doc_id, term, tf, df_docs, score, rk).
 
-    Scale: (doc, term) TF and per-term DF are two hash-aggs (map-side
-    combined); N is a 1-row aggregate broadcast back (no collect); the
-    TF->DF join shuffles on term (vocabulary-sized, bounded); top-k per doc
-    is a doc-partitioned window — no global window.
+    Scale: one (doc, term) TF hash-agg (map-side combined); per-term DF is
+    a COUNT(*) window over the TF rows partitioned by term — term has
+    bounded cardinality per partition key, never a global window — so TF
+    has exactly ONE consumer and nothing is recomputed or materialized
+    (an earlier version checkpointed TF to feed a separate DF aggregate +
+    join; the eager localCheckpoint OOM'd at 100x — windows over the
+    same shuffle are the scale-safe shape). N is a 1-row aggregate
+    broadcast back (no collect); top-k per doc is a doc-partitioned
+    window.
     """
     from pyspark.sql import Window
 
     from cehrbert_data_spark.operators.sketches import ilog2
-    from cehrbert_data_spark.sources.writers import checkpoint_barrier
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     )
-    # tf feeds two consumers (the DF aggregate and the score join); column
-    # pruning makes the subtrees non-identical so exchange reuse never
-    # fires — materialize once instead of tokenizing the corpus twice.
-    tf = checkpoint_barrier(
-        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wt = Window.partitionBy("term")
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df_docs", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

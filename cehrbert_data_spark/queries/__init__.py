@@ -24,7 +24,7 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: query can silently carry changed code). All 77 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-6 tail (38 of 88): queries that are DRIVER-GREEN in round 5
+#: Round-6 tail (39 of 89): queries that are DRIVER-GREEN in round 5
 #: (CORRECTNESS_r05) and whose code paths round 6 does not touch. Round 5's
 #: entire 22-query tail is back in the head for fresh verdicts, as are all
 #: round-6-touched queries (j7b_asof_union null-ts/tiebreak rework,
@@ -40,8 +40,10 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: head slots to the late round-6 adds a12_hll_distinct / t_dsir_sample /
 #: t_tfidf_topk; d_embed_neardup and d_embed_neardup_exact (r5-driver-green,
 #: operator untouched this round) yielded theirs to a13_bloom_probe /
-#: a14_cms_freq.
+#: a14_cms_freq, and d_dedup_groups (r5-driver-green, connected_components
+#: untouched) to a15_kmv_jaccard.
 _TAIL = [
+    "d_dedup_groups",
     "d_embed_neardup",
     "d_embed_neardup_exact",
     "t_pack_chunks",

@@ -1245,6 +1245,91 @@ FROM supplier s JOIN est USING (s_suppkey) LEFT JOIN exact USING (s_suppkey)
 """
 
 
+def a15_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-algebra sketch: estimate the distinct-customer overlap
+    between open ('O') and fulfilled ('F') order books from two 256-hash
+    sketches, next to the exact counts they approximate
+    (operators/sketches.py:kmv_sketch/kmv_jaccard)."""
+    from cehrbert_data_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = 256
+    set_a = orders.where(F.col("o_orderstatus") == "O")
+    set_b = orders.where(F.col("o_orderstatus") == "F")
+    est = kmv_jaccard(
+        kmv_sketch(set_a, F.col("o_custkey"), k=k),
+        kmv_sketch(set_b, F.col("o_custkey"), k=k),
+        k=k,
+    )
+    a_keys = set_a.select("o_custkey").distinct()
+    b_keys = set_b.select("o_custkey").distinct()
+    exact = (
+        a_keys.withColumn("in_a", F.lit(1))
+        .join(b_keys.withColumn("in_b", F.lit(1)), "o_custkey", "full")
+        .agg(
+            F.sum("in_a").cast("long").alias("exact_a"),
+            F.sum("in_b").cast("long").alias("exact_b"),
+            F.sum(F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1))
+            .cast("long")
+            .alias("exact_common"),
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+        )
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_common",
+            (F.col("exact_common").cast("double") / F.col("exact_union")).alias(
+                "exact_jaccard"
+            ),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+A15_SQL = """
+WITH sk_a AS (
+  SELECT DISTINCT CAST(('0x' || SUBSTRING(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders WHERE o_orderstatus = 'O' ORDER BY h LIMIT 256
+),
+sk_b AS (
+  SELECT DISTINCT CAST(('0x' || SUBSTRING(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders WHERE o_orderstatus = 'F' ORDER BY h LIMIT 256
+),
+union_k AS (
+  SELECT h FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b) ORDER BY h LIMIT 256
+),
+common AS (
+  SELECT COUNT(*) AS n_common FROM union_k
+  WHERE h IN (SELECT h FROM sk_a) AND h IN (SELECT h FROM sk_b)
+),
+ka AS (SELECT MAX(h) AS kth_a, COUNT(*) AS na FROM sk_a),
+kb AS (SELECT MAX(h) AS kth_b, COUNT(*) AS nb FROM sk_b),
+a_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+b_keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+exact AS (
+  SELECT CAST(COUNT(a_keys.o_custkey) AS BIGINT) AS exact_a,
+         CAST(COUNT(b_keys.o_custkey) AS BIGINT) AS exact_b,
+         CAST(SUM(CASE WHEN a_keys.o_custkey IS NOT NULL
+                        AND b_keys.o_custkey IS NOT NULL THEN 1 END) AS BIGINT)
+           AS exact_common,
+         CAST(COUNT(*) AS BIGINT) AS exact_union
+  FROM a_keys FULL JOIN b_keys USING (o_custkey)
+)
+SELECT CAST(256 AS BIGINT) AS k, kth_a, kth_b,
+       CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+            ELSE 255.0 * 1152921504606846976.0 / CAST(kth_a AS DOUBLE) END
+         AS est_distinct_a,
+       CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+            ELSE 255.0 * 1152921504606846976.0 / CAST(kth_b AS DOUBLE) END
+         AS est_distinct_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / 256.0 AS jaccard_est,
+       exact_a, exact_b, exact_common,
+       CAST(exact_common AS DOUBLE) / exact_union AS exact_jaccard
+FROM ka CROSS JOIN kb CROSS JOIN common CROSS JOIN exact
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1284,4 +1369,5 @@ QUERIES = {
     "a12_hll_distinct": (a12_hll_distinct, A12_SQL),
     "a13_bloom_probe": (a13_bloom_probe, A13_SQL),
     "a14_cms_freq": (a14_cms_freq, A14_SQL),
+    "a15_kmv_jaccard": (a15_kmv_jaccard, A15_SQL),
 }

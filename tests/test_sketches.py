@@ -178,3 +178,49 @@ def test_cms_never_underestimates_and_matches_python(spark):
     assert got == expected
     for v, c in exact.items():
         assert got[v] >= c  # CMS upper-bound guarantee
+
+
+def test_kmv_jaccard_matches_python_and_is_close(spark):
+    from cehrbert_data_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    rng = random.Random(31337)
+    pool = list(range(20000))
+    a = set(rng.sample(pool, 5000))
+    b = set(rng.sample(pool, 5000))
+    k = 256
+
+    def hashes(s):
+        return sorted(_md5_60(str(v)) for v in s)
+
+    ha, hb = hashes(a)[:k], hashes(b)[:k]
+    union_k = sorted(set(ha) | set(hb))[:k]
+    n_common = sum(1 for h in union_k if h in set(ha) and h in set(hb))
+    true_j = len(a & b) / len(a | b)
+
+    adf = spark.createDataFrame([(v,) for v in a], "v: long")
+    bdf = spark.createDataFrame([(v,) for v in b], "v: long")
+    row = kmv_jaccard(
+        kmv_sketch(adf, F.col("v"), k=k), kmv_sketch(bdf, F.col("v"), k=k), k=k
+    ).collect()[0]
+    assert row["n_common"] == n_common
+    assert row["jaccard_est"] == n_common / k
+    # estimator quality: within ~4 sigma of truth (sigma ~ sqrt(J(1-J)/k))
+    sigma = (true_j * (1 - true_j) / k) ** 0.5
+    assert abs(row["jaccard_est"] - true_j) < 4 * sigma + 0.02
+    # distinct estimates within 20% (k=256 -> ~6% sigma)
+    assert abs(row["est_distinct_a"] - len(a)) / len(a) < 0.2
+    assert abs(row["est_distinct_b"] - len(b)) / len(b) < 0.2
+
+
+def test_kmv_small_set_is_exact(spark):
+    from cehrbert_data_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    a = spark.createDataFrame([(v,) for v in range(50)], "v: long")
+    b = spark.createDataFrame([(v,) for v in range(25, 75)], "v: long")
+    row = kmv_jaccard(
+        kmv_sketch(a, F.col("v"), k=256), kmv_sketch(b, F.col("v"), k=256), k=256
+    ).collect()[0]
+    # sets smaller than k: the sketch IS the set, counts are exact
+    assert row["est_distinct_a"] == 50.0
+    assert row["est_distinct_b"] == 50.0
+    assert row["n_common"] == 25
