@@ -462,3 +462,43 @@ def running_key_stats_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def hll_register_stream(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    p: int = 6,
+) -> DataFrame:
+    """Streaming HyperLogLog registers: per-(group, bucket) running max
+    rank across micro-batches.
+
+    ``max`` is the canonical monotone streaming aggregate — no watermark
+    is required (late data can only re-assert an already-dominated rank,
+    never retract one), and state is bounded at |groups| * 2^p rows no
+    matter how much stream passes through. Emit the register table in
+    update mode and fold it to an estimate with
+    ``operators.sketches``-style arithmetic batch-side; registers from a
+    stream and from a backfill batch merge by max, so the lambda
+    architecture needs no reconciliation logic.
+
+    On a batch DataFrame, falls back to ``operators.sketches.hll_registers``
+    (identical output for a single batch).
+    """
+    from cehrbert_data_spark.operators.sketches import hll_registers
+
+    if not df.isStreaming:
+        return hll_registers(df, group_cols, F.col(value), p)
+    from cehrbert_data_spark.operators.sketches import ilog2
+    from cehrbert_data_spark.operators.text import md5_long
+
+    m = 1 << p
+    wbits = 60 - p
+    h = md5_long(F.col(value).cast("string"), bits=60)
+    w = F.shiftright(h, p)
+    rank = F.when(w > 0, F.lit(wbits + 1) - (ilog2(w) + 1)).otherwise(F.lit(wbits + 1))
+    return (
+        df.select(*group_cols, (h % m).alias("bucket"), rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").cast("long").alias("register"))
+    )

@@ -241,3 +241,51 @@ def test_running_key_stats_stream_stateful(spark, tmp_path):
     for r in rows:
         final[r["uid"]] = (r["n_events"], r["sum_value"])
     assert final == {1: (3, 14.0), 2: (1, 5.0)}
+
+
+def test_hll_register_stream_matches_batch(spark, tmp_path):
+    """Registers accumulated over micro-batches == batch registers over the
+    same rows (mergeability-in-motion), and the streaming state is bounded
+    at 2^p buckets per group."""
+    import random as _random
+
+    from cehrbert_data_spark.operators.sketches import hll_registers
+    from cehrbert_data_spark.streaming import hll_register_stream
+
+    rng = _random.Random(2024)
+    rows = [("g%d" % (i % 2), rng.randrange(10**8)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    # batch fallback path
+    batch = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_register_stream(df, ["g"], "v", p=5).collect()
+    }
+    expected = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in hll_registers(df, ["g"], __import__("pyspark.sql.functions", fromlist=["col"]).col("v"), p=5).collect()
+    }
+    assert batch == expected
+
+    # streaming path: two parquet files -> availableNow micro-batches
+    src = os.path.join(str(tmp_path), "hll_src")
+    df.where("v % 2 = 0").write.mode("append").parquet(src)
+    df.where("v % 2 = 1").write.mode("append").parquet(src)
+    stream = spark.readStream.schema("g string, v long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    regs = hll_register_stream(stream, ["g"], "v", p=5)
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in spark.sql("SELECT * FROM hll_mem").collect()
+    }
+    assert got == expected
+    assert len(got) <= 2 * 32  # state bound: |groups| * 2^p
