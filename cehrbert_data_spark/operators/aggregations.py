@@ -86,6 +86,67 @@ def winsorize_bounds(
     )
 
 
+def histogram_quantile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Single-pass mergeable approximate quantile via a fixed-width integer
+    histogram (beyond-ref; the cluster-scale alternative to sort-based
+    percentiles that, unlike ``percentile_approx``'s Greenwald-Khanna
+    sketch, is deterministic and oracle-checkable in any engine).
+
+    Values bucket into ``floor(value / bin_width)`` bins; per-group bin
+    counts are one map-side-combined hash agg whose state is O(#bins) no
+    matter how many rows pass through, and bins merge by addition — across
+    partitions, across days, or between a stream and a backfill batch. The
+    q-quantile is the smallest bin whose cumulative count reaches
+    ``ceil(q * n)``; with integer cumulative counts that is exactly
+    ``cum * q_den >= total * q_num`` — no division, no float, no
+    engine-specific rounding. Answer error is bounded by ``bin_width``.
+
+    Returns one row per group: (keys..., n_rows, q_bin, q_lo) where
+    ``q_lo = q_bin * bin_width`` is the quantile bin's lower edge.
+
+    Scale: shuffle #1 keys on (group, bin) — cardinality #groups × #bins,
+    not #rows; shuffle #2 is a window partitioned by group over those bin
+    counts. Nothing buffers a group's raw values (``percentile``'s failure
+    mode on a hot group at 100 TB).
+    """
+    binc = F.floor(F.col(value) / F.lit(bin_width)).cast("long")
+    counts = (
+        df.groupBy(*keys, binc.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    hit = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .where(F.col("cum") * q_den >= F.col("total") * q_num)
+    )
+    wpick = Window.partitionBy(*keys).orderBy("bin")
+    return (
+        hit.withColumn("rk", F.row_number().over(wpick))
+        .where(F.col("rk") == 1)
+        .select(
+            *keys,
+            F.col("total").alias("n_rows"),
+            F.col("bin").alias("q_bin"),
+            (F.col("bin") * F.lit(bin_width)).alias("q_lo"),
+        )
+    )
+
+
 def exact_sum(col: str | Column, scale: str = "decimal(20,4)") -> Column:
     """Order-independent sum of a double column via decimal accumulation."""
     c = F.col(col) if isinstance(col, str) else col

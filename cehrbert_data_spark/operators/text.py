@@ -200,6 +200,123 @@ def repetition_features(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    idf_scale: int = 1024,
+    tf_scale: int = 1024,
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+    corpus_totals: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by exact-integer BM25
+    (beyond-ref; the retrieval scorer training-data selection pipelines use
+    for quality- or topic-targeted sampling).
+
+    BM25 per term is ``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with the standard k1=1.2, b=0.75 — float math that no two engines
+    round identically. Here every factor is integer: k1 and b are the
+    rationals ``k1_num/k1_den`` and ``b_num/b_den``; multiplying the
+    numerator and denominator by ``k1_den * b_den * total_len`` (avgdl =
+    total_len / n_docs) clears all fractions:
+
+        N = tf * (k1_num + k1_den) * b_den * total_len
+        D = k1_den*b_den*total_len*tf + k1_num*(b_den-b_num)*total_len
+            + k1_num*b_num*dl*n_docs
+
+    ``term_score = idf_q * ((N * tf_scale) div D)`` with the same
+    bit-length ``idf_q = floor(log2(n_docs * idf_scale / df_t))`` as
+    :func:`tfidf_topk` — monotone in the real BM25 score, identical in any
+    engine. BIGINT bound: ``tf * (k1_num+k1_den) * b_den * total_len *
+    tf_scale < 2^63`` — at defaults total corpus length up to ~2e12 tokens
+    per scoring shard; beyond that, compute avgdl per shard or widen to
+    DECIMAL(38,0).
+
+    Returns the top ``k`` rows (doc_id, score_scaled, n_hit_terms, dl)
+    ordered by (score_scaled DESC, doc_id) — a total order, so the global
+    top-k is the deterministic ``orderBy().limit()`` (TakeOrdered: per-
+    partition heaps + a k-row driver merge, never a full sort).
+
+    Scale: doc length is a per-row projection (no explode — the token
+    explode would otherwise feed two consumers and recompute); only tokens
+    matching ``query_terms`` survive past the explode filter, so the
+    (doc, term) TF agg shuffles |hits| rows, not the corpus. Per-term DF
+    is a COUNT(*) window over the TF rows' term shuffle (the
+    window-over-same-shuffle shape — nothing recomputed, nothing
+    materialized); corpus totals are a 1-row broadcast. The totals
+    aggregate is a second column-pruned scan of the corpus (a scan is the
+    cheapest possible second pass; a shared-subtree barrier would
+    materialize corpus-sized state) — when serving many queries against
+    one corpus, precompute (n_docs, total_len) once and pass the 1-row
+    table in as ``corpus_totals`` to skip that pass entirely.
+    """
+    from pyspark.sql import Window
+
+    from cehrbert_data_spark.operators.sketches import ilog2
+
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    toks = words(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    totals = (
+        corpus_totals
+        if corpus_totals is not None
+        else base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
+    )
+    tf = (
+        base.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
+        )
+        .where(F.array_contains(qlit, F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    wt = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df_t", F.count(F.lit(1)).over(wt).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "dl",
+            ilog2(F.expr(f"(n_docs * {idf_scale}) div df_t")).alias("idf_q"),
+            (
+                F.col("tf") * (k1_num + k1_den) * b_den * F.col("total_len")
+            ).alias("num"),
+            (
+                k1_den * b_den * F.col("total_len") * F.col("tf")
+                + k1_num * (b_den - b_num) * F.col("total_len")
+                + k1_num * b_num * F.col("dl") * F.col("n_docs")
+            ).alias("den"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.col("idf_q") * F.expr(f"(num * {tf_scale}) div den")
+            ).cast("long").alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.sum("term_score").cast("long").alias("score_scaled"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword language-ID heuristic: per-language stopword hit rate,
     argmax → predicted label ('unknown' below a confidence floor)."""

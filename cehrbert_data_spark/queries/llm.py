@@ -1657,6 +1657,52 @@ SELECT doc_id, term, tf, df_docs, score, rk FROM (
 """
 
 
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {spark, hash, merge, window} by
+    exact-integer BM25 (operators/text.py:bm25_topk) — the retrieval
+    scorer topic-targeted training-data selection runs over a corpus."""
+    from cehrbert_data_spark.operators.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "hash", "merge", "window"], k=10
+    )
+
+
+T_BM25_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents
+),
+dls AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl, toks FROM base),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dls),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM dls)
+  WHERE term IN ('spark', 'hash', 'merge', 'window')
+  GROUP BY doc_id, dl, term
+),
+wdf AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df_t FROM tf
+),
+scored AS (
+  SELECT doc_id, dl,
+         (LENGTH(bin((t.n_docs * 1024) // df_t)) - 1)
+           * ((tf * 11 * 4 * t.total_len * 1024)
+              // (5 * 4 * t.total_len * tf + 6 * 1 * t.total_len
+                  + 6 * 3 * dl * t.n_docs)) AS term_score
+  FROM wdf CROSS JOIN totals t
+)
+SELECT doc_id, dl, CAST(SUM(term_score) AS BIGINT) AS score_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+FROM scored
+GROUP BY doc_id, dl
+ORDER BY score_scaled DESC, doc_id
+LIMIT 10
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1696,4 +1742,5 @@ QUERIES = {
     "sim_mmr_rerank": (sim_mmr_rerank, SIM_MMR_SQL),
     "t_dsir_sample": (t_dsir_sample, T_DSIR_SQL),
     "t_tfidf_topk": (t_tfidf_topk, T_TFIDF_SQL),
+    "t_bm25_topk": (t_bm25_topk, T_BM25_SQL),
 }

@@ -13,6 +13,7 @@ from cehrbert_data_spark.operators.aggregations import (
     distinct_frequency_filter,
     exact_avg,
     exact_sum,
+    histogram_quantile,
     hourly_mean,
     winsorize_bounds,
 )
@@ -1330,6 +1331,163 @@ FROM ka CROSS JOIN kb CROSS JOIN common CROSS JOIN exact
 """
 
 
+# --- A16: ROLLUP multi-level aggregation (beyond-ref) -----------------------
+
+def a16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority × year order rollup with subtotal and grand-total rows.
+
+    ``rollup`` plans ONE Expand + hash-aggregate pass — each input row is
+    expanded to its grouping sets and partially aggregated map-side, so the
+    three aggregation levels cost one shuffle, not three jobs + a union.
+    ``grouping()`` flags distinguish subtotal NULLs from data NULLs (the
+    cross-engine-portable alternative to bit-order-sensitive grouping_id).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            "o_totalprice",
+        )
+        .rollup("priority", "yr")
+        .agg(
+            F.grouping("priority").cast("long").alias("g_priority"),
+            F.grouping("yr").cast("long").alias("g_yr"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+A16_SQL = """
+WITH src AS (
+  SELECT o_orderpriority AS priority,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         o_totalprice
+  FROM orders
+)
+SELECT priority, yr,
+       CAST(GROUPING(priority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(yr) AS BIGINT) AS g_yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+FROM src
+GROUP BY ROLLUP (priority, yr)
+"""
+
+
+# --- P10: pivot (wide conditional aggregation, beyond-ref) ------------------
+
+def p10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per year pivoted to one column per priority.
+
+    The value list is EXPLICIT: ``pivot(col, values)`` plans straight from
+    the declared values, while ``pivot(col)`` first runs a distinct-values
+    collect job — an extra full pass over the fact table at 100 TB. The
+    physical plan is two stacked hash-aggs: the fact-table pass partial-
+    aggregates (yr, priority) counts map-side, so only ~|years × 5| rows
+    reach either shuffle. Absent combinations count as 0 (coalesce),
+    matching the oracle's FILTER aggregates.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    wide = (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+        )
+        .groupBy("yr")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "yr",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(n)
+            for p, n in zip(pris, names)
+        ],
+    )
+
+
+P10_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+FROM orders GROUP BY 1
+"""
+
+
+# --- A17: mergeable histogram quantile (beyond-ref) -------------------------
+
+def a17_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p90 of ``value`` via the fixed-bin integer histogram
+    (operators/aggregations.py:histogram_quantile) — the deterministic,
+    mergeable, bounded-state alternative to percentile_approx's
+    Greenwald-Khanna sketch, which no oracle can reproduce."""
+    ev = read_table(spark, sf_dir, "events")
+    return histogram_quantile(
+        ev, ["event_type"], "value", q_num=9, q_den=10, bin_width=5.0
+    )
+
+
+A17_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value / 5.0) AS BIGINT) AS bin FROM events
+),
+c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bin,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM c
+)
+SELECT event_type, CAST(total AS BIGINT) AS n_rows, bin AS q_bin,
+       bin * 5.0 AS q_lo
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+  FROM w WHERE cum * 10 >= total * 9
+) WHERE rk = 1
+"""
+
+
+# --- F (json): semi-structured extraction (beyond-ref) ----------------------
+
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the events ``props`` column.
+
+    ``from_json`` with an EXPLICIT schema parses each row once into a
+    typed struct inside codegen (Jackson, JVM-side); per-path
+    ``get_json_object`` calls would re-parse the document once per path —
+    N× the CPU on a 100 TB scan. Malformed documents yield NULL fields
+    (PERMISSIVE), which aggregate away exactly like SQL NULLs.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k long").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").cast("long").alias("sum_k"),
+        F.max("p.k").cast("long").alias("max_k"),
+        F.sum(F.when(F.col("p.k") > 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+    )
+
+
+F_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1370,4 +1528,8 @@ QUERIES = {
     "a13_bloom_probe": (a13_bloom_probe, A13_SQL),
     "a14_cms_freq": (a14_cms_freq, A14_SQL),
     "a15_kmv_jaccard": (a15_kmv_jaccard, A15_SQL),
+    "a16_rollup": (a16_rollup, A16_SQL),
+    "p10_pivot": (p10_pivot, P10_SQL),
+    "a17_hist_quantile": (a17_hist_quantile, A17_SQL),
+    "f_json_extract": (f_json_extract, F_JSON_SQL),
 }
