@@ -7,6 +7,7 @@ sources with watermarks, sharing semantics with the batch operators.
 """
 
 from cehrbert_data_spark.streaming.operators import (
+    hist_bin_stream,
     hll_register_stream,
     asof_join_stream,
     hourly_rollup_stream,
@@ -19,6 +20,7 @@ from cehrbert_data_spark.streaming.operators import (
 
 __all__ = [
     "asof_join_stream",
+    "hist_bin_stream",
     "hll_register_stream",
     "minhash_dedup_stream",
     "stream_static_enrich",

@@ -502,3 +502,31 @@ def hll_register_stream(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").cast("long").alias("register"))
     )
+
+
+def hist_bin_stream(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Streaming fixed-bin histogram: per-(group, bin) running counts —
+    the streaming dual of ``operators.aggregations.histogram_quantile``'s
+    first stage.
+
+    Counts are additive, so micro-batch increments fold into the running
+    totals with no watermark needed for correctness (late rows land in
+    their value's bin whenever they arrive) and state bounded at
+    |groups| × |bins| regardless of stream volume. The emitted bin table
+    feeds the same division-free quantile pick as the batch operator
+    (``cum * q_den >= total * q_num``), and bins from a stream and a
+    backfill batch merge by plain addition — any quantile over the merged
+    corpus without reprocessing either side.
+
+    On a batch DataFrame, returns the identical bin-count aggregation.
+    """
+    binc = F.floor(F.col(value) / F.lit(bin_width)).cast("long")
+    return (
+        df.groupBy(*group_cols, binc.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

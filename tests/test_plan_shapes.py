@@ -231,3 +231,51 @@ def test_tfidf_doc_partitioned_window(spark, qs):
     # the top-k window partitions by doc_id — never a global window
     assert "Window" in p
     assert "windowspecdefinition(doc_id" in p
+
+
+def test_rollup_single_expand_single_shuffle(spark, qs):
+    p = plan(qs["a16_rollup"](spark, SF_DIR))
+    # all grouping levels come from ONE Expand + one shuffled hash-agg,
+    # not one job per level + union
+    assert p.count("Expand") >= 1
+    assert p.count("hashpartitioning(") == 1
+    assert "partial_" in p  # map-side combine across the expanded rows
+
+
+def test_pivot_no_distinct_values_job(spark, qs):
+    p = plan(qs["p10_pivot"](spark, SF_DIR))
+    # explicit value list: the plan pivots directly (pivotfirst), with the
+    # fact-table pass partially aggregated map-side; no collect-distinct job
+    assert "pivotfirst" in p
+    assert "partial_" in p
+
+
+def test_hist_quantile_bounded_state(spark, qs):
+    p = plan(qs["a17_hist_quantile"](spark, SF_DIR))
+    # raw rows collapse to (group, bin) counts BEFORE any window: the agg
+    # shuffle keys on the bin expression, windows only see bin counts
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans list scans last; assert the windows partition by the
+    # group key, never empty (no global window)
+    assert "windowspecdefinition(event_type" in p
+
+
+def test_bm25_filter_before_shuffle_and_takeordered(spark, qs):
+    p = plan(qs["t_bm25_topk"](spark, SF_DIR))
+    # global top-k is TakeOrdered, corpus totals broadcast as a single row
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row cross join
+    # the query-term filter must run before the TF aggregation so only
+    # hit tokens reach any exchange (array_contains over the explode)
+    assert "array_contains" in p
+
+
+def test_json_extract_single_parse_pushdown(spark, qs):
+    p = plan(qs["f_json_extract"](spark, SF_DIR))
+    # one typed from_json parse, no per-path get_json_object re-parses
+    assert "from_json" in p
+    assert "get_json_object" not in p
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "props" in read_schema and "value" not in read_schema

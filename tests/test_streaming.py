@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime
 import os
 import time
+from collections import Counter
 
 from pyspark.sql import functions as F
 
@@ -289,3 +290,61 @@ def test_hll_register_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) <= 2 * 32  # state bound: |groups| * 2^p
+
+
+def test_hist_bin_stream_matches_batch_and_quantile(spark, tmp_path):
+    """Bins accumulated over micro-batches == batch bins over the same
+    rows, and the quantile folded from the streamed bin table equals the
+    batch histogram_quantile answer."""
+    import math
+    import random as _random
+
+    from cehrbert_data_spark.operators.aggregations import histogram_quantile
+    from cehrbert_data_spark.streaming import hist_bin_stream
+
+    rng = _random.Random(99)
+    rows = [("g%d" % (i % 2), rng.uniform(-30.0, 120.0)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    # batch fallback == plain bin-count aggregation
+    batch = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in hist_bin_stream(df, ["g"], "v", bin_width=8.0).collect()
+    }
+    expected = Counter((g, math.floor(v / 8.0)) for g, v in rows)
+    assert batch == dict(expected)
+
+    # streaming path over two micro-batches
+    src = os.path.join(str(tmp_path), "hist_src")
+    df.where("v < 40").write.mode("append").parquet(src)
+    df.where("v >= 40").write.mode("append").parquet(src)
+    stream = spark.readStream.schema("g string, v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        hist_bin_stream(stream, ["g"], "v", bin_width=8.0)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hist_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM hist_mem").collect()
+    got = {(r["g"], r["bin"]): r["cnt"] for r in streamed}
+    assert got == dict(expected)
+
+    # fold the STREAMED bin table to the p90 and compare to the batch op
+    def fold(g, q_num, q_den):
+        bins = sorted((b, c) for (gg, b), c in got.items() if gg == g)
+        total = sum(c for _, c in bins)
+        cum = 0
+        for b, c in bins:
+            cum += c
+            if cum * q_den >= total * q_num:
+                return b, total
+    batch_q = {
+        r["g"]: (r["q_bin"], r["n_rows"])
+        for r in histogram_quantile(df, ["g"], "v", 9, 10, 8.0).collect()
+    }
+    assert {g: fold(g, 9, 10) for g in ("g0", "g1")} == batch_q
