@@ -317,6 +317,79 @@ def bm25_topk(
     )
 
 
+def lm_surprisal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scale: int = 1024,
+) -> DataFrame:
+    """Per-document bigram language-model surprisal in exact-integer bits
+    (beyond-ref; the CCNet-style perplexity signal corpus pipelines use to
+    keep fluent text and drop gibberish — here the LM is the corpus's own
+    bigram model, so no external model file is needed).
+
+    A document's surprisal under a bigram model is
+    ``sum log2(1 / P(w2|w1))`` with ``P(w2|w1) = c(w1 w2) / c(w1 ·)``.
+    The per-bigram surprisal here is the fixed-point quantization
+    ``ilog2((c_prefix * scale) div c_bigram)`` — exact bit-length
+    arithmetic, identical in any engine, ``log2(scale)`` bits above the
+    real value. ``bits_per_gram`` (total / count, exact ints divided as
+    doubles) is the log2-perplexity proxy: low = fluent/common phrasing,
+    high = rare or shuffled text.
+
+    Returns (doc_id, bits_sum, n_bigrams, bits_per_gram); documents with
+    fewer than 2 words have no bigrams and drop out (same as the oracle's
+    GROUP BY over zero rows).
+
+    Scale: corpus bigram counts are corpus-sized, so they are NOT
+    broadcast — both the bigram count and the prefix count are SUM
+    windows over the SAME (doc, bigram) aggregate rows (the
+    window-over-same-shuffle shape: one explode, one hash-agg, two
+    windows, one final per-doc agg; nothing recomputed, nothing
+    materialized, no join). The windows partition by bigram / prefix
+    word — natural-language frequency keys are Zipf-skewed but bounded
+    by vocabulary, never by corpus size.
+    """
+    from pyspark.sql import Window
+
+    from cehrbert_data_spark.operators.sketches import ilog2
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(words(F.lower(F.col(text_col))), 2)).alias("bg"),
+    )
+    db = (
+        grams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+    )
+    wb = Window.partitionBy("bg")
+    wp = Window.partitionBy("w1")
+    scored = (
+        db.withColumn("c_big", F.sum("c").over(wb))
+        .withColumn("c_pre", F.sum("c").over(wp))
+        .withColumn(
+            "bits",
+            F.col("c") * ilog2(F.expr(f"(c_pre * {scale}) div c_big")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("bits").cast("long").alias("bits_sum"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "bits_sum",
+            "n_bigrams",
+            (F.col("bits_sum").cast("double") / F.col("n_bigrams")).alias(
+                "bits_per_gram"
+            ),
+        )
+    )
+
+
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword language-ID heuristic: per-language stopword hit rate,
     argmax → predicted label ('unknown' below a confidence floor)."""

@@ -1703,6 +1703,42 @@ LIMIT 10
 """
 
 
+def t_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram surprisal per document
+    (operators/text.py:lm_surprisal) — the CCNet-style perplexity filter
+    signal, in engine-exact integer bits."""
+    from cehrbert_data_spark.operators.text import lm_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lm_surprisal(docs, "doc_id", "text", scale=1024)
+
+
+T_LM_SURPRISAL_SQL = """
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+  WHERE LEN(toks) >= 2
+),
+db AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+wc AS (
+  SELECT doc_id, bg, c,
+         SUM(c) OVER (PARTITION BY bg) AS c_big,
+         SUM(c) OVER (PARTITION BY SPLIT_PART(bg, ' ', 1)) AS c_pre
+  FROM db
+)
+SELECT doc_id,
+       CAST(SUM(c * (LENGTH(bin((c_pre * 1024) // c_big)) - 1)) AS BIGINT) AS bits_sum,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(c * (LENGTH(bin((c_pre * 1024) // c_big)) - 1)) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(c) AS BIGINT) AS bits_per_gram
+FROM wc GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1743,4 +1779,5 @@ QUERIES = {
     "t_dsir_sample": (t_dsir_sample, T_DSIR_SQL),
     "t_tfidf_topk": (t_tfidf_topk, T_TFIDF_SQL),
     "t_bm25_topk": (t_bm25_topk, T_BM25_SQL),
+    "t_lm_surprisal": (t_lm_surprisal, T_LM_SURPRISAL_SQL),
 }

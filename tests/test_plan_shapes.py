@@ -272,6 +272,19 @@ def test_bm25_filter_before_shuffle_and_takeordered(spark, qs):
     assert "array_contains" in p
 
 
+def test_lm_surprisal_no_joins_single_scan(spark, qs):
+    p = plan(qs["t_lm_surprisal"](spark, SF_DIR))
+    # bigram AND prefix counts are windows over the SAME (doc, bigram)
+    # aggregate — a corpus-sized count table must never be joined/broadcast
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoop", "CartesianProduct"):
+        assert j not in p
+    # formatted mode prints each node twice (tree + details): 2 == one scan
+    assert p.count("Scan parquet") == 2
+    assert "windowspecdefinition(bg" in p and "windowspecdefinition(w1" in p
+    assert "partial_count" in p  # map-side combine before the first shuffle
+
+
 def test_json_extract_single_parse_pushdown(spark, qs):
     p = plan(qs["f_json_extract"](spark, SF_DIR))
     # one typed from_json parse, no per-path get_json_object re-parses
