@@ -67,6 +67,70 @@ def prev_value(
     return df.withColumn(out, F.lag(col, offset).over(w))
 
 
+def gap_fill_daily(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    decimal_type: str = "decimal(20,6)",
+) -> DataFrame:
+    """Calendar gap-fill + forward-fill resample (beyond-ref; the
+    time-series normalization every training pipeline needs before
+    windowed feature extraction — models want one row per entity per day,
+    not whatever days happened to have events).
+
+    Aggregates ``value`` to an exact-decimal daily sum per key, expands
+    each key's observed [min_day, max_day] span to a dense calendar via
+    ``sequence(d0, d1, interval 1 day)`` + explode, left-joins the
+    observed days back, and forward-fills missing days with
+    ``last(ignorenulls)`` over a (keys, day) window. Returns
+    (keys..., day, filled, is_observed).
+
+    Scale: the calendar explode emits |keys| × span rows — bounded by
+    entity count and time range, never by event volume; the daily
+    aggregate collapses events FIRST (map-side combined) so the join and
+    window only ever see day-grain rows. Both the join and the fill
+    window key on the entity, so one repartition serves both. Spans are
+    per-key (an entity active one week costs 7 rows, not the corpus's
+    full range). The daily aggregate feeds TWO consumers (span + join) —
+    column pruning defeats Spark's exchange reuse across such subtrees,
+    so it is materialized once behind ``checkpoint_barrier`` (day-grain =
+    small shared table, the barrier-appropriate case) instead of
+    re-aggregating the event stream per consumer.
+    """
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    parts = _require_partition(keys)
+    daily = checkpoint_barrier(
+        df.groupBy(*parts, F.to_date(ts).alias("day"))
+        .agg(
+            F.sum(F.col(value).cast(decimal_type)).cast("double").alias("day_sum")
+        )
+    )
+    cal = (
+        daily.groupBy(*parts)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            *parts,
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = cal.join(daily, [*parts, "day"], "left")
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *parts,
+        "day",
+        F.last("day_sum", ignorenulls=True).over(w).alias("filled"),
+        F.col("day_sum").isNotNull().cast("long").alias("is_observed"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     partition_by: Sequence[str | Column],

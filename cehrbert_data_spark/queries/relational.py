@@ -1454,6 +1454,80 @@ FROM (
 """
 
 
+# --- W12: distribution windows (ntile / percent_rank / cume_dist) -----------
+
+def w12_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year price quartiles and distribution positions for orders.
+
+    ntile/percent_rank/cume_dist are deterministic ONLY under a total
+    order — o_orderkey breaks price ties, so both engines assign identical
+    positions. The ratios divide exact integer ranks/counts as doubles
+    (same operands → same IEEE result in either engine).
+    """
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+W12_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       o_orderkey, o_totalprice,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY EXTRACT(year FROM o_orderdate)
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+# --- W13: calendar gap-fill + forward-fill resample (beyond-ref) ------------
+
+def w13_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily value series with forward-filled gaps
+    (operators/windows.py:gap_fill_daily), bounded to users < 50 so the
+    oracle's calendar stays fixed-size at any SF."""
+    from cehrbert_data_spark.operators.windows import gap_fill_daily
+
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    return gap_fill_daily(ev, ["user_id"], "ts", "value")
+
+
+W13_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_sum
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+cal AS (
+  SELECT user_id,
+         CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+j AS (
+  SELECT c.user_id, c.day, d.day_sum
+  FROM cal c LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day,
+       LAST_VALUE(day_sum IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS filled,
+       CAST(day_sum IS NOT NULL AS BIGINT) AS is_observed
+FROM j
+"""
+
+
 # --- F (json): semi-structured extraction (beyond-ref) ----------------------
 
 def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,4 +1606,6 @@ QUERIES = {
     "p10_pivot": (p10_pivot, P10_SQL),
     "a17_hist_quantile": (a17_hist_quantile, A17_SQL),
     "f_json_extract": (f_json_extract, F_JSON_SQL),
+    "w12_ntile_dist": (w12_ntile_dist, W12_SQL),
+    "w13_gap_fill": (w13_gap_fill, W13_SQL),
 }
