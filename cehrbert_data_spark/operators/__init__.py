@@ -12,11 +12,14 @@ from cehrbert_data_spark.operators.windows import (
     top_n_per_group,
     prev_value,
     sessionize,
+    streaks,
+    merge_intervals,
 )
 from cehrbert_data_spark.operators.aggregations import (
     hourly_mean,
     distinct_frequency_filter,
     winsorize_bounds,
+    corr_regression,
 )
 from cehrbert_data_spark.operators.closure import transitive_closure, descendants
 
@@ -30,9 +33,12 @@ __all__ = [
     "top_n_per_group",
     "prev_value",
     "sessionize",
+    "streaks",
+    "merge_intervals",
     "hourly_mean",
     "distinct_frequency_filter",
     "winsorize_bounds",
+    "corr_regression",
     "transitive_closure",
     "descendants",
 ]

@@ -147,6 +147,61 @@ def histogram_quantile(
     )
 
 
+def corr_regression(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Pearson correlation + OLS fit from exact integer sums
+    (beyond-ref; the feature-screening stat every tabular training pipeline
+    computes, done the way it must be done at 100 TB).
+
+    Both inputs are quantized to fixed-point BIGINTs (``round(v * scale)``)
+    and the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL(38,0) — exact, order-independent, map-side combinable, six
+    numbers of state per group no matter how many rows stream through
+    (``corr()``'s running-moment kernel is float and order-sensitive, so
+    two engines — or two shuffles — disagree in the low bits).
+    corr/slope/intercept are then ONE double expression over the exact
+    sums: identical operands → identical IEEE results in any engine.
+
+    ``slope`` is scale-invariant; ``intercept`` is in quantized y units
+    (divide by ``scale`` for raw units). Zero-variance groups yield NULLs
+    (guarded — double /0 semantics differ across engines).
+    """
+    xq = F.round(F.col(x) * scale).cast("long")
+    yq = F.round(F.col(y) * scale).cast("long")
+    dec = "decimal(38,0)"
+    agged = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(xq.cast(dec)).alias("sx"),
+        F.sum(yq.cast(dec)).alias("sy"),
+        F.sum((xq * yq).cast(dec)).alias("sxy"),
+        F.sum((xq * xq).cast(dec)).alias("sxx"),
+        F.sum((yq * yq).cast(dec)).alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    ok = (varx > 0) & (vary > 0)
+    slope = cov / varx
+    return agged.select(
+        *keys,
+        "n_rows",
+        F.when(ok, cov / (F.sqrt(varx) * F.sqrt(vary))).alias("corr"),
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, (sy - slope * sx) / n).alias("intercept"),
+    )
+
+
 def exact_sum(col: str | Column, scale: str = "decimal(20,4)") -> Column:
     """Order-independent sum of a double column via decimal accumulation."""
     c = F.col(col) if isinstance(col, str) else col

@@ -131,6 +131,105 @@ def gap_fill_daily(
     )
 
 
+def streaks(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    out_prefix: str = "streak",
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's activity into runs of
+    CONSECUTIVE calendar days (beyond-ref; retention/engagement features —
+    "longest daily streak" — and the canonical islands idiom the reference's
+    sessionize can't express, because streaks gap on missing DAYS, not on
+    event time deltas).
+
+    One row per (keys..., run): (streak_start, streak_end, streak_len).
+    The island id is ``day - row_number()`` over distinct active days — a
+    constant within a consecutive run, shifting whenever a day is skipped.
+
+    Scale: days dedup via a hash agg on (keys, day) — map-side combine
+    collapses event volume to day grain BEFORE anything crosses a shuffle
+    (a window-sort dedup would shuffle and sort every raw event). The
+    row_number window and the run agg then only ever see day-grain rows,
+    bounded by keys × active days.
+    """
+    parts = _require_partition(keys)
+    w = Window.partitionBy(*parts).orderBy("day")
+    days = df.groupBy(*parts, F.to_date(ts).alias("day")).agg(F.lit(1).alias("__one")).drop("__one")
+    islands = days.withColumn(
+        "__grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        islands.groupBy(*parts, "__grp")
+        .agg(
+            F.min("day").alias(f"{out_prefix}_start"),
+            F.max("day").alias(f"{out_prefix}_end"),
+            F.count(F.lit(1)).alias(f"{out_prefix}_len"),
+        )
+        .drop("__grp")
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key (beyond-ref; the
+    visit-span idiom — "how much time was actually covered" — that naive
+    SUM(end - start) double-counts whenever stays overlap).
+
+    Classic cumulative-max islands: ordered by start, an interval opens a
+    new merged island iff its start exceeds the running max of all previous
+    ends. Returns one row per merged island: (keys..., island_start,
+    island_end, n_intervals). Touching intervals (start == prev end) merge;
+    rows with NULL or inverted bounds are dropped (documented precondition,
+    mirroring overlap_join_buckets).
+
+    Scale: one hash partitioning by ``keys`` serves both windows (the lag
+    reads the same sort), then a map-side-combined agg on (keys, island) —
+    never a self-join, never more than one shuffle of interval-grain rows.
+    Island assignment is deterministic under start-ties: equal starts can
+    never open a new island regardless of their relative order (the running
+    max already includes neither/both symmetrically — a new island needs
+    start strictly above EVERY previous end).
+    """
+    parts = _require_partition(keys)
+    w = Window.partitionBy(*parts).orderBy(start, end)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # window functions can't nest — stage run_max, then lag it, then the
+    # running island sum; all three share one (partition, order), so Spark
+    # plans a single exchange + sort feeding stacked Window nodes
+    staged = (
+        df.where(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(start) <= F.col(end))
+        )
+        .withColumn("__run_max", F.max(end).over(frame))
+        .withColumn("__prev_max", F.lag("__run_max").over(w))
+    )
+    is_new = (
+        F.when(
+            F.col("__prev_max").isNull() | (F.col(start) > F.col("__prev_max")),
+            1,
+        ).otherwise(0)
+    )
+    islands = staged.withColumn("__island", F.sum(is_new).over(frame)).drop(
+        "__run_max", "__prev_max"
+    )
+    return (
+        islands.groupBy(*parts, "__island")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__island")
+    )
+
+
 def sessionize(
     df: DataFrame,
     partition_by: Sequence[str | Column],

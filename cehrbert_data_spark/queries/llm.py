@@ -1739,6 +1739,193 @@ FROM wc GROUP BY doc_id
 """
 
 
+# --- CCNet-style head/middle/tail bucketing by LM surprisal ------------------
+
+def t_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition the corpus into head/middle/tail terciles of bigram-LM
+    surprisal — CCNet's (Wenzek et al. 2020) quality stratification, which
+    trains on 'head' (fluent) text first. Per-doc surprisal comes from
+    operators/text.py:lm_surprisal in exact integer milli-bits-per-gram
+    (``(bits_sum*1000) div n_bigrams``); tercile thresholds are exact order
+    statistics read off an integer histogram (smallest mb with
+    ``3·cum ≥ total`` / ``3·cum ≥ 2·total``) so no float quantile can
+    diverge between engines.
+
+    Scale: the per-doc stats table (doc_id + two BIGINTs) feeds two
+    consumers — the threshold histogram and the labeling pass — so it is
+    materialized once behind checkpoint_barrier (16 bytes/doc; the
+    barrier-appropriate small shared table, NOT the corpus text) instead
+    of re-running the surprisal windows per consumer. The histogram is
+    vocabulary-bounded (≤ ~15k distinct mb values at 10-bit quantization);
+    its map-side-combined agg collapses doc grain first, and the tercile
+    scan is a ONE-ROW aggregate over the sorted bin array (the blessed
+    Exchange-SinglePartition scalar-agg shape — never a global window over
+    data-grain rows). The thresholds broadcast back as one row.
+    """
+    from cehrbert_data_spark.operators.text import lm_surprisal
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    docs = read_table(spark, sf_dir, "documents")
+    s = lm_surprisal(docs, "doc_id", "text", scale=1024)
+    per = checkpoint_barrier(
+        s.select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("(bits_sum * 1000) div n_bigrams").alias("mb"),
+        )
+    )
+    hist = per.groupBy("mb").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded bin table → one sorted array; running-sum threshold scan as a
+    # codegen'd F.aggregate over it (smallest mb with 3·cum ≥ k·total)
+    packed = hist.agg(
+        F.sort_array(F.collect_list(F.struct("mb", "cnt"))).alias("bins"),
+        F.sum("cnt").alias("total"),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("long").alias("t33"),
+        F.lit(None).cast("long").alias("t66"),
+    )
+
+    def _scan(a, x):
+        cum = a["cum"] + x["cnt"]
+        return F.struct(
+            cum.alias("cum"),
+            F.when(a["t33"].isNull() & (cum * 3 >= F.col("total")), x["mb"])
+            .otherwise(a["t33"])
+            .alias("t33"),
+            F.when(a["t66"].isNull() & (cum * 3 >= F.col("total") * 2), x["mb"])
+            .otherwise(a["t66"])
+            .alias("t66"),
+        )
+
+    thresholds = packed.select(
+        F.aggregate("bins", zero, _scan).alias("s")
+    ).select(F.col("s.t33").alias("t33"), F.col("s.t66").alias("t66"))
+    bucket = (
+        F.when(F.col("mb") <= F.col("t33"), F.lit("head"))
+        .when(F.col("mb") <= F.col("t66"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    labeled = per.crossJoin(F.broadcast(thresholds)).select(
+        "n_bigrams", "mb", bucket.alias("bucket")
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        F.min("mb").cast("long").alias("min_mb"),
+        F.max("mb").cast("long").alias("max_mb"),
+    )
+
+
+T_CCNET_SQL = """
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+  WHERE LEN(toks) >= 2
+),
+db AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+wc AS (
+  SELECT doc_id, bg, c,
+         SUM(c) OVER (PARTITION BY bg) AS c_big,
+         SUM(c) OVER (PARTITION BY SPLIT_PART(bg, ' ', 1)) AS c_pre
+  FROM db
+),
+per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         (CAST(SUM(c * (LENGTH(bin((c_pre * 1024) // c_big)) - 1)) AS BIGINT)
+          * 1000) // CAST(SUM(c) AS BIGINT) AS mb
+  FROM wc GROUP BY doc_id
+),
+hist AS (SELECT mb, COUNT(*) AS cnt FROM per GROUP BY mb),
+h AS (
+  SELECT mb, SUM(cnt) OVER (ORDER BY mb ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM hist
+),
+t AS (
+  SELECT MIN(CASE WHEN cum * 3 >= total THEN mb END) AS t33,
+         MIN(CASE WHEN cum * 3 >= total * 2 THEN mb END) AS t66
+  FROM h
+),
+lab AS (
+  SELECT per.n_bigrams, per.mb,
+         CASE WHEN per.mb <= t.t33 THEN 'head'
+              WHEN per.mb <= t.t66 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM per, t
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(MIN(mb) AS BIGINT) AS min_mb,
+       CAST(MAX(mb) AS BIGINT) AS max_mb
+FROM lab GROUP BY bucket
+"""
+
+
+# --- quality funnel: first-failing-rule attribution --------------------------
+
+def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source filter-funnel report: which rule removes how many docs
+    (operators/text.py:quality_funnel). Rules mirror C4/Gopher-style cuts —
+    length bounds, lexical diversity, stopword density — with every ratio
+    compared by integer cross-multiplication (``100·distinct < 35·words``)
+    so no float threshold can diverge between engines."""
+    from cehrbert_data_spark.operators.text import quality_funnel, words
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in ["the", "a", "of", "and", "to", "in", "is", "it"]])
+    stats = docs.select(
+        "source",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.size(F.filter(w, lambda x: F.array_contains(sw, x))).alias("n_stop"),
+    )
+    labeled = quality_funnel(
+        stats,
+        [
+            ("too_short", F.col("n_words") < 25),
+            ("too_long", F.col("n_words") > 90),
+            ("low_diversity", F.col("n_distinct") * 100 < F.col("n_words") * 35),
+            ("high_stopword", F.col("n_stop") * 100 > F.col("n_words") * 9),
+        ],
+    )
+    return labeled.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+
+
+T_FUNNEL_SQL = """
+WITH w AS (
+  SELECT source, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+s AS (
+  SELECT source, LEN(words) AS n_words,
+         LEN(LIST_DISTINCT(words)) AS n_distinct,
+         LEN(LIST_FILTER(words, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+  FROM w
+),
+v AS (
+  SELECT source, n_words,
+         CASE WHEN n_words < 25 THEN 'too_short'
+              WHEN n_words > 90 THEN 'too_long'
+              WHEN n_distinct * 100 < n_words * 35 THEN 'low_diversity'
+              WHEN n_stop * 100 > n_words * 9 THEN 'high_stopword'
+              ELSE 'pass' END AS verdict
+  FROM s
+)
+SELECT source, verdict, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM v GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
@@ -1780,4 +1967,6 @@ QUERIES = {
     "t_tfidf_topk": (t_tfidf_topk, T_TFIDF_SQL),
     "t_bm25_topk": (t_bm25_topk, T_BM25_SQL),
     "t_lm_surprisal": (t_lm_surprisal, T_LM_SURPRISAL_SQL),
+    "t_quality_funnel": (t_quality_funnel, T_FUNNEL_SQL),
+    "t_ccnet_bucket": (t_ccnet_bucket, T_CCNET_SQL),
 }

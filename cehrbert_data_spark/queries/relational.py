@@ -1562,6 +1562,266 @@ FROM events GROUP BY event_type
 """
 
 
+# --- A18: exact-integer correlation / regression (beyond-ref) ---------------
+
+def a18_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson corr + OLS fit of extendedprice on quantity
+    via exact-integer sufficient statistics
+    (operators/aggregations.py:corr_regression) — order-independent where
+    ``F.corr``'s float running moments are not, so results reproduce at any
+    parallelism and hash-match any engine computing the same sums."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from cehrbert_data_spark.operators.aggregations import corr_regression
+
+    return corr_regression(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
+A18_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                  * CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+         CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+  FROM s
+)
+SELECT l_returnflag, n_rows,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) END AS corr,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            END AS intercept
+FROM d
+"""
+
+
+# --- A19: CUBE (all grouping-set combinations, beyond-ref) -------------------
+
+def a19_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returnflag × linestatus CUBE: all four grouping sets in ONE Expand +
+    one map-side-combined hash agg (complement of a16_rollup's prefix
+    hierarchy); per-column grouping() flags disambiguate subtotal NULLs
+    portably."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+A19_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- P11: unpivot / melt (wide → long, beyond-ref) ---------------------------
+
+def p11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year order metrics melted to (yr, metric, val) long form — the
+    inverse of p10_pivot, and the shape feature stores / metric sinks want.
+    ``unpivot`` compiles to one Expand over the already-aggregated wide rows
+    (|years| × 3 output rows), so the melt itself costs no shuffle; values
+    share one type (BIGINT) as unpivot requires."""
+    o = read_table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias(
+            "n_urgent"
+        ),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+    return wide.unpivot(
+        ["yr"], ["n_orders", "n_urgent", "sum_cents"], "metric", "val"
+    )
+
+
+P11_SQL = """
+WITH wide AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         COUNT(*) AS n_orders,
+         COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM orders GROUP BY 1
+)
+SELECT yr, 'n_orders' AS metric, n_orders AS val FROM wide
+UNION ALL SELECT yr, 'n_urgent' AS metric, n_urgent AS val FROM wide
+UNION ALL SELECT yr, 'sum_cents' AS metric, sum_cents AS val FROM wide
+"""
+
+
+# --- W14: sliding time windows (Structured-Streaming shape in batch) --------
+
+def w14_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts over 1-hour windows sliding every 30 minutes —
+    ``F.window(ts, width, slide)``, the exact operator a streaming rollup
+    uses, run in batch so it is oracle-checkable. Each event expands to
+    width/slide = 2 window assignments (one Expand node), then ONE
+    map-side-combined hash agg; output cardinality is window-grain, never
+    event-grain. Spark aligns sliding windows to the epoch, so the oracle
+    reproduces starts as floor(epoch/slide)*slide and its predecessor."""
+    ev = read_table(spark, sf_dir, "events")
+    agged = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "decimal(20,6)").alias("sum_value"),
+    )
+    return agged.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+W14_SQL = """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS s0
+  FROM events
+),
+u AS (
+  SELECT event_type, value, s0 AS ws FROM e
+  UNION ALL
+  SELECT event_type, value, s0 - 1800 AS ws FROM e
+)
+SELECT make_timestamp(ws * 1000000) AS win_start,
+       make_timestamp((ws + 3600) * 1000000) AS win_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM u GROUP BY 1, 2, 3
+"""
+
+
+# --- W15: gaps-and-islands consecutive-day streaks --------------------------
+
+def w15_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-streak profile (n streaks / longest / active days)
+    from the gaps-and-islands operator (operators/windows.py:streaks)."""
+    from cehrbert_data_spark.operators.windows import streaks
+
+    ev = read_table(spark, sf_dir, "events")
+    runs = streaks(ev, ["user_id"], "ts")
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+    )
+
+
+W15_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+),
+runs AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
+"""
+
+
+# --- W16: interval union (merged coverage per key) ---------------------------
+
+def w16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier merged shipping-coverage profile: overlapping
+    [shipdate, shipdate + (qty%10)+1 days] spans unioned via
+    operators/windows.py:merge_intervals (cumulative-max islands), then
+    rolled up to (n_islands, covered_days, n_intervals) — the "actually
+    covered time" stat naive SUM(end-start) double-counts."""
+    from cehrbert_data_spark.operators.windows import merge_intervals
+
+    li = read_table(spark, sf_dir, "lineitem")
+    ship = F.to_date("l_shipdate")
+    iv = li.select(
+        "l_suppkey",
+        ship.alias("ship_start"),
+        F.date_add(ship, F.col("l_quantity").cast("int") % 10 + 1).alias(
+            "ship_end"
+        ),
+    )
+    runs = merge_intervals(iv, ["l_suppkey"], "ship_start", "ship_end")
+    return runs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.datediff("island_end", "island_start") + 1)
+        .cast("long")
+        .alias("covered_days"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
+W16_SQL = """
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INTEGER) % 10 + 1) AS e
+  FROM lineitem
+),
+m AS (
+  SELECT l_suppkey, s, e,
+         MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS run_max
+  FROM iv
+),
+l AS (
+  SELECT l_suppkey, s, e,
+         LAG(run_max) OVER (PARTITION BY l_suppkey ORDER BY s, e) AS prev_max
+  FROM m
+),
+i AS (
+  SELECT l_suppkey, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_suppkey ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM l
+),
+runs AS (
+  SELECT l_suppkey, island, MIN(s) AS island_start, MAX(e) AS island_end,
+         COUNT(*) AS n_iv
+  FROM i GROUP BY 1, 2
+)
+SELECT l_suppkey, COUNT(*) AS n_islands,
+       CAST(SUM(island_end - island_start + 1) AS BIGINT) AS covered_days,
+       CAST(SUM(n_iv) AS BIGINT) AS n_intervals
+FROM runs GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1608,4 +1868,10 @@ QUERIES = {
     "f_json_extract": (f_json_extract, F_JSON_SQL),
     "w12_ntile_dist": (w12_ntile_dist, W12_SQL),
     "w13_gap_fill": (w13_gap_fill, W13_SQL),
+    "a18_corr_regr": (a18_corr_regr, A18_SQL),
+    "a19_cube": (a19_cube, A19_SQL),
+    "p11_unpivot": (p11_unpivot, P11_SQL),
+    "w14_sliding_window": (w14_sliding_window, W14_SQL),
+    "w15_streaks": (w15_streaks, W15_SQL),
+    "w16_interval_union": (w16_interval_union, W16_SQL),
 }

@@ -48,6 +48,22 @@ def checkpoint_barrier(df: DataFrame, path: str | None = None) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink (beyond-ref; pairs with ``readers.read_jsonl`` for
+    LLM-corpus interchange). One JSON object per line, per-file compressed
+    (gzip default — line-oriented consumers stream-decompress it). Output
+    file count = partition count; repartition upstream if a consumer needs
+    fewer, larger shards."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

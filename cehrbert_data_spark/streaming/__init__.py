@@ -14,12 +14,14 @@ from cehrbert_data_spark.streaming.operators import (
     minhash_dedup_stream,
     running_key_stats_stream,
     session_window_stream,
+    sliding_rollup_stream,
     stream_static_enrich,
     streaming_dedup,
 )
 
 __all__ = [
     "asof_join_stream",
+    "sliding_rollup_stream",
     "hist_bin_stream",
     "hll_register_stream",
     "minhash_dedup_stream",

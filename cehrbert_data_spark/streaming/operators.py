@@ -103,6 +103,40 @@ def hourly_rollup_stream(
     )
 
 
+def sliding_rollup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """W14's sliding windows on a stream: overlapping ``width`` windows every
+    ``slide`` per key. Each event expands to width/slide window assignments
+    (one Expand, no self-join); state holds one partial aggregate per open
+    (window, key) and finalizes when the watermark passes a window's end.
+    Batch parity: identical output to queries.relational.w14_sliding_window
+    on the same input (count + exact decimal sum)."""
+    df = _ensure_watermark(df, ts, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts), width, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],

@@ -1,0 +1,175 @@
+"""Unit + differential tests for the round-6 additions: exact-integer
+correlation/regression, gaps-and-islands streaks, first-failing-rule quality
+funnel, and the sliding-window rollup (batch semantics + streaming parity)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cehrbert_data_spark.operators.aggregations import corr_regression
+from cehrbert_data_spark.operators.text import quality_funnel
+from cehrbert_data_spark.operators.windows import streaks
+from cehrbert_data_spark.streaming import sliding_rollup_stream
+
+
+# --- corr_regression ---------------------------------------------------------
+
+def test_corr_regression_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    x = rng.uniform(1, 50, 200).round(2)
+    y = (3.5 * x + rng.normal(0, 10, 200)).round(2)
+    rows = [("g", float(a), float(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "k: string, x: double, y: double")
+    got = corr_regression(df, ["k"], "x", "y", scale=100).collect()[0]
+
+    xq = np.round(x * 100).astype(np.int64)
+    yq = np.round(y * 100).astype(np.int64)
+    assert got["n_rows"] == 200
+    assert abs(got["corr"] - np.corrcoef(xq, yq)[0, 1]) < 1e-9
+    slope, intercept = np.polyfit(xq, yq, 1)
+    assert abs(got["slope"] - slope) < 1e-9
+    assert abs(got["intercept"] - intercept) < 1e-6
+    # slope is scale-invariant: quantized fit == raw fit
+    raw_slope = np.polyfit(x, y, 1)[0]
+    assert abs(got["slope"] - raw_slope) < 1e-3
+
+
+def test_corr_regression_zero_variance_guard(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.0), ("g", 1.0, 3.0)], "k: string, x: double, y: double"
+    )
+    row = corr_regression(df, ["k"], "x", "y").collect()[0]
+    assert row["corr"] is None and row["slope"] is None and row["intercept"] is None
+
+
+# --- streaks -----------------------------------------------------------------
+
+def test_streaks_islands(spark):
+    def d(day):
+        return datetime.datetime(2020, 1, day, 12, 0)
+
+    rows = [
+        # user 1: days 1,2,3 then 5,6 then 9 — and day 2 has THREE events
+        (1, d(1)), (1, d(2)), (1, d(2)), (1, d(2)), (1, d(3)),
+        (1, d(5)), (1, d(6)), (1, d(9)),
+        # user 2: one day only
+        (2, d(4)),
+    ]
+    df = spark.createDataFrame(rows, "uid: int, ts: timestamp")
+    out = {
+        (r["uid"], r["streak_start"].day): (r["streak_end"].day, r["streak_len"])
+        for r in streaks(df, ["uid"], "ts").collect()
+    }
+    assert out == {
+        (1, 1): (3, 3),
+        (1, 5): (6, 2),
+        (1, 9): (9, 1),
+        (2, 4): (4, 1),
+    }
+
+
+# --- merge_intervals ---------------------------------------------------------
+
+def test_merge_intervals_islands(spark):
+    def d(day):
+        return datetime.date(2020, 1, day)
+
+    rows = [
+        # user 1: [1,5] ∪ [3,7] overlap; [7,8] touches (merges); [12,13] apart
+        (1, d(1), d(5)), (1, d(3), d(7)), (1, d(7), d(8)), (1, d(12), d(13)),
+        # user 1: contained interval must not extend the island
+        (1, d(2), d(4)),
+        # user 2: inverted + NULL rows dropped, one valid island
+        (2, d(9), d(2)), (2, None, d(5)), (2, d(20), d(21)),
+    ]
+    df = spark.createDataFrame(rows, "uid: int, s: date, e: date")
+    from cehrbert_data_spark.operators.windows import merge_intervals
+
+    out = {
+        (r["uid"], r["island_start"].day): (r["island_end"].day, r["n_intervals"])
+        for r in merge_intervals(df, ["uid"], "s", "e").collect()
+    }
+    assert out == {
+        (1, 1): (8, 4),
+        (1, 12): (13, 1),
+        (2, 20): (21, 1),
+    }
+
+
+# --- quality_funnel ----------------------------------------------------------
+
+def test_quality_funnel_first_failing_rule_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 50, 45), (2, 50, 1), (3, 50, 40), (4, 5, 1)],
+        "doc_id: int, n_words: int, n_distinct: int",
+    )
+    out = quality_funnel(
+        df,
+        [
+            ("too_short", F.col("n_words") < 10),
+            ("low_diversity", F.col("n_distinct") * 10 < F.col("n_words") * 5),
+        ],
+    )
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    # doc 4 fails BOTH rules -> attributed to the first
+    assert got == {1: "pass", 2: "low_diversity", 3: "pass", 4: "too_short"}
+
+
+# --- sliding_rollup_stream ---------------------------------------------------
+
+def _sliding_events(spark):
+    rows = [
+        (1, datetime.datetime(2020, 1, 1, 10, 0), 1.0),   # boundary event
+        (1, datetime.datetime(2020, 1, 1, 10, 20), 3.0),
+        (1, datetime.datetime(2020, 1, 1, 10, 40), 5.0),
+        (2, datetime.datetime(2020, 1, 1, 11, 10), 7.0),
+    ]
+    return spark.createDataFrame(rows, "uid: int, ts: timestamp, v: double")
+
+
+#: each event must land in exactly width/slide = 2 windows
+_SLIDING_EXPECTED = {
+    (1, (9, 30)): (2, 4.0),    # 09:30-10:30 gets 10:00, 10:20
+    (1, (10, 0)): (3, 9.0),    # 10:00-11:00 gets all three
+    (1, (10, 30)): (1, 5.0),   # 10:30-11:30 gets 10:40
+    (2, (10, 30)): (1, 7.0),
+    (2, (11, 0)): (1, 7.0),
+}
+
+
+def _sliding_key(r):
+    return (r["uid"], (r["win_start"].hour, r["win_start"].minute))
+
+
+def test_sliding_rollup_batch_semantics(spark):
+    out = sliding_rollup_stream(_sliding_events(spark), ["uid"], "ts", "v")
+    got = {_sliding_key(r): (r["n_events"], r["sum_value"]) for r in out.collect()}
+    assert got == _SLIDING_EXPECTED
+    # window bounds are width apart and slide-aligned
+    for r in out.collect():
+        assert (r["win_end"] - r["win_start"]).total_seconds() == 3600
+        assert r["win_start"].minute in (0, 30)
+
+
+def test_sliding_rollup_stream_matches_batch(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    _sliding_events(spark).write.parquet(src)
+    stream = spark.readStream.schema("uid int, ts timestamp, v double").parquet(src)
+    rolled = sliding_rollup_stream(stream, ["uid"], "ts", "v")
+    q = (
+        rolled.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        _sliding_key(r): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_mem").collect()
+    }
+    assert got == _SLIDING_EXPECTED

@@ -405,3 +405,100 @@ def test_tfidf_topk_vs_bruteforce(spark, seed):
         for r in tfidf_topk(df, "id", "text", k=3, idf_scale=scale).collect()
     }
     assert got == expected
+
+
+# --- merge_intervals vs naive sweep ------------------------------------------
+
+def _merged_expected(rows):
+    """Naive union-of-intervals per key: sort, sweep, merge touching."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, s, e in rows:
+        if s is None or e is None or s > e:
+            continue
+        by_key[k].append((s, e))
+    out = {}
+    for k, ivs in by_key.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e), merged[-1][2] + 1)
+            else:
+                merged.append((s, e, 1))
+        out[k] = sorted((s, e, n) for s, e, n in merged)
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_merge_intervals_vs_bruteforce(spark, seed):
+    from datetime import date
+
+    from cehrbert_data_spark.operators.windows import merge_intervals
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(400):
+        k = rng.randrange(6)
+        s_day = rng.randrange(1, 360)
+        length = rng.randrange(-2, 15)  # some inverted (dropped) intervals
+        s = date(2020, 1, 1) + timedelta(days=s_day)
+        e = s + timedelta(days=length)
+        if rng.random() < 0.05:
+            s = None
+        rows.append((k, s, e))
+    df = spark.createDataFrame(rows, "k: int, s: date, e: date")
+    got = {}
+    for r in merge_intervals(df, ["k"], "s", "e").collect():
+        got.setdefault(r["k"], []).append(
+            (r["island_start"], r["island_end"], r["n_intervals"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _merged_expected(rows)
+
+
+# --- streaks vs naive day-set scan -------------------------------------------
+
+def _streaks_expected(rows):
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for k, d in rows:
+        days[k].add(d)
+    out = {}
+    for k, ds in days.items():
+        runs = []
+        for d in sorted(ds):
+            if runs and (d - runs[-1][1]).days == 1:
+                runs[-1] = (runs[-1][0], d, runs[-1][2] + 1)
+            else:
+                runs.append((d, d, 1))
+        out[k] = sorted(runs)
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_streaks_vs_bruteforce(spark, seed):
+    from datetime import date
+
+    from cehrbert_data_spark.operators.windows import streaks
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(500):
+        k = rng.randrange(5)
+        d = date(2020, 1, 1) + timedelta(days=rng.randrange(60))
+        rows.append((k, d))
+    # timestamps at assorted hours collapse to the same calendar day
+    ts_rows = [
+        (k, datetime(d.year, d.month, d.day, rng.randrange(24), 0)) for k, d in rows
+    ]
+    df = spark.createDataFrame(ts_rows, "k: int, ts: timestamp")
+    got = {}
+    for r in streaks(df, ["k"], "ts").collect():
+        got.setdefault(r["k"], []).append(
+            (r["streak_start"], r["streak_end"], r["streak_len"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _streaks_expected(rows)

@@ -292,3 +292,69 @@ def test_json_extract_single_parse_pushdown(spark, qs):
     assert "get_json_object" not in p
     read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
     assert "props" in read_schema and "value" not in read_schema
+
+
+def test_corr_regression_single_shuffle_exact_sums(spark, qs):
+    p = plan(qs["a18_corr_regr"](spark, SF_DIR))
+    # six sufficient statistics = ONE map-side-combined hash agg; the
+    # corr/slope/intercept math is a post-agg projection, no second pass
+    assert p.count("hashpartitioning(") == 1
+    assert "partial_" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cube_single_expand_single_shuffle(spark, qs):
+    p = plan(qs["a19_cube"](spark, SF_DIR))
+    # all four grouping sets from ONE Expand + one shuffled hash-agg
+    assert p.count("Expand") >= 1
+    assert p.count("hashpartitioning(") == 1
+    assert "partial_" in p
+
+
+def test_unpivot_expands_after_aggregation(spark, qs):
+    p = plan(qs["p11_unpivot"](spark, SF_DIR))
+    # the melt is an Expand over year-grain aggregated rows: exactly the
+    # agg's one shuffle, no extra exchange for the unpivot itself
+    assert "Expand" in p
+    assert p.count("hashpartitioning(") == 1
+
+
+def test_sliding_window_expand_then_partial_agg(spark, qs):
+    p = plan(qs["w14_sliding_window"](spark, SF_DIR))
+    # width/slide = 2 window assignments via Expand (never a self-join),
+    # then ONE map-side-combined hash agg at window grain
+    assert "Expand" in p
+    assert p.count("hashpartitioning(") == 1
+    assert "partial_" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in p
+
+
+def test_streaks_collapses_to_day_grain_before_window(spark, qs):
+    p = plan(qs["w15_streaks"](spark, SF_DIR))
+    # the FIRST aggregate keys on (user_id, day): event volume collapses
+    # map-side before anything crosses a shuffle; windows see day grain
+    assert "partial_" in p
+    first_exchange = p.split("hashpartitioning(", 1)[1]
+    keys = first_exchange.split(")")[0]
+    # (user_id, <to_date(ts) grouping expression>) — two keys, day aliased
+    assert keys.startswith("user_id")
+    assert "_groupingexpression" in keys or "day" in keys
+    assert "BatchEvalPython" not in p
+
+
+def test_interval_union_one_sort_for_stacked_windows(spark, qs):
+    p = plan(qs["w16_interval_union"](spark, SF_DIR))
+    # run-max, lag, and the island sum share one (suppkey, start, end)
+    # partitioning: a single exchange feeds the stacked Window nodes
+    assert p.count("hashpartitioning(l_suppkey") <= 2  # windows + final agg
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert j not in p
+
+
+def test_quality_funnel_single_shuffle_no_python(spark, qs):
+    p = plan(qs["t_quality_funnel"](spark, SF_DIR))
+    # the rule CASE chain is a codegen'd projection; only the verdict
+    # count-agg shuffles
+    assert p.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p

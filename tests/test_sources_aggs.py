@@ -100,3 +100,22 @@ def test_winsorize_approx_close_to_exact(spark):
     # GK sketch: rank error <= n/accuracy = 2 ranks; value tolerance loose
     for b in ("lower_bound", "upper_bound"):
         assert abs(approx[b] - exact[b]) / max(abs(exact[b]), 1e-9) < 0.05
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from cehrbert_data_spark.sources.readers import read_jsonl
+    from cehrbert_data_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", [1, 2]), (2, "world", [])],
+        "id: long, text: string, tags: array<int>",
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "id long, text string, tags array<int>")
+    assert sorted((r["id"], r["text"], r["tags"]) for r in back.collect()) == [
+        (1, "hello", [1, 2]),
+        (2, "world", []),
+    ]
+    # inference fallback still reads the same rows (documented extra pass)
+    assert read_jsonl(spark, path).count() == 2
