@@ -147,6 +147,75 @@ def histogram_quantile(
     )
 
 
+def exact_group_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """EXACT per-group lower median without sorting the data (beyond-ref;
+    the two-pass order-statistic pattern for 100 TB where ``percentile``
+    buffers whole groups and a global sort is off the table).
+
+    Pass 1 bins values into a fixed-width integer histogram (map-side
+    combined; O(#bins) state per group) and locates, per group, the bin
+    containing the k-th smallest value (k = (n+1) div 2) plus the residual
+    rank inside that bin. Pass 2 re-scans ONLY rows in each group's median
+    bin (≈ n/#bins rows), ranks them by value within the group, and picks
+    the residual-rank row. Value ties are safe: every rank-j candidate
+    shares the same value, so the returned median is deterministic even
+    though row identity under ties is not.
+
+    NULL values are excluded (SQL aggregate semantics). Returns
+    (keys..., n_rows, median).
+
+    Scale: two scans of (keys, value) — never a full sort, never a
+    buffered group; the per-group median-bin table (one row per group)
+    joins back as an equi-join AQE is free to broadcast, and the pass-2
+    window sees only in-bin rows.
+    """
+    from pyspark.sql import Window
+
+    src = df.where(F.col(value).isNotNull())
+    binc = F.floor(F.col(value) / F.lit(bin_width)).cast("long")
+    counts = src.groupBy(*keys, binc.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    wpick = Window.partitionBy(*keys).orderBy("__bin")
+    staged = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .withColumn("k", F.expr("(total + 1) div 2"))  # lower-median rank
+    )
+    med_bins = (
+        staged.where(F.col("cum") >= F.col("k"))
+        .withColumn("rk", F.row_number().over(wpick))
+        .where(F.col("rk") == 1)
+        .select(
+            *keys,
+            F.col("__bin"),
+            F.col("total").alias("n_rows"),
+            # residual rank inside the median bin: k - rows in earlier bins
+            (F.col("k") - (F.col("cum") - F.col("cnt"))).cast("long").alias("j"),
+        )
+    )
+    in_bin = src.select(*keys, F.col(value).alias("__v"), binc.alias("__bin")).join(
+        med_bins, [*keys, "__bin"]
+    )
+    wrank = Window.partitionBy(*keys).orderBy("__v")
+    return (
+        in_bin.withColumn("__r", F.row_number().over(wrank))
+        .where(F.col("__r") == F.col("j"))
+        .select(*keys, "n_rows", F.col("__v").alias("median"))
+    )
+
+
 def corr_regression(
     df: DataFrame,
     keys: Sequence[str],

@@ -1867,6 +1867,73 @@ FROM lab GROUP BY bucket
 """
 
 
+# --- dedup observability: per-source before/after summary --------------------
+
+def d_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup impact report: docs/words before vs after,
+    duplicate counts, dup ratio — the dashboard numbers a dedup stage must
+    emit so corpus shrinkage is attributable (pairs with t_quality_funnel's
+    per-rule attribution).
+
+    Scale: digests (md5) shuffle, never text; one (source, digest) hash agg
+    with map-side combine collapses copies first, then a per-source rollup.
+    Word counts ride along as integers (copies × n_words is exact)."""
+    from cehrbert_data_spark.operators.text import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(words(F.col("text"))).alias("n_words"),
+    )
+    per_digest = per.groupBy("source", "digest").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("n_words").alias("n_words"),
+    )
+    agg = per_digest.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("copies") * F.col("n_words")).cast("long").alias(
+            "total_words"
+        ),
+        F.sum("n_words").cast("long").alias("unique_words"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+        "total_words",
+        "unique_words",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs")
+        ).alias("dup_ratio"),
+    )
+
+
+D_DEDUP_SUMMARY_SQL = """
+WITH per AS (
+  SELECT source, md5(text) AS digest,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_words
+  FROM documents
+),
+pd AS (
+  SELECT source, digest, COUNT(*) AS copies, MIN(n_words) AS n_words
+  FROM per GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique,
+       CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dup,
+       CAST(SUM(copies * n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_words) AS BIGINT) AS unique_words,
+       CAST(CAST(SUM(copies) - COUNT(*) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(copies) AS BIGINT) AS dup_ratio
+FROM pd GROUP BY source
+"""
+
+
 # --- quality funnel: first-failing-rule attribution --------------------------
 
 def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,4 +2036,5 @@ QUERIES = {
     "t_lm_surprisal": (t_lm_surprisal, T_LM_SURPRISAL_SQL),
     "t_quality_funnel": (t_quality_funnel, T_FUNNEL_SQL),
     "t_ccnet_bucket": (t_ccnet_bucket, T_CCNET_SQL),
+    "d_dedup_summary": (d_dedup_summary, D_DEDUP_SUMMARY_SQL),
 }

@@ -1822,6 +1822,31 @@ FROM runs GROUP BY l_suppkey
 """
 
 
+# --- A20: exact two-pass median (beyond-ref) ---------------------------------
+
+def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-event-type lower median via the two-pass histogram-narrowed
+    order statistic (operators/aggregations.py:exact_group_median) — the
+    100 TB-viable exact quantile: never sorts the data, never buffers a
+    group, second pass touches only the median bin."""
+    from cehrbert_data_spark.operators.aggregations import exact_group_median
+
+    ev = read_table(spark, sf_dir, "events")
+    return exact_group_median(ev, ["event_type"], "value", bin_width=5.0)
+
+
+A20_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows, value AS median
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1874,4 +1899,5 @@ QUERIES = {
     "w14_sliding_window": (w14_sliding_window, W14_SQL),
     "w15_streaks": (w15_streaks, W15_SQL),
     "w16_interval_union": (w16_interval_union, W16_SQL),
+    "a20_exact_median": (a20_exact_median, A20_SQL),
 }

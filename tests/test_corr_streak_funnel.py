@@ -173,3 +173,46 @@ def test_sliding_rollup_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sliding_mem").collect()
     }
     assert got == _SLIDING_EXPECTED
+
+
+# --- exact_group_median --------------------------------------------------------
+
+def test_exact_median_vs_bruteforce(spark):
+    import random
+
+    from cehrbert_data_spark.operators.aggregations import exact_group_median
+
+    rng = random.Random(99)
+    rows = []
+    for g, n in [("odd", 101), ("even", 80), ("tiny", 1), ("neg", 50)]:
+        for _ in range(n):
+            v = rng.uniform(-50, 200) if g == "neg" else rng.uniform(0, 300)
+            rows.append((g, round(v, 3)))
+    rows.append(("nulls", None))
+    rows += [("nulls", float(v)) for v in (5, 1, 9)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    got = {
+        r["g"]: (r["n_rows"], r["median"])
+        for r in exact_group_median(df, ["g"], "v", bin_width=7.0).collect()
+    }
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for g, v in rows:
+        if v is not None:
+            vals[g].append(v)
+    exp = {
+        g: (len(vs), sorted(vs)[(len(vs) + 1) // 2 - 1]) for g, vs in vals.items()
+    }
+    assert got == exp
+
+
+def test_exact_median_duplicate_values(spark):
+    from cehrbert_data_spark.operators.aggregations import exact_group_median
+
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 10 + [("g", 1.0)] * 3 + [("g", 9.0)] * 3,
+        "g: string, v: double",
+    )
+    row = exact_group_median(df, ["g"], "v").collect()[0]
+    assert (row["n_rows"], row["median"]) == (16, 5.0)

@@ -358,3 +358,24 @@ def test_quality_funnel_single_shuffle_no_python(spark, qs):
     # count-agg shuffles
     assert p.count("hashpartitioning(") == 1
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
+
+
+def test_exact_median_two_pass_no_global_sort(spark, qs):
+    p = plan(qs["a20_exact_median"](spark, SF_DIR))
+    # two passes over the source (formatted mode prints each node twice),
+    # map-side combined bin agg, per-group windows only, no full-data Sort
+    # feeding a global ordering
+    assert p.count("Scan parquet") == 4
+    assert "partial_" in p
+    assert "windowspecdefinition(event_type" in p
+    # the median-bin table joins back as an equi join, never nested-loop
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_dedup_summary_digest_grain_combine(spark, qs):
+    p = plan(qs["d_dedup_summary"](spark, SF_DIR))
+    # copies collapse at (source, digest) map-side before the source rollup:
+    # two hash partitionings, both fed by partial aggregates; no window
+    assert p.count("hashpartitioning(") == 2
+    assert "partial_" in p
+    assert "Window" not in p
