@@ -175,6 +175,7 @@ def merge_intervals(
     keys: Sequence[str],
     start: str,
     end: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Union of overlapping/touching intervals per key (beyond-ref; the
     visit-span idiom — "how much time was actually covered" — that naive
@@ -190,13 +191,17 @@ def merge_intervals(
     Scale: one hash partitioning by ``keys`` serves both windows (the lag
     reads the same sort), then a map-side-combined agg on (keys, island) —
     never a self-join, never more than one shuffle of interval-grain rows.
-    Island assignment is deterministic under start-ties: equal starts can
-    never open a new island regardless of their relative order (the running
-    max already includes neither/both symmetrically — a new island needs
-    start strictly above EVERY previous end).
+    Island assignment is MATHEMATICALLY deterministic under (start, end)
+    ties: tied rows share the same running max, so no permutation of them
+    changes any island boundary. Pass ``tiebreak`` columns anyway when
+    rows can tie: the oracle lesson from 10×-scale verification is that an
+    engine's parallel window evaluation can MISCOMPUTE chained windows
+    over a non-total order (DuckDB returned a different covered-days total
+    run-to-run on tied sort keys; a unique order pins every engine to the
+    single correct answer).
     """
     parts = _require_partition(keys)
-    w = Window.partitionBy(*parts).orderBy(start, end)
+    w = Window.partitionBy(*parts).orderBy(start, end, *tiebreak)
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # window functions can't nest — stage run_max, then lag it, then the
     # running island sum; all three share one (partition, order), so Spark

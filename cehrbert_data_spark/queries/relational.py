@@ -1770,12 +1770,20 @@ def w16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship = F.to_date("l_shipdate")
     iv = li.select(
         "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
         ship.alias("ship_start"),
         F.date_add(ship, F.col("l_quantity").cast("int") % 10 + 1).alias(
             "ship_end"
         ),
     )
-    runs = merge_intervals(iv, ["l_suppkey"], "ship_start", "ship_end")
+    runs = merge_intervals(
+        iv,
+        ["l_suppkey"],
+        "ship_start",
+        "ship_end",
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
     return runs.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.datediff("island_end", "island_start") + 1)
@@ -1785,28 +1793,34 @@ def w16_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The window order includes (l_orderkey, l_linenumber) so it is TOTAL:
+# tied (s, e) rows cannot change the islands mathematically, but a
+# non-total order let DuckDB's parallel window evaluation return a
+# different covered-days sum run-to-run at 10x scale (observed, pinned in
+# ROUND_NOTES) — a unique order forces every engine to the one answer.
 W16_SQL = """
 WITH iv AS (
-  SELECT l_suppkey,
+  SELECT l_suppkey, l_orderkey, l_linenumber,
          CAST(l_shipdate AS DATE) AS s,
          CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INTEGER) % 10 + 1) AS e
   FROM lineitem
 ),
 m AS (
-  SELECT l_suppkey, s, e,
-         MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+  SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
+         MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
                       ROWS UNBOUNDED PRECEDING) AS run_max
   FROM iv
 ),
 l AS (
-  SELECT l_suppkey, s, e,
-         LAG(run_max) OVER (PARTITION BY l_suppkey ORDER BY s, e) AS prev_max
+  SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
+         LAG(run_max) OVER (PARTITION BY l_suppkey
+                            ORDER BY s, e, l_orderkey, l_linenumber) AS prev_max
   FROM m
 ),
 i AS (
   SELECT l_suppkey, s, e,
          SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
-           OVER (PARTITION BY l_suppkey ORDER BY s, e
+           OVER (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
                  ROWS UNBOUNDED PRECEDING) AS island
   FROM l
 ),
