@@ -55,6 +55,72 @@ SELECT src, dst, distance FROM closure
 """
 
 
+def r3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/closure.py:pagerank) over the
+    customer↔supplier trade graph: one edge per distinct (customer,
+    supplier) pair weighted by lineitem count, symmetrized so mass flows
+    both ways; customers live at node 2k, suppliers at 2k+1 (disjoint id
+    spaces). 3 fixed iterations — the plan is a static join tree the
+    oracle unrolls as CTEs."""
+    from cehrbert_data_spark.operators.closure import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    return pagerank(edges, "src", "dst", weight="w", iters=3)
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 1_000_000,
+                  damp_num: int = 85, damp_den: int = 100) -> str:
+    base = scale * (damp_den - damp_num) // damp_den
+    ctes = [f"""
+pairs AS (
+  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a AS src, b AS dst, w FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM pairs
+),
+outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+c{t} AS (
+  SELECT e.dst, SUM((r.r * e.w) // o.outw) AS s
+  FROM edges e JOIN r{t-1} r ON e.src = r.node JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT n.node,
+         CAST({base} + ({damp_num} * COALESCE(c.s, 0)) // {damp_den} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{t} c ON n.node = c.dst
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT node, r AS rank_scaled FROM r{iters}"
+    )
+
+
+R3_SQL = _pagerank_sql()
+
+
 QUERIES = {
     "r1_transitive_closure": (r1_transitive_closure, R1_SQL),
+    "r3_pagerank": (r3_pagerank, R3_SQL),
 }

@@ -37,3 +37,32 @@ def test_ids_above_max(spark):
     out = ids_above_max(new, existing, "vid", "vid").collect()
     ids = [r["vid"] for r in out]
     assert len(set(ids)) == 2 and min(ids) > 9
+
+
+def test_pagerank_matches_integer_bruteforce(spark):
+    from collections import defaultdict
+
+    from cehrbert_data_spark.operators.closure import pagerank
+
+    edges = [(1, 2, 3), (2, 1, 1), (2, 3, 1), (3, 1, 2), (4, 1, 5)]
+    df = spark.createDataFrame(edges, "src: long, dst: long, w: long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight="w", iters=3).collect()
+    }
+
+    scale, dn, dd = 1_000_000, 85, 100
+    outw = defaultdict(int)
+    for s, d, w in edges:
+        outw[s] += w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    r = {n: scale for n in nodes}
+    base = scale * (dd - dn) // dd
+    for _ in range(3):
+        s = defaultdict(int)
+        for u, v, w in edges:
+            s[v] += (r[u] * w) // outw[u]
+        r = {n: base + (dn * s[n]) // dd for n in nodes}
+    assert got == r
+    # node 4 has no in-edges: teleport-only mass
+    assert got[4] == base

@@ -379,3 +379,13 @@ def test_dedup_summary_digest_grain_combine(spark, qs):
     assert p.count("hashpartitioning(") == 2
     assert "partial_" in p
     assert "Window" not in p
+
+
+def test_pagerank_static_tree_no_python(spark, qs):
+    p = plan(qs["r3_pagerank"](spark, SF_DIR))
+    # fixed-iteration PageRank is a static join tree over the barriered
+    # edge table: no Python eval, no nested-loop joins, map-side-combined
+    # contribution aggregates every iteration
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "partial_sum" in p
