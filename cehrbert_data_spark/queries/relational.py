@@ -1861,6 +1861,106 @@ FROM r WHERE rn = (n + 1) // 2
 """
 
 
+# --- W17: ordered event funnel (beyond-ref) ----------------------------------
+
+def w17_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with STRICT event ordering: a user
+    advances a step only with an event strictly after their previous
+    step's first qualifying event (the product-analytics staple; a naive
+    per-type EXISTS overcounts users who purchased before ever viewing).
+
+    Scale: each step is a pushed-down event_type scan aggregated to USER
+    grain (map-side combined) then equi-joined to the previous step's
+    user-grain table — the funnel narrows monotonically, so join sides
+    shrink step by step; nothing is ever collected or sorted corpus-wide.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(step_type, prev, prev_ts):
+        base = ev.where(F.col("event_type") == step_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").where(F.col("ts") > F.col(prev_ts))
+        return base.groupBy("user_id").agg(F.min("ts").alias(f"t_{step_type}"))
+
+    v = first_after("view", None, None)
+    c = first_after("click", v, "t_view")
+    p = first_after("purchase", c, "t_click")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit("1_view").alias("step"), "n_users")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("2_click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("3_purchase").alias("step"), "n_users"
+            )
+        )
+    )
+
+
+W17_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click' AS step, COUNT(*) AS n_users FROM c
+UNION ALL SELECT '3_purchase' AS step, COUNT(*) AS n_users FROM p
+"""
+
+
+# --- A21: retention cohort triangle (beyond-ref) ------------------------------
+
+def a21_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (absolute epoch week, engine-portable), counted distinct in each
+    subsequent week offset. First-activity table is user-grain, so the
+    join back to events is an equi-join on the same key as the preceding
+    aggregate; the triangle itself is weeks × weeks — tiny at any scale."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    joined = ev.join(first, "user_id")
+    return (
+        joined.select(
+            F.expr("datediff(first_day, DATE'1970-01-01') div 7")
+            .cast("long")
+            .alias("cohort_week"),
+            F.expr("datediff(day, first_day) div 7").cast("long").alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+A21_SQL = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1)
+SELECT CAST((f.first_day - DATE '1970-01-01') // 7 AS BIGINT) AS cohort_week,
+       CAST((d.day - f.first_day) // 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM d JOIN f ON d.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -1914,4 +2014,6 @@ QUERIES = {
     "w15_streaks": (w15_streaks, W15_SQL),
     "w16_interval_union": (w16_interval_union, W16_SQL),
     "a20_exact_median": (a20_exact_median, A20_SQL),
+    "w17_event_funnel": (w17_event_funnel, W17_SQL),
+    "a21_retention": (a21_retention, A21_SQL),
 }

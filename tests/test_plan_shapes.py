@@ -389,3 +389,20 @@ def test_pagerank_static_tree_no_python(spark, qs):
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "partial_sum" in p
+
+
+def test_funnel_pushdown_and_narrowing_joins(spark, qs):
+    p = plan(qs["w17_event_funnel"](spark, SF_DIR))
+    # each step's event_type filter reaches the parquet scan; steps chain
+    # by user-grain equi-joins, never windows or nested loops
+    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters", 1)[1]
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_retention_user_grain_join(spark, qs):
+    p = plan(qs["a21_retention"](spark, SF_DIR))
+    # first-activity is a map-side-combined user-grain agg; the triangle agg
+    # is two-phase (partial count-distinct); no Python, no windows
+    assert "partial_" in p
+    assert "Window" not in p and "BatchEvalPython" not in p
