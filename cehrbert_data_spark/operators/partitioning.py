@@ -85,3 +85,58 @@ def widen_for_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFr
     if width < target:
         return df.repartition(target)
     return df
+
+
+def morton_key(x, y, bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two integer
+    columns into one BIGINT (x in even positions) — the space-filling-curve
+    clustering key behind multi-dimensional data skipping (Delta/Iceberg's
+    OPTIMIZE ZORDER). Rows close in (x, y) land close in z, so a
+    range-partitioned, z-sorted layout gives parquet row-group min/max
+    pruning on BOTH columns from ONE sort order.
+
+    Pure bit arithmetic (the classic spread-bits mask chain) — codegen'd
+    JVM-side, and byte-for-byte reproducible in any engine that has shifts
+    and ANDs, so the key itself is oracle-checkable. ``bits`` ≤ 31.
+    """
+    from pyspark.sql import Column, functions as F
+
+    masks = [
+        (32, 0x0000FFFF0000FFFF),
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+
+    def spread(col):
+        c = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for shift, mask in masks[1:]:
+            c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
+        return c
+
+    xc = x if isinstance(x, Column) else F.col(x)
+    yc = y if isinstance(y, Column) else F.col(y)
+    return spread(xc).bitwiseOR(F.shiftleft(spread(yc), 1))
+
+
+def morton_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """The same Morton key as ``morton_key`` in portable SQL (DuckDB and
+    ANSI-ish engines with ``&``/``|``/``<<``) — kept next to the Column form
+    so the two can't drift."""
+    lo = (1 << bits) - 1
+
+    def spread(e: str) -> str:
+        c = f"(CAST({e} AS BIGINT) & {lo})"
+        for shift, mask in [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]:
+            c = f"(({c} | ({c} << {shift})) & {mask})"
+        return c
+
+    return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"

@@ -1961,6 +1961,38 @@ GROUP BY 1, 2
 """
 
 
+# --- P12: Z-order (Morton) clustering key (beyond-ref) -----------------------
+
+def p12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Morton key over (partkey, suppkey) — the clustering key
+    ``sources/writers.py:write_zordered`` lays files out by. Pure codegen'd
+    bit arithmetic (operators/partitioning.py:morton_key); the oracle runs
+    the byte-identical SQL twin (``morton_key_sql``), so the key — and
+    therefore the physical layout it induces — is engine-checkable."""
+    from cehrbert_data_spark.operators.partitioning import morton_key
+
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 2)
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        morton_key(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+        .alias("zkey"),
+    )
+
+
+def _p12_sql() -> str:
+    from cehrbert_data_spark.operators.partitioning import morton_key_sql
+
+    z = morton_key_sql("l_partkey % 65536", "l_suppkey % 65536")
+    return f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no, {z} AS zkey
+FROM lineitem WHERE l_quantity <= 2
+"""
+
+
+P12_SQL = _p12_sql()
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -2016,4 +2048,5 @@ QUERIES = {
     "a20_exact_median": (a20_exact_median, A20_SQL),
     "w17_event_funnel": (w17_event_funnel, W17_SQL),
     "a21_retention": (a21_retention, A21_SQL),
+    "p12_zorder_key": (p12_zorder_key, P12_SQL),
 }

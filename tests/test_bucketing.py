@@ -65,3 +65,57 @@ def test_unbucketed_join_shuffles(spark, tmp_path, no_broadcast):
         spark.read.parquet(str(tmp_path / "ee")), "person_id"
     )
     assert "Exchange" in _plan(joined)
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.sources.writers import write_zordered
+
+    # 64x64 grid: a z-ordered layout into 8 files tiles the plane, so the
+    # summed per-file bounding-box area stays near the row count; a
+    # row-ordered layout would give each file a full-width slab
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, "x", "y", num_files=8)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 4
+    area = 0
+    for f in files:
+        part = spark.read.parquet(os.path.join(path, f))
+        r = part.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
+        ).collect()[0]
+        if r[4] == 0:
+            continue
+        area += (r[1] - r[0] + 1) * (r[3] - r[2] + 1)
+    # perfect power-of-2 tiling gives area == 4096; allow slack for range
+    # partitioner boundaries, but far below the 8 * 4096 slab layout
+    assert area <= 3 * 4096, area
+
+
+def test_morton_key_matches_bit_reference(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.operators.partitioning import morton_key
+
+    def spread_ref(v):
+        out = 0
+        for i in range(16):
+            out |= ((v >> i) & 1) << (2 * i)
+        return out
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(100)]
+    rows += [(0, 0), (65535, 65535), (1, 0), (0, 1), (70000, 2)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = df.select("x", "y", morton_key("x", "y").alias("z")).collect()
+    for r in got:
+        exp = spread_ref(r["x"] & 0xFFFF) | (spread_ref(r["y"] & 0xFFFF) << 1)
+        assert r["z"] == exp, (r["x"], r["y"])

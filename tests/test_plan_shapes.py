@@ -406,3 +406,12 @@ def test_retention_user_grain_join(spark, qs):
     # is two-phase (partial count-distinct); no Python, no windows
     assert "partial_" in p
     assert "Window" not in p and "BatchEvalPython" not in p
+
+
+def test_zorder_key_pure_projection(spark, qs):
+    p = plan(qs["p12_zorder_key"](spark, SF_DIR))
+    # the Morton key is a codegen'd bit-arithmetic projection over the scan:
+    # no exchange, no Python, and the quantity filter reaches the reader
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "PushedFilters" in p and "l_quantity" in p.split("PushedFilters", 1)[1]
