@@ -109,3 +109,43 @@ def test_convert_prediction_time(spark, tmp_path):
     convert_prediction_time.main(str(tmp_path / "in"), out_str, mode="str", spark=spark)
     row = spark.read.parquet(out_str + "/cohort").collect()[0]
     assert row["prediction_time"] == "2020-06-01 12:30:00.000000"
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    from cehrbert_data_spark.apps.curate_corpus import main as curate_main
+
+    out_dir = str(tmp_path / "curated")
+    metrics = curate_main(
+        "/root/testdata/sf0.001/documents.parquet",
+        out_dir,
+        plan_check=True,
+        spark=spark,
+    )
+    # every stage monotonically narrows the corpus
+    assert metrics["input"] >= metrics["after_exact_dedup"] >= metrics["after_near_dedup"]
+    assert metrics["after_near_dedup"] == metrics["output"] > 0
+    # funnel attribution covers every input doc exactly once
+    funnel_total = sum(v for k, v in metrics.items() if k.startswith("funnel_"))
+    assert funnel_total == metrics["input"]
+    # written corpus matches the reported count; report parquet readable
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
+    assert corpus.count() == metrics["output"]
+    report = spark.read.parquet(f"{out_dir}/report")
+    assert {r["stage"] for r in report.collect()} >= {"input", "output"}
+    # curated docs are unique by text (exact dedup held)
+    assert corpus.select("text").distinct().count() == metrics["output"]
+
+
+def test_curate_corpus_jsonl_sink(spark, tmp_path):
+    from cehrbert_data_spark.apps.curate_corpus import main as curate_main
+
+    out_dir = str(tmp_path / "curated_jl")
+    metrics = curate_main(
+        "/root/testdata/sf0.001/documents.parquet",
+        out_dir,
+        out_format="jsonl",
+        near_dedup=False,
+        spark=spark,
+    )
+    back = spark.read.json(f"{out_dir}/corpus")
+    assert back.count() == metrics["output"]
