@@ -1993,6 +1993,54 @@ FROM lineitem WHERE l_quantity <= 2
 P12_SQL = _p12_sql()
 
 
+# --- A22: median absolute deviation (robust dispersion, beyond-ref) ----------
+
+def a22_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MAD — median(|v − median(v)|) — the robust outlier
+    scale winsorization wants when tails are heavy. Composes
+    exact_group_median twice: the group-grain median table broadcasts back
+    onto the events for the deviation pass, so the whole thing is four
+    narrow scans and two histogram-bounded order statistics — still no
+    sort, still no buffered group."""
+    from cehrbert_data_spark.operators.aggregations import exact_group_median
+
+    ev = read_table(spark, sf_dir, "events")
+    med = exact_group_median(ev, ["event_type"], "value", bin_width=5.0)
+    dev = (
+        ev.where(F.col("value").isNotNull())
+        .join(F.broadcast(med.select("event_type", "median")), "event_type")
+        .select(
+            "event_type", F.abs(F.col("value") - F.col("median")).alias("dev")
+        )
+    )
+    out = exact_group_median(dev, ["event_type"], "dev", bin_width=1.0)
+    return out.select("event_type", "n_rows", F.col("median").alias("mad"))
+
+
+A22_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT event_type, value AS median FROM r WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.median) AS dev
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+r2 AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows, dev AS mad
+FROM r2 WHERE rn = (n + 1) // 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -2049,4 +2097,5 @@ QUERIES = {
     "w17_event_funnel": (w17_event_funnel, W17_SQL),
     "a21_retention": (a21_retention, A21_SQL),
     "p12_zorder_key": (p12_zorder_key, P12_SQL),
+    "a22_mad": (a22_mad, A22_SQL),
 }
