@@ -147,30 +147,36 @@ def histogram_quantile(
     )
 
 
-def exact_group_median(
+def exact_group_quantile(
     df: DataFrame,
     keys: Sequence[str],
     value: str,
+    q_num: int = 1,
+    q_den: int = 2,
     bin_width: float = 10.0,
 ) -> DataFrame:
-    """EXACT per-group lower median without sorting the data (beyond-ref;
-    the two-pass order-statistic pattern for 100 TB where ``percentile``
-    buffers whole groups and a global sort is off the table).
+    """EXACT per-group q-quantile (lower/discrete: the ceil(q·n)-th smallest
+    value) without sorting the data (beyond-ref; the two-pass
+    order-statistic pattern for 100 TB where ``percentile`` buffers whole
+    groups and a global sort is off the table). ``histogram_quantile`` is
+    the one-pass bin-approximate sibling; this one pays a second narrow
+    scan for the exact data value.
 
     Pass 1 bins values into a fixed-width integer histogram (map-side
     combined; O(#bins) state per group) and locates, per group, the bin
-    containing the k-th smallest value (k = (n+1) div 2) plus the residual
-    rank inside that bin. Pass 2 re-scans ONLY rows in each group's median
-    bin (≈ n/#bins rows), ranks them by value within the group, and picks
-    the residual-rank row. Value ties are safe: every rank-j candidate
-    shares the same value, so the returned median is deterministic even
-    though row identity under ties is not.
+    containing the k-th smallest value (k = ceil(n·q), as integers
+    ``(n·q_num + q_den − 1) div q_den``) plus the residual rank inside
+    that bin. Pass 2 re-scans ONLY rows in each group's target bin
+    (≈ n/#bins rows), ranks them by value within the group, and picks the
+    residual-rank row. Value ties are safe: every rank-j candidate shares
+    the same value, so the result is deterministic even though row
+    identity under ties is not.
 
     NULL values are excluded (SQL aggregate semantics). Returns
-    (keys..., n_rows, median).
+    (keys..., n_rows, q_value).
 
     Scale: two scans of (keys, value) — never a full sort, never a
-    buffered group; the per-group median-bin table (one row per group)
+    buffered group; the per-group target-bin table (one row per group)
     joins back as an equi-join AQE is free to broadcast, and the pass-2
     window sees only in-bin rows.
     """
@@ -191,7 +197,10 @@ def exact_group_median(
     staged = (
         counts.withColumn("cum", F.sum("cnt").over(wcum))
         .withColumn("total", F.sum("cnt").over(wall))
-        .withColumn("k", F.expr("(total + 1) div 2"))  # lower-median rank
+        # k = ceil(total * q) in exact integers
+        .withColumn(
+            "k", F.expr(f"(total * {q_num} + {q_den} - 1) div {q_den}")
+        )
     )
     med_bins = (
         staged.where(F.col("cum") >= F.col("k"))
@@ -212,8 +221,20 @@ def exact_group_median(
     return (
         in_bin.withColumn("__r", F.row_number().over(wrank))
         .where(F.col("__r") == F.col("j"))
-        .select(*keys, "n_rows", F.col("__v").alias("median"))
+        .select(*keys, "n_rows", F.col("__v").alias("q_value"))
     )
+
+
+def exact_group_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """EXACT per-group lower median: ``exact_group_quantile`` at q = 1/2
+    (k = ceil(n/2) = (n+1) div 2). Returns (keys..., n_rows, median)."""
+    out = exact_group_quantile(df, keys, value, 1, 2, bin_width)
+    return out.withColumnRenamed("q_value", "median")
 
 
 def corr_regression(

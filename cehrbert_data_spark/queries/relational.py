@@ -2041,6 +2041,33 @@ FROM r2 WHERE rn = (n + 1) // 2
 """
 
 
+# --- A23: exact p90 (arbitrary-q two-pass order statistic) --------------------
+
+def a23_exact_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-event-type p90 of ``value`` via exact_group_quantile
+    (q = 9/10): the arbitrary-quantile form of the two-pass order
+    statistic — pairs with a17_hist_quantile, which answers the same
+    question bin-approximately in one pass."""
+    from cehrbert_data_spark.operators.aggregations import exact_group_quantile
+
+    ev = read_table(spark, sf_dir, "events")
+    return exact_group_quantile(
+        ev, ["event_type"], "value", q_num=9, q_den=10, bin_width=5.0
+    )
+
+
+A23_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows, value AS q_value
+FROM r WHERE rn = (n * 9 + 9) // 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -2098,4 +2125,5 @@ QUERIES = {
     "a21_retention": (a21_retention, A21_SQL),
     "p12_zorder_key": (p12_zorder_key, P12_SQL),
     "a22_mad": (a22_mad, A22_SQL),
+    "a23_exact_p90": (a23_exact_p90, A23_SQL),
 }

@@ -216,3 +216,18 @@ def test_exact_median_duplicate_values(spark):
     )
     row = exact_group_median(df, ["g"], "v").collect()[0]
     assert (row["n_rows"], row["median"]) == (16, 5.0)
+
+
+def test_exact_quantile_arbitrary_q_vs_bruteforce(spark):
+    import random
+
+    from cehrbert_data_spark.operators.aggregations import exact_group_quantile
+
+    rng = random.Random(123)
+    rows = [("g", round(rng.uniform(0, 500), 3)) for _ in range(173)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    vs = sorted(v for _, v in rows)
+    for q_num, q_den in [(1, 10), (1, 4), (9, 10), (99, 100), (1, 1)]:
+        got = exact_group_quantile(df, ["g"], "v", q_num, q_den, 7.0).collect()[0]
+        k = (len(vs) * q_num + q_den - 1) // q_den
+        assert got["q_value"] == vs[k - 1], (q_num, q_den)
