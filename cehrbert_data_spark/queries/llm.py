@@ -1934,6 +1934,77 @@ FROM pd GROUP BY source
 """
 
 
+# --- word-entropy quality signal ----------------------------------------------
+
+def t_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram word entropy in exact integer bits — the
+    lexical-diversity signal between the funnel's crude distinct-ratio and
+    the bigram LM's fluency score: low entropy = repetitive/template text,
+    high = diverse vocabulary. Quantized as
+    ``Σ c_w · ilog2((n·1024) div c_w)`` (bit-length log2, engine-exact;
+    log2(1024) = 10-bit fixed point above the true value), normalized to
+    bits-per-word by exact-int division as doubles.
+
+    Scale: same window-over-same-shuffle shape as lm_surprisal — one
+    explode, one (doc, word) hash agg (map-side combined), one doc-
+    partitioned window for n, one final per-doc agg; no join, no broadcast,
+    nothing corpus-sized held anywhere."""
+    from pyspark.sql import Window
+
+    from cehrbert_data_spark.operators.sketches import ilog2
+    from cehrbert_data_spark.operators.text import words
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(words(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wd = Window.partitionBy("doc_id")
+    scored = wc.withColumn("n", F.sum("c").over(wd)).withColumn(
+        "bits", F.col("c") * ilog2(F.expr("(n * 1024) div c"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("bits").cast("long").alias("bits_sum"),
+            F.max("n").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            "bits_sum",
+            (F.col("bits_sum").cast("double") / F.col("n_words")).alias(
+                "bits_per_word"
+            ),
+        )
+    )
+
+
+T_ENTROPY_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+  FROM wc
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c * (LENGTH(bin((n * 1024) // c)) - 1)) AS BIGINT) AS bits_sum,
+       CAST(CAST(SUM(c * (LENGTH(bin((n * 1024) // c)) - 1)) AS BIGINT) AS DOUBLE)
+         / CAST(MAX(n) AS BIGINT) AS bits_per_word
+FROM s GROUP BY doc_id
+"""
+
+
 # --- quality funnel: first-failing-rule attribution --------------------------
 
 def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2037,4 +2108,5 @@ QUERIES = {
     "t_quality_funnel": (t_quality_funnel, T_FUNNEL_SQL),
     "t_ccnet_bucket": (t_ccnet_bucket, T_CCNET_SQL),
     "d_dedup_summary": (d_dedup_summary, D_DEDUP_SUMMARY_SQL),
+    "t_word_entropy": (t_word_entropy, T_ENTROPY_SQL),
 }

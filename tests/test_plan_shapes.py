@@ -415,3 +415,15 @@ def test_zorder_key_pure_projection(spark, qs):
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
     assert "PushedFilters" in p and "l_quantity" in p.split("PushedFilters", 1)[1]
+
+
+def test_word_entropy_no_joins_single_scan(spark, qs):
+    p = plan(qs["t_word_entropy"](spark, SF_DIR))
+    # same shape as lm_surprisal: one scan, one (doc, word) combine-agg,
+    # one doc-partitioned window — no joins, no broadcast of anything
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoop", "CartesianProduct"):
+        assert j not in p
+    assert p.count("Scan parquet") == 2  # formatted prints each node twice
+    assert "windowspecdefinition(doc_id" in p
+    assert "partial_count" in p
