@@ -231,3 +231,25 @@ def test_exact_quantile_arbitrary_q_vs_bruteforce(spark):
         got = exact_group_quantile(df, ["g"], "v", q_num, q_den, 7.0).collect()[0]
         k = (len(vs) * q_num + q_den - 1) // q_den
         assert got["q_value"] == vs[k - 1], (q_num, q_den)
+
+
+def test_word_entropy_matches_bruteforce(spark):
+    from collections import Counter
+
+    from cehrbert_data_spark.queries.llm import t_word_entropy
+
+    # run on the real sf0.001 docs and recheck 10 of them in pure Python
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_distinct"], r["bits_sum"])
+        for r in t_word_entropy(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 10"
+    ).fetchall()
+    for doc_id, text in rows:
+        counts = Counter(text.strip().lower().split())
+        n = sum(counts.values())
+        bits = sum(c * (((n * 1024) // c).bit_length() - 1) for c in counts.values())
+        assert got[doc_id] == (n, len(counts), bits), doc_id
