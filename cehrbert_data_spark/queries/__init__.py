@@ -21,10 +21,10 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: green driver verdicts on record yield their slots to ones that haven't
 #: been checked recently. The tail ROTATES each round so no query goes two
 #: consecutive rounds without a driver verdict (round-3 lesson: a demoted
-#: query can silently carry changed code). All 114 stay declared and are
+#: query can silently carry changed code). All 115 stay declared and are
 #: verified locally by tools/verify_oracle.py regardless of position.
 #:
-#: Round-6 tail (64 of 114): queries that are DRIVER-GREEN in round 5
+#: Round-6 tail (65 of 115): queries that are DRIVER-GREEN in round 5
 #: (CORRECTNESS_r05) and whose code paths round 6 does not touch. Round 5's
 #: entire 22-query tail is back in the head for fresh verdicts, as are all
 #: round-6-touched queries (j7b_asof_union null-ts/tiebreak rework,
@@ -47,7 +47,7 @@ from cehrbert_data_spark.queries import relational, sequences, graph, llm, clini
 #: every round in bench + property tests) yielded theirs to the final adds
 #: a16_rollup / p10_pivot / a17_hist_quantile / t_bm25_topk. f_json_extract
 #: / t_lm_surprisal / w12_ntile_dist / w13_gap_fill / a18_corr_regr /
-#: a19_cube / p11_unpivot / w14_sliding_window / w15_streaks / w16_interval_union / t_ccnet_bucket / a20_exact_median / d_dedup_summary / r3_pagerank / w17_event_funnel / a21_retention / p12_zorder_key / a22_mad / a23_exact_p90 / t_word_entropy /
+#: a19_cube / p11_unpivot / w14_sliding_window / w15_streaks / w16_interval_union / t_ccnet_bucket / a20_exact_median / d_dedup_summary / r3_pagerank / w17_event_funnel / a21_retention / p12_zorder_key / a22_mad / a23_exact_p90 / t_word_entropy / u7_multiset_ops /
 #: t_quality_funnel are brand-new but tail-listed (head is at capacity
 #: with queries needing fresh verdicts for round-6-touched code) — locally
 #: verified at three SFs this round; promote them for their first driver
@@ -70,6 +70,7 @@ _TAIL = [
     "a22_mad",
     "a23_exact_p90",
     "t_word_entropy",
+    "u7_multiset_ops",
     "f_json_extract",
     "t_lm_surprisal",
     "w12_ntile_dist",

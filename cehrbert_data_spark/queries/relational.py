@@ -2068,6 +2068,54 @@ FROM r WHERE rn = (n * 9 + 9) // 10
 """
 
 
+# --- U7: multiset set operations (INTERSECT ALL / EXCEPT ALL) ----------------
+
+def u7_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops on overlapping quarters of the order book:
+    ``intersectAll`` keeps min(multiplicity), ``exceptAll`` subtracts
+    multiplicities — the semantics U4/U6's join forms (distinct) cannot
+    express. Spark plans both as count-aggregate + replicate (no join of
+    the raw rows); results are re-aggregated so the comparison is
+    row-order-free."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def quarter(months):
+        return o.where(F.month("o_orderdate").isin(*months)).select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        )
+
+    a, b = quarter([1, 2, 3]), quarter([2, 3, 4])
+
+    def tagged(df, op):
+        return df.groupBy("priority", "status").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(op).alias("op"), "priority", "status", "n")
+
+    return tagged(a.intersectAll(b), "intersect_all").unionByName(
+        tagged(a.exceptAll(b), "except_all")
+    )
+
+
+U7_SQL = """
+WITH a AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status FROM orders
+  WHERE EXTRACT(month FROM o_orderdate) IN (1, 2, 3)
+),
+b AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status FROM orders
+  WHERE EXTRACT(month FROM o_orderdate) IN (2, 3, 4)
+),
+ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+SELECT 'intersect_all' AS op, priority, status, COUNT(*) AS n
+FROM ia GROUP BY 2, 3
+UNION ALL
+SELECT 'except_all' AS op, priority, status, COUNT(*) AS n
+FROM ea GROUP BY 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "p_filter_project": (p_filter_project, P_FILTER_SQL),
@@ -2126,4 +2174,5 @@ QUERIES = {
     "p12_zorder_key": (p12_zorder_key, P12_SQL),
     "a22_mad": (a22_mad, A22_SQL),
     "a23_exact_p90": (a23_exact_p90, A23_SQL),
+    "u7_multiset_ops": (u7_multiset_ops, U7_SQL),
 }
