@@ -13,6 +13,8 @@ always preferred when the closure exists (utils/vocab_utils.py:67-89).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,8 +60,9 @@ def transitive_closure(
     # per-hop joins move |frontier| rows, usually orders of magnitude smaller
     # than the session default is tuned for, and each over-wide stage costs
     # (tasks × per-task overhead) × iterations. The count is free — level_1
-    # is already materialized. Restored in the finally below; at real scale
-    # (>~3M seed pairs) this leaves the session width untouched.
+    # is already materialized. The narrowed width lives in a CLONED session
+    # (below), never the caller's; at real scale (>~3M seed pairs) no clone
+    # is made at all.
     spark = edges.sparkSession
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # Floor of 8: below that the loop loses pipeline parallelism across its
@@ -80,12 +83,31 @@ def transitive_closure(
     if hop_batch is None:
         n_edges = n_pairs if seeds is None else edges.count()
         hop_batch = 4 if max(n_pairs, n_edges) <= 100_000 else 2
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    if loop_width >= session_width:
+        return _closure_loop(closure, frontier, step, max_iterations, hop_batch)
+    # Narrow the loop's shuffle width WITHOUT touching the caller's session:
+    # a cloned session (same SparkContext/executors, independent SQLConf)
+    # carries the narrowed spark.sql.shuffle.partitions, and global temp
+    # views re-root the already-materialized loop relations under it — a
+    # concurrent query on the caller's session can never observe the loop
+    # width (round-6 verdict: the previous conf-set/restore leaked it).
+    # The views resolve to the checkpointed plans, every loop iteration
+    # forces analysis+execution, and union-of-analyzed-plans survives the
+    # view drop in the finally, so the returned DataFrame stays valid and
+    # composes with caller-session DataFrames (plans are context-level).
+    tag = f"closure_loop_{uuid.uuid4().hex}"
+    loop_spark = spark.newSession()
+    loop_spark.conf.set("spark.sql.shuffle.partitions", str(loop_width))
+    gt_db = spark.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    closure.createOrReplaceGlobalTempView(f"{tag}_seed")
+    step.createOrReplaceGlobalTempView(f"{tag}_step")
     try:
-        closure = _closure_loop(closure, frontier, step, max_iterations, hop_batch)
+        seed = loop_spark.table(f"{gt_db}.{tag}_seed")
+        loop_step = loop_spark.table(f"{gt_db}.{tag}_step")
+        return _closure_loop(seed, seed, loop_step, max_iterations, hop_batch)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_width))
-    return closure
+        spark.catalog.dropGlobalTempView(f"{tag}_seed")
+        spark.catalog.dropGlobalTempView(f"{tag}_step")
 
 
 def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):

@@ -408,10 +408,16 @@ def connected_components(
     diameter) rounds — near-dup clusters are shallow (most are 2-3 docs), so
     2-3 shuffle rounds in practice. Each round is one equi-join + groupBy
     (both shuffle on id and scale horizontally); convergence is detected by
-    the monotone SUM(comp) invariant — labels only ever decrease, so an
-    unchanged sum means a fixed point, and the check is the lazy
-    checkpoint's materializing action (one job per round, same discipline
-    as operators.closure).
+    the monotone SUM(comp) invariant — labels only ever decrease (strictly,
+    for at least one row, on any non-converged round), so an unchanged sum
+    means a fixed point, and the check is the lazy checkpoint's
+    materializing action (one job per round, same discipline as
+    operators.closure). The sum accumulates in DECIMAL(38,0): a BIGINT sum
+    over 10^10+ rows of large ids can wrap silently in non-ANSI mode, and a
+    wrapped sum colliding with the previous round's wrapped sum would
+    terminate the loop early with non-minimal labels; 38 decimal digits
+    hold 2^63 · 10^10 with room to spare, so equality-of-sums remains a
+    sound fixed-point test at any scale.
 
     Path-shaped duplicate graphs (templated/sliding near-dup text) have
     diameter ~n; pure propagation would need ~n rounds. After the first 3
@@ -433,7 +439,9 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # Exact (never-overflowing) label sum — see the docstring's invariant.
+    label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     converged = False
     for round_i in range(max_iterations):
         neighbor_min = (
@@ -465,7 +473,7 @@ def connected_components(
                 )
             )
         labels = labels.localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        new_sum = labels.agg(label_sum).collect()[0][0]
         if new_sum == prev_sum:
             converged = True
             break

@@ -15,6 +15,54 @@ def test_transitive_closure_diamond(spark):
     assert rows == {(1, 2): 1, (1, 3): 1, (2, 4): 1, (3, 4): 1, (1, 4): 2}
 
 
+def test_closure_loop_never_mutates_caller_session_conf(spark, monkeypatch):
+    # Round-6 verdict nit: the loop used to set spark.sql.shuffle.partitions
+    # on the CALLER's session (restored in a finally) — a concurrent query
+    # could inherit the narrowed width. The narrowing now lives in a cloned
+    # session; probe the caller's conf AT LOOP ENTRY (what a concurrent
+    # query would read) and assert it never changes.
+    import cehrbert_data_spark.operators.closure as closure_mod
+
+    key = "spark.sql.shuffle.partitions"
+    caller_width = spark.conf.get(key)
+    # test sessions run width 4 (< the loop's floor of 8, which would skip
+    # the clone path entirely) — widen so the narrowing actually engages
+    spark.conf.set(key, "32")
+    try:
+        seen = {}
+        real_loop = closure_mod._closure_loop
+
+        def probing_loop(closure, frontier, step, max_iterations, hop_batch=2):
+            seen["caller_width_during_loop"] = spark.conf.get(key)
+            seen["loop_width"] = step.sparkSession.conf.get(key)
+            return real_loop(closure, frontier, step, max_iterations, hop_batch)
+
+        monkeypatch.setattr(closure_mod, "_closure_loop", probing_loop)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 6)], "src: int, dst: int"
+        )
+        rows = {
+            (r["src"], r["dst"]): r["distance"]
+            for r in closure_mod.transitive_closure(edges).collect()
+        }
+        # the loop DID run narrowed (floor width 8), in its own session ...
+        assert seen["loop_width"] == "8"
+        # ... while the caller's session width never moved, during or after
+        assert seen["caller_width_during_loop"] == "32"
+        assert spark.conf.get(key) == "32"
+        # results from the cloned session compose with the caller's session
+        assert rows[(1, 6)] == 5 and len(rows) == 15
+        # and the re-rooting views are cleaned up
+        leftover = [
+            t.name
+            for t in spark.catalog.listTables("global_temp")
+            if t.name.startswith("closure_loop_")
+        ]
+        assert leftover == []
+    finally:
+        spark.conf.set(key, caller_width)
+
+
 def test_descendants_lookup(spark):
     anc = spark.createDataFrame(
         [(10, 11), (10, 12), (20, 21)],
