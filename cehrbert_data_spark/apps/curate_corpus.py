@@ -17,10 +17,12 @@ Stages (each optional except read/write):
      (one row per stage: docs in / docs out / docs dropped).
 
 Scale notes: the funnel is a projection (free); exact dedup is one digest
-hash-agg; near dedup is the Σ bucket² LSH join (never n²); each stage's
-in/out counts are cheap aggregates over already-materialized stage outputs
-(the curated corpus is checkpointed once before the final fan-out to
-writes+counts, so nothing recomputes the pipeline per consumer).
+hash-agg; near dedup is the Σ bucket² LSH join (never n²). Stage metric
+counts never re-execute upstream lineage: the labeled funnel output and the
+near-dedup input are each checkpointed ONCE and feed both their stage count
+and the next stage, the final stage's count IS the curated barrier's count
+(same content, counted once), and the curated corpus is checkpointed before
+the final fan-out to writes+counts.
 ``--plan_check`` runs the analysis-only plan-budget gate
 (``plans.budget.assert_plan_budget``) on the composed pipeline before the
 writes: bounded exchanges, no single-partition window, no Python row eval.
@@ -41,7 +43,12 @@ import argparse
 from pyspark.sql import DataFrame, functions as F
 
 from cehrbert_data_spark.operators.dedup import dedup_keepers, minhash_lsh_pairs
-from cehrbert_data_spark.operators.text import clean_text, quality_funnel, words
+from cehrbert_data_spark.operators.text import (
+    clean_text,
+    default_funnel_rules,
+    quality_funnel,
+    words,
+)
 from cehrbert_data_spark.session import build_session
 from cehrbert_data_spark.sources.readers import read_parquet
 from cehrbert_data_spark.sources.writers import (
@@ -49,17 +56,6 @@ from cehrbert_data_spark.sources.writers import (
     write_jsonl,
     write_parquet,
 )
-
-#: Default funnel (same thresholds as queries/llm.py:t_quality_funnel, kept
-#: in one place so the report query and the app can't drift).
-def default_rules(n_words, n_distinct, n_stop):
-    return [
-        ("too_short", n_words < 25),
-        ("too_long", n_words > 90),
-        ("low_diversity", n_distinct * 100 < n_words * 35),
-        ("high_stopword", n_stop * 100 > n_words * 9),
-    ]
-
 
 def curate(
     docs: DataFrame,
@@ -69,12 +65,19 @@ def curate(
     funnel: bool = True,
     exact_dedup: bool = True,
     near_dedup: bool = True,
-) -> tuple[DataFrame, list[tuple[str, DataFrame]]]:
-    """Compose the pipeline lazily; returns (curated_df, stage outputs) where
-    stage outputs are (name, DataFrame) pairs for metric counting. Nothing
-    executes until the caller acts."""
+) -> tuple[DataFrame, list[tuple[str, DataFrame]], str | None]:
+    """Compose the pipeline; returns (curated_df, stages, final_stage).
+
+    ``stages`` are (name, DataFrame) pairs for metric counting, arranged so
+    a count never re-executes upstream lineage: each counted DataFrame is a
+    materialization barrier (or a cheap aggregate/filter over one) that the
+    NEXT stage also consumes. ``final_stage`` names the stage whose content
+    equals the returned curated DataFrame — the caller counts its own
+    barrier once and reuses the number for that stage instead of counting
+    the same rows twice. Nothing executes until the caller acts."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
+    final_stage: str | None = None
     if clean:
         cur = cur.withColumn(text_col, clean_text(F.col(text_col)))
     if funnel:
@@ -86,8 +89,13 @@ def curate(
         n_distinct = F.size(F.array_distinct(w))
         n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
         labeled = quality_funnel(
-            cur, default_rules(n_words, n_distinct, n_stop)
+            cur, default_funnel_rules(n_words, n_distinct, n_stop)
         )
+        # ONE materialization feeds BOTH the verdict report and the
+        # surviving rows (and, through them, every later stage): the report
+        # is an aggregate over this barrier, not a re-run of read→clean→
+        # funnel per consumer.
+        labeled = checkpoint_barrier(labeled)
         stages.append(("funnel_report", labeled.groupBy("verdict").count()))
         cur = labeled.where(F.col("verdict") == "pass").drop("verdict")
     if exact_dedup:
@@ -95,11 +103,15 @@ def curate(
             F.min(id_col).alias(id_col)
         )
         cur = cur.join(keep.select(id_col), id_col, "left_semi")
+        if near_dedup:
+            # the exact-dedup survivors feed the stage count, the LSH pass
+            # AND the keeper join — barrier once (id+text grain)
+            cur = checkpoint_barrier(cur)
         stages.append(("after_exact_dedup", cur))
+        final_stage = "after_exact_dedup"
     if near_dedup:
-        # the survivors feed BOTH the LSH pass and the keeper join — barrier
-        # once (id+text grain) so the upstream funnel/dedup don't recompute
-        cur = checkpoint_barrier(cur)
+        if not exact_dedup:
+            cur = checkpoint_barrier(cur)  # LSH + keeper join both read it
         pairs = minhash_lsh_pairs(cur, id_col, text_col)
         keepers = dedup_keepers(cur, pairs, id_col=id_col)
         survivors = keepers.where(F.col("id") == F.col("keeper")).select(
@@ -107,7 +119,8 @@ def curate(
         )
         cur = cur.join(survivors, id_col, "left_semi")
         stages.append(("after_near_dedup", cur))
-    return cur, stages
+        final_stage = "after_near_dedup"
+    return cur, stages, final_stage
 
 
 def main(
@@ -123,7 +136,7 @@ def main(
 ) -> dict:
     spark = spark or build_session("curate_corpus")
     docs = read_parquet(spark, input_dir)
-    curated, stages = curate(
+    curated, stages, final_stage = curate(
         docs,
         clean=clean,
         funnel=funnel,
@@ -136,6 +149,7 @@ def main(
         assert_plan_budget(curated, "curate_corpus", max_exchanges=24)
 
     curated = checkpoint_barrier(curated)  # one materialization feeds writes+counts
+    n_out = curated.count()
     metrics: dict[str, int] = {}
     report_rows = []
     for name, df in stages:
@@ -143,11 +157,15 @@ def main(
             for r in df.collect():
                 metrics[f"funnel_{r['verdict']}"] = r["count"]
                 report_rows.append((f"funnel_{r['verdict']}", r["count"]))
+        elif name == final_stage:
+            # identical content to the curated barrier counted above — reuse
+            # the number instead of re-executing the stage's lineage
+            metrics[name] = n_out
+            report_rows.append((name, n_out))
         else:
             n = df.count()
             metrics[name] = n
             report_rows.append((name, n))
-    n_out = curated.count()
     metrics["output"] = n_out
     report_rows.append(("output", n_out))
 

@@ -179,9 +179,18 @@ def exact_group_quantile(
     buffered group; the per-group target-bin table (one row per group)
     joins back as an equi-join AQE is free to broadcast, and the pass-2
     window sees only in-bin rows.
+
+    Raises ValueError unless 0 < q_num <= q_den: out-of-range fractions
+    would make k = 0 or k > n, the pass-2 rank filter would match nothing,
+    and groups would silently vanish from the output.
     """
     from pyspark.sql import Window
 
+    if q_den <= 0 or not (0 < q_num <= q_den):
+        raise ValueError(
+            f"quantile fraction q_num/q_den must satisfy 0 < q_num <= q_den; "
+            f"got {q_num}/{q_den}"
+        )
     src = df.where(F.col(value).isNotNull())
     binc = F.floor(F.col(value) / F.lit(bin_width)).cast("long")
     counts = src.groupBy(*keys, binc.alias("__bin")).agg(
@@ -249,8 +258,10 @@ def corr_regression(
     computes, done the way it must be done at 100 TB).
 
     Both inputs are quantized to fixed-point BIGINTs (``round(v * scale)``)
-    and the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
-    DECIMAL(38,0) — exact, order-independent, map-side combinable, six
+    and the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are formed AND
+    accumulated in DECIMAL — exact for any quantized magnitude below 1e18
+    (the cross-products never touch BIGINT, so nothing wraps),
+    order-independent, map-side combinable, six
     numbers of state per group no matter how many rows stream through
     (``corr()``'s running-moment kernel is float and order-sensitive, so
     two engines — or two shuffles — disagree in the low bits).
@@ -263,14 +274,20 @@ def corr_regression(
     """
     xq = F.round(F.col(x) * scale).cast("long")
     yq = F.round(F.col(y) * scale).cast("long")
-    dec = "decimal(38,0)"
+    # Products are formed in DECIMAL, not BIGINT: quantized inputs above
+    # ~3e9 would silently wrap a BIGINT xq*yq in non-ANSI Spark while the
+    # oracle errors. DECIMAL(18,0) operands keep the product type within
+    # both engines' 38-digit cap (18+18 < 38; Spark 4 yields (37,0), DuckDB
+    # (36,0)) and are exact for any |quantized value| < 1e18.
+    xd = xq.cast("decimal(18,0)")
+    yd = yq.cast("decimal(18,0)")
     agged = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(xq.cast(dec)).alias("sx"),
-        F.sum(yq.cast(dec)).alias("sy"),
-        F.sum((xq * yq).cast(dec)).alias("sxy"),
-        F.sum((xq * xq).cast(dec)).alias("sxx"),
-        F.sum((yq * yq).cast(dec)).alias("syy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     n = F.col("n_rows").cast("double")
     sx = F.col("sx").cast("double")

@@ -102,7 +102,6 @@ def morton_key(x, y, bits: int = 16):
     from pyspark.sql import Column, functions as F
 
     masks = [
-        (32, 0x0000FFFF0000FFFF),
         (16, 0x0000FFFF0000FFFF),
         (8, 0x00FF00FF00FF00FF),
         (4, 0x0F0F0F0F0F0F0F0F),
@@ -112,7 +111,7 @@ def morton_key(x, y, bits: int = 16):
 
     def spread(col):
         c = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-        for shift, mask in masks[1:]:
+        for shift, mask in masks:
             c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
         return c
 

@@ -127,6 +127,23 @@ def quality_funnel(
     return df.withColumn(out, verdict)
 
 
+def default_funnel_rules(
+    n_words: Column, n_distinct: Column, n_stop: Column
+) -> list[tuple[str, Column]]:
+    """The engine's default C4/Gopher-style quality cuts, as ``quality_funnel``
+    rules over word/distinct/stopword counts. Defined ONCE here so the
+    curate_corpus app and the t_quality_funnel report query cannot drift
+    (they previously carried literal copies). Every ratio threshold is an
+    integer cross-multiplication — no float can diverge between engines.
+    """
+    return [
+        ("too_short", n_words < 25),
+        ("too_long", n_words > 90),
+        ("low_diversity", n_distinct * 100 < n_words * 35),
+        ("high_stopword", n_stop * 100 > n_words * 9),
+    ]
+
+
 def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
     """Order-sensitive document fingerprint: position-weighted sum of word
     hashes (a distributable analogue of a rolling hash — summable, so it

@@ -2012,8 +2012,14 @@ def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py:quality_funnel). Rules mirror C4/Gopher-style cuts —
     length bounds, lexical diversity, stopword density — with every ratio
     compared by integer cross-multiplication (``100·distinct < 35·words``)
-    so no float threshold can diverge between engines."""
-    from cehrbert_data_spark.operators.text import quality_funnel, words
+    so no float threshold can diverge between engines. The rules come from
+    ``operators.text.default_funnel_rules``, the SAME list the
+    curate_corpus app applies, so report and pipeline cannot drift."""
+    from cehrbert_data_spark.operators.text import (
+        default_funnel_rules,
+        quality_funnel,
+        words,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     w = words(F.col("text"))
@@ -2026,12 +2032,9 @@ def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = quality_funnel(
         stats,
-        [
-            ("too_short", F.col("n_words") < 25),
-            ("too_long", F.col("n_words") > 90),
-            ("low_diversity", F.col("n_distinct") * 100 < F.col("n_words") * 35),
-            ("high_stopword", F.col("n_stop") * 100 > F.col("n_words") * 9),
-        ],
+        default_funnel_rules(
+            F.col("n_words"), F.col("n_distinct"), F.col("n_stop")
+        ),
     )
     return labeled.groupBy("source", "verdict").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1580,14 +1580,14 @@ A18_SQL = """
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n_rows,
-         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sx,
-         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sy,
-         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
-                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxy,
-         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
-                  * CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
-         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                  * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS syy
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS sx,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS sy,
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))
+             * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS sxy,
+         SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))
+             * CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(18,0))) AS sxx,
+         SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))
+             * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS syy
   FROM lineitem GROUP BY l_returnflag
 ),
 d AS (

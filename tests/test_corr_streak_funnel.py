@@ -233,6 +233,19 @@ def test_exact_quantile_arbitrary_q_vs_bruteforce(spark):
         assert got["q_value"] == vs[k - 1], (q_num, q_den)
 
 
+def test_exact_quantile_rejects_out_of_range_fraction(spark):
+    import pytest
+
+    from cehrbert_data_spark.operators.aggregations import exact_group_quantile
+
+    df = spark.createDataFrame([("g", 1.0)], "g: string, v: double")
+    # q_num=0 or q_num>q_den used to make groups silently vanish (k=0 or
+    # k>n matches no rank); now they must error at the driver, eagerly.
+    for q_num, q_den in [(0, 2), (3, 2), (1, 0), (-1, 2), (1, -2)]:
+        with pytest.raises(ValueError):
+            exact_group_quantile(df, ["g"], "v", q_num, q_den)
+
+
 def test_word_entropy_matches_bruteforce(spark):
     from collections import Counter
 
