@@ -78,6 +78,7 @@ def main(
     include_visit_type: bool = False,
     exclude_visit_tokens: bool = False,
     include_inpatient_hour_token: bool = False,
+    last_visit_feature: str | None = None,
     spark=None,
 ):
     spark = spark or build_session("extract_features")
@@ -169,6 +170,23 @@ def main(
         "race_concept_id", "gender_concept_id",
     )
     out = features.join(labeled, ["person_id", "cohort_member_id"])
+    if last_visit_feature is not None:
+        # Visit-recency features via the unbounded-lookback as-of match
+        # (omop.visits.index_visit_features). 'merge' is the scale form —
+        # one shuffle of |cohort|+|visits| no matter how deep each member's
+        # history runs; 'rank1' the windowed cross-check (test-pinned equal).
+        from cehrbert_data_spark.omop.visits import index_visit_features
+
+        recency = index_visit_features(
+            cohort, tables["visit_occurrence"], form=last_visit_feature
+        ).select(
+            "person_id",
+            "cohort_member_id",
+            "last_visit_occurrence_id",
+            "last_visit_concept_id",
+            "days_since_last_visit",
+        )
+        out = out.join(recency, ["person_id", "cohort_member_id"], "left")
     out_path = os.path.join(output_folder, "task_features")
     write_parquet(out, out_path)
     return out_path
@@ -188,6 +206,13 @@ def parse_args(argv=None):
     parser.add_argument("--frequency_features", action="store_true")
     parser.add_argument("--att_type", default="cehr_bert")
     parser.add_argument("--inpatient_att_type", default="mix")
+    parser.add_argument(
+        "--last_visit_feature",
+        default=None,
+        choices=["merge", "rank1"],
+        help="attach last-visit recency features via the merge-form "
+        "(unbounded-lookback, scale shape) or rank-1 as-of join",
+    )
     return parser.parse_args(argv)
 
 
@@ -206,4 +231,5 @@ if __name__ == "__main__":
         use_sequence=not args.frequency_features,
         att_type=args.att_type,
         inpatient_att_type=args.inpatient_att_type,
+        last_visit_feature=args.last_visit_feature,
     )

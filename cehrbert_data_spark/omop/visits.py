@@ -410,3 +410,160 @@ def remap_visit_ids(domain_table: DataFrame, mapping: DataFrame) -> DataFrame:
         )
         .drop("master_visit_occurrence_id")
     )
+
+
+def _visit_span_col(df: DataFrame, dt_col: str, date_col: str, end: bool = False):
+    """Timestamp span bound tolerant of partial OMOP schemas: coalesce the
+    datetime column with the date column (end dates are exclusive-next-day,
+    matching construct_artificial_visits' bounds) — using whichever of the
+    two the table actually has."""
+    candidates = []
+    if dt_col in df.columns:
+        candidates.append(F.to_timestamp(F.col(dt_col)))
+    if date_col in df.columns:
+        d = F.date_add(F.col(date_col), 1) if end else F.col(date_col)
+        candidates.append(F.to_timestamp(d))
+    if not candidates:
+        raise ValueError(f"visit table has neither {dt_col} nor {date_col}")
+    return F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
+
+
+def index_visit_features(
+    cohort: DataFrame,
+    visit_occurrence: DataFrame,
+    form: str = "merge",
+) -> DataFrame:
+    """Last visit at-or-before each cohort member's index date — the
+    unbounded-lookback as-of match that decorates a prediction cohort with
+    recency features (the reference reads the same signal off the assembled
+    sequence tail; here it is a first-class join so the features exist
+    without building sequences, reference: tools/extract_features.py:289-317
+    for the attachment point).
+
+    ``form='merge'`` (default) routes through
+    :func:`operators.joins.asof_join_union`: one shuffle + sort of
+    |cohort| + |visits| regardless of match density — with an unbounded
+    lookback a 10-year patient history fans the rank-1 join out by hundreds
+    of candidate visits per member, while the merge form's cost never grows
+    past the union. ``form='rank1'`` is the windowed
+    :func:`operators.joins.asof_join`, kept as the small-data cross-check;
+    a pipeline test pins the two forms identical row-for-row. Ties on
+    visit_start resolve to the GREATEST visit_occurrence_id in both forms.
+
+    Returns (person_id, cohort_member_id, index_date,
+    last_visit_occurrence_id, last_visit_concept_id,
+    days_since_last_visit); members with no prior visit keep NULL features
+    (left semantics). ``cohort_member_id`` must uniquely identify a cohort
+    row (it does, by construction of ``load_cohort``).
+    """
+    from cehrbert_data_spark.operators.joins import asof_join, asof_join_union
+
+    left = cohort.select("person_id", "cohort_member_id", "index_date")
+    right = visit_occurrence.select(
+        "person_id",
+        F.col("visit_occurrence_id").cast("long").alias("last_visit_occurrence_id"),
+        F.col("visit_concept_id").cast("int").alias("last_visit_concept_id"),
+        _visit_span_col(
+            visit_occurrence, "visit_start_datetime", "visit_start_date"
+        ).alias("__visit_start"),
+    )
+    if form == "merge":
+        matched = asof_join_union(
+            left,
+            right,
+            on="person_id",
+            left_ts="index_date",
+            right_ts="__visit_start",
+            how="left",
+            tiebreak="last_visit_occurrence_id",
+        )
+    elif form == "rank1":
+        matched = asof_join(
+            left,
+            right.where(F.col("__visit_start").isNotNull()),
+            on="person_id",
+            point=F.col("index_date"),
+            lower=F.col("__visit_start"),
+            upper=F.lit("9999-12-31 23:59:59").cast("timestamp"),
+            metric=[
+                F.col("__visit_start").desc(),
+                F.col("last_visit_occurrence_id").desc(),
+            ],
+            left_key=["person_id", "cohort_member_id"],
+            how="left",
+        )
+    else:
+        raise ValueError(f"form must be 'merge' or 'rank1', got {form!r}")
+    return matched.select(
+        "person_id",
+        "cohort_member_id",
+        "index_date",
+        "last_visit_occurrence_id",
+        "last_visit_concept_id",
+        F.datediff(F.col("index_date"), F.col("__visit_start"))
+        .cast("int")
+        .alias("days_since_last_visit"),
+    )
+
+
+def concurrent_visit_census(
+    visit_occurrence: DataFrame,
+    bucket_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Per-visit count of OTHER visits — any person's — whose spans overlap
+    it: the facility-load-at-admission signal (beyond-ref as a feature; the
+    span arithmetic matches the consolidation bounds of
+    reference: tools/connect_omop_visit.py:12-224).
+
+    This is the engine's KEYLESS interval-overlap shape: no equality column
+    carries selectivity across persons, so it routes through
+    :func:`operators.joins.overlap_join_buckets` (epoch-bucket equi-join,
+    exactly-once crediting, Σ bucket² cost) rather than a cartesian
+    product. Self-pairs are excluded via ``extra_condition``; overlap is
+    inclusive on both ends. Visits with NULL/inverted spans return
+    n_concurrent = 0 (they are excluded from bucketing on both sides).
+
+    Returns (visit_occurrence_id, n_concurrent).
+    """
+    from cehrbert_data_spark.operators.joins import overlap_join_buckets
+
+    spans = visit_occurrence.select(
+        F.col("visit_occurrence_id").cast("long").alias("visit_occurrence_id"),
+        _visit_span_col(
+            visit_occurrence, "visit_start_datetime", "visit_start_date"
+        ).alias("__start"),
+        _visit_span_col(
+            visit_occurrence, "visit_end_datetime", "visit_end_date", end=True
+        ).alias("__end"),
+    )
+    left = spans.select(
+        F.col("visit_occurrence_id").alias("l_id"),
+        F.col("__start").alias("l_start"),
+        F.col("__end").alias("l_end"),
+    )
+    right = spans.select(
+        F.col("visit_occurrence_id").alias("r_id"),
+        F.col("__start").alias("r_start"),
+        F.col("__end").alias("r_end"),
+    )
+    pairs = overlap_join_buckets(
+        left,
+        right,
+        "l_start",
+        "l_end",
+        "r_start",
+        "r_end",
+        bucket_seconds=bucket_seconds,
+        extra_condition=F.col("l_id") != F.col("r_id"),
+    )
+    counts = pairs.groupBy(F.col("l_id").alias("visit_occurrence_id")).agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        spans.select("visit_occurrence_id")
+        .join(counts, "visit_occurrence_id", "left")
+        .select(
+            "visit_occurrence_id",
+            F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )
