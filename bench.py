@@ -3,8 +3,16 @@
 JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() action (no driver-side collect of full
-results — measures the distributed plan, not result serialization).
+Each query is forced by reducing a single xxhash64 over EVERY output column
+to one row (no driver-side collect of full results — measures the
+distributed plan, not result serialization). Round-7 honesty fix: the old
+count() forcing let Catalyst prune any column no filter/agg depended on —
+a projection-shaped query (t_quality) collapsed to a parquet metadata count
+and measured nothing, and agg payloads (collect_list sequences) could be
+dropped from otherwise-forced plans. The hash consumes every value, so the
+timing covers the work the query claims to do; numbers before/after round 7
+are not directly comparable (both methodologies recorded in BENCH_100x_r07
+for the crossover round).
 
 Load immunity (round-5 lesson: single-shot timings on a box with ±15-20%
 ambient load are unreadable): every query runs BEST_OF times back-to-back
@@ -124,9 +132,18 @@ def main() -> None:
         runs: list[float] = []
 
         def one_run() -> bool:
+            from pyspark.sql import functions as F
+
             t0 = time.time()
             try:
-                fn(spark, sf_dir).count()
+                # Force EVERY output column (see module docstring): one
+                # xxhash64 per row reduced to a single BIT_XOR row — full
+                # evaluation, zero result serialization, no overflow (a
+                # SUM of 64-bit hashes trips ANSI arithmetic).
+                df = fn(spark, sf_dir)
+                df.select(F.xxhash64(*df.columns).alias("__h")).agg(
+                    F.bit_xor("__h")
+                ).collect()
             except Exception as exc:  # noqa: BLE001 — record and keep benching
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)

@@ -156,6 +156,27 @@ COHORT_CONFIGS = {
         dict(observation_window=360, prediction_window=30),
         {"0", "1"},
     ),
+    # VOLUME parity (round-7): 110-person key-shifted replication
+    # (tests/volume_sample.py). Per-person semantics are replica-invariant
+    # by construction, so what these pin is everything that only breaks
+    # past a handful of patients — cohort_member_id assignment order over
+    # persons whose STRING ids sort unlike their numeric values, and any
+    # cross-person leakage (which would change member counts/labels).
+    "readmission_vol_pw1000": (
+        "readmission", "volume",
+        dict(observation_window=360, prediction_window=1000),
+        {"0", "1"},
+    ),
+    "hosp_mortality_vol_pw360": (
+        "hospitalization_mortality", "volume",
+        dict(observation_window=360, prediction_window=360),
+        {"0", "1"},
+    ),
+    "hf_readmission_vol_pw360": (
+        "hf_readmission", "volume",
+        dict(observation_window=360, prediction_window=360),
+        {"0", "1"},
+    ),
 }
 
 
@@ -179,6 +200,15 @@ def augmented_dir(tmp_path_factory):
     )
 
 
+@pytest.fixture(scope="session")
+def volume_dir(tmp_path_factory):
+    from volume_sample import build_volume_sample
+
+    return build_volume_sample(
+        str(tmp_path_factory.mktemp("volume") / "omop")
+    )
+
+
 @pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="reference sample data not present")
 @pytest.mark.parametrize("fixture", sorted(COHORT_CONFIGS))
 def test_golden_cohort_labels(spark, tmp_path, fixture, request):
@@ -187,8 +217,11 @@ def test_golden_cohort_labels(spark, tmp_path, fixture, request):
     cohort_name, input_kind, overrides, label_classes = COHORT_CONFIGS[fixture]
     overrides = dict(overrides)  # pops below must not mutate the shared config
     input_folder = (
-        SAMPLE if input_kind == "sample"
-        else request.getfixturevalue("augmented_dir")
+        SAMPLE
+        if input_kind == "sample"
+        else request.getfixturevalue(
+            "volume_dir" if input_kind == "volume" else "augmented_dir"
+        )
     )
     out = main(
         input_folder=input_folder,

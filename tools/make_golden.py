@@ -154,6 +154,23 @@ COHORT_FIXTURES = {
         "cehrbert_data.prediction_cohorts.readmission", "readmission", "sample",
         ["-ow", "360", "-pw", "1000", "--single_contribution"],
     ),
+    # VOLUME fixtures: the 110-person key-shifted replication
+    # (tests/volume_sample.py) — pins member-id assignment order over many
+    # string-sorted persons and any cross-person leakage at volume
+    "readmission_vol_pw1000": (
+        "cehrbert_data.prediction_cohorts.readmission", "readmission", "volume",
+        ["-ow", "360", "-pw", "1000"],
+    ),
+    "hosp_mortality_vol_pw360": (
+        "cehrbert_data.prediction_cohorts.hospitalization_mortality",
+        "hospitalization_mortality", "volume",
+        ["-ow", "360", "-pw", "360"],
+    ),
+    "hf_readmission_vol_pw360": (
+        "cehrbert_data.prediction_cohorts.hf_readmission",
+        "hf_readmission", "volume",
+        ["-ow", "360", "-pw", "360"],
+    ),
 }
 
 
@@ -296,6 +313,10 @@ def _input_folder(kind: str, workdir: str) -> str:
     if kind == "sample":
         return SAMPLE
     sys.path.insert(0, os.path.join(REPO, "tests"))
+    if kind == "volume":
+        from volume_sample import build_volume_sample
+
+        return build_volume_sample(os.path.join(workdir, "volume_sample"))
     from augmented_sample import build_augmented_sample
 
     return build_augmented_sample(os.path.join(workdir, "augmented_sample"))
