@@ -65,6 +65,7 @@ def curate(
     funnel: bool = True,
     exact_dedup: bool = True,
     near_dedup: bool = True,
+    lsh_max_bucket: int | None = None,
 ) -> tuple[DataFrame, list[tuple[str, DataFrame]], str | None]:
     """Compose the pipeline; returns (curated_df, stages, final_stage).
 
@@ -112,7 +113,12 @@ def curate(
     if near_dedup:
         if not exact_dedup:
             cur = checkpoint_barrier(cur)  # LSH + keeper join both read it
-        pairs = minhash_lsh_pairs(cur, id_col, text_col)
+        # lsh_max_bucket: explicit production skew cap (see
+        # operators.dedup.minhash_lsh_pairs) — surfaced as a flag, never
+        # silently defaulted, so corpus shrinkage stays attributable
+        pairs = minhash_lsh_pairs(
+            cur, id_col, text_col, max_bucket_size=lsh_max_bucket
+        )
         keepers = dedup_keepers(cur, pairs, id_col=id_col)
         survivors = keepers.where(F.col("id") == F.col("keeper")).select(
             F.col("id").alias(id_col)
@@ -131,6 +137,7 @@ def main(
     funnel: bool = True,
     exact_dedup: bool = True,
     near_dedup: bool = True,
+    lsh_max_bucket: int | None = None,
     plan_check: bool = False,
     spark=None,
 ) -> dict:
@@ -142,6 +149,7 @@ def main(
         funnel=funnel,
         exact_dedup=exact_dedup,
         near_dedup=near_dedup,
+        lsh_max_bucket=lsh_max_bucket,
     )
     if plan_check:
         from cehrbert_data_spark.plans.budget import assert_plan_budget
@@ -187,6 +195,11 @@ def parse_args(argv=None):
     p.add_argument("--no_funnel", action="store_true")
     p.add_argument("--no_exact_dedup", action="store_true")
     p.add_argument("--no_near_dedup", action="store_true")
+    p.add_argument(
+        "--lsh_max_bucket", type=int, default=None,
+        help="exclude LSH buckets larger than this from pair generation "
+        "(bounds the quadratic in-bucket cost; off by default)",
+    )
     p.add_argument("--plan_check", action="store_true")
     return p.parse_args(argv)
 
@@ -201,6 +214,7 @@ if __name__ == "__main__":
         funnel=not args.no_funnel,
         exact_dedup=not args.no_exact_dedup,
         near_dedup=not args.no_near_dedup,
+        lsh_max_bucket=args.lsh_max_bucket,
         plan_check=args.plan_check,
     )
     print(out)

@@ -49,6 +49,51 @@ def test_minhash_lsh_exact_dup_collides_all_bands(spark):
     assert got[(1, 2)] == 8  # identical docs collide in every band
 
 
+def test_minhash_lsh_max_bucket_cap(spark):
+    import pytest
+
+    # six EXACT duplicates: identical signatures, so every band puts all
+    # six in one bucket of size 6; a separate near-dup pair lands in
+    # buckets of size 2. With max_bucket_size=5 the size-6 buckets are
+    # excluded (templated-spam cap) while the small pair survives intact.
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    other = "one two three four five six seven eight nine ten " * 4
+    rows = [(i, base) for i in range(1, 7)] + [
+        (10, other),
+        (11, other + " extra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert uncapped[(1, 2)] == 8 and (10, 11) in uncapped
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["n_bands"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", max_bucket_size=5
+        ).collect()
+    }
+    # no pair among the six spam duplicates survives; the small-bucket
+    # pair is byte-identical to the uncapped run
+    assert all(a >= 10 for a, _ in capped)
+    assert capped[(10, 11)] == uncapped[(10, 11)]
+    # cap larger than every bucket == exact semantics
+    assert (
+        {
+            (r["id_a"], r["id_b"]): r["n_bands"]
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", max_bucket_size=6
+            ).collect()
+        }
+        == uncapped
+    )
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=1)
+
+
 def test_simhash_identical_and_stable(spark):
     out = {r["id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id", "text").collect()}
     assert out[1] == out[2]
