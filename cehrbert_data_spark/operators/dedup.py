@@ -586,6 +586,7 @@ def embedding_neardup_pairs(
     num_planes: int | None = None,
     num_tables: int = 8,
     target_recall: float = 0.95,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_id, b_id, cosine) with
     a_id < b_id and cosine >= threshold, over quantized exact-int cosine.
@@ -603,6 +604,11 @@ def embedding_neardup_pairs(
     maximizing bucket selectivity. High thresholds (real near-dup, τ ≥ 0.9)
     get ~7-8 planes and tiny buckets; low thresholds fundamentally force
     coarser buckets — measured at sf0.01, τ=0.35: P=3, T=16 → 99.6 % recall.
+
+    ``max_bucket_size`` passes through to the LSH bucket join (see
+    similarity.lsh_candidate_pairs): degenerate buckets — every
+    near-origin vector shares the all-zeros sign pattern — cost |bucket|²
+    for near-zero recall; cap them explicitly at scale. Default None.
 
     ``candidates="all_pairs"``: the exactness oracle — full a<b triangle
     (BroadcastNestedLoop, O(n²) compares). Correct at any recall but does not
@@ -636,7 +642,10 @@ def embedding_neardup_pairs(
         / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
     )
     if candidates == "lsh":
-        cand = lsh_candidate_pairs(df, id_col, vec_col, num_planes, num_tables)
+        cand = lsh_candidate_pairs(
+            df, id_col, vec_col, num_planes, num_tables,
+            max_bucket_size=max_bucket_size,
+        )
         a = sided.alias("a")
         b = sided.alias("b")
         joined = (

@@ -199,6 +199,7 @@ def lsh_candidate_pairs(
     vec_col: str,
     num_planes: int = 8,
     num_tables: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: vectors sharing an LSH bucket in ANY of the
     ``num_tables`` hash tables (id_a < id_b, deduplicated across tables).
@@ -208,12 +209,30 @@ def lsh_candidate_pairs(
     The bucket table (explode + two shuffles to build) is materialized once
     instead of once per self-join side (exchange reuse never fires across
     the aliases — column pruning makes the subtrees non-identical).
+
+    ``max_bucket_size`` mirrors the MinHash cap (operators/dedup.py
+    ``minhash_lsh_pairs``): a degenerate bucket — e.g. the all-zeros sign
+    pattern every near-origin embedding falls into — contributes |bucket|²
+    comparisons for near-zero recall value; when set, over-cap buckets are
+    excluded from pair generation. The filter runs over the already-
+    materialized bucket barrier, so nothing recomputes. Default None.
     """
     from cehrbert_data_spark.sources.writers import checkpoint_barrier
 
     buckets = checkpoint_barrier(
         lsh_buckets_multi(df, id_col, vec_col, num_planes, num_tables)
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
+        buckets = (
+            buckets.withColumn("__bucket_n", bucket_n)
+            .where(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -138,6 +138,29 @@ def test_lsh_candidate_pairs_self_consistent(spark):
     assert ((0, 1) in {(r["id_a"], r["id_b"]) for r in pairs})
 
 
+def test_lsh_candidate_pairs_max_bucket_cap(spark):
+    # five identical vectors share every bucket (size 5); one distinct pair
+    # of similar vectors lands in buckets of size 2. Cap 4 kills the clone
+    # cluster's pairs, keeps the small pair.
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(5)] + [
+        (10, [-5.0, 1.0, -2.0]),
+        (11, [-5.1, 1.1, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: int, embedding: array<float>")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, "vec_id", "embedding").collect()
+    }
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            df, "vec_id", "embedding", max_bucket_size=4
+        ).collect()
+    }
+    assert all(a >= 10 for a, _ in capped) and (10, 11) in capped
+
+
 def test_ivf_assign_and_topk(spark):
     import math
 
