@@ -427,3 +427,24 @@ def test_word_entropy_no_joins_single_scan(spark, qs):
     assert p.count("Scan parquet") == 2  # formatted prints each node twice
     assert "windowspecdefinition(doc_id" in p
     assert "partial_count" in p
+
+
+def test_minhash_cap_preserves_exchange_reuse(spark):
+    """The max_bucket_size cap must not break the one-subtree discipline:
+    the bucket join's two sides still share the banded-signature exchange
+    (ReusedExchange), with or without the cap — a cap implemented as a
+    broadcast anti-join would add a second, differently-shaped exchange and
+    compute the scan→shingle→signature pipeline twice."""
+    from cehrbert_data_spark.operators.dedup import minhash_lsh_pairs
+    from cehrbert_data_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    for cap in (None, 50):
+        df = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=cap)
+        # exchange reuse materializes in the FINAL adaptive plan — execute
+        # THIS DataFrame's own plan first (count() would plan a different
+        # query and prove nothing)
+        df.collect()
+        p = plan(df)
+        assert "isFinalPlan=true" in p, f"cap={cap}: plan never finalized"
+        assert "ReusedExchange" in p, f"cap={cap}: signature subtree computed twice"
