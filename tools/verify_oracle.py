@@ -90,6 +90,28 @@ def main() -> int:
     if sample_n:
         sf_dir = build_sampled_dir(sf_dir, sample_n)
         print(f"sampled 1/{sample_n} subset at {sf_dir}")
+    else:
+        # Footgun guard (cost a 25-minute 80 GB DuckDB grind in round 7):
+        # the all-pairs oracles (d_embed_neardup*, d_ngram_jaccard,
+        # d_semantic_dedup) are quadratic in document/vector count and stop
+        # terminating around 50k docs. Warn LOUDLY before starting — the
+        # sweep still runs (explicitness over auto-magic), but the operator
+        # sees the fix before losing half an hour.
+        try:
+            n_docs = duckdb.sql(
+                f"SELECT count(*) FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+            ).fetchone()[0]
+        except Exception:  # noqa: BLE001 — missing table: nothing to warn about
+            n_docs = 0
+        if n_docs > 30_000 and not only:
+            print(
+                f"WARNING: {n_docs} documents and no --sample N — the "
+                "quadratic all-pairs oracles will grind for hours past ~50k "
+                "docs. Scaled sweeps should use '--sample 10' "
+                "(doc/embedding queries verify on a deterministic 1/10 "
+                "subset; everything else runs full).",
+                flush=True,
+            )
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
