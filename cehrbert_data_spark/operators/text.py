@@ -127,6 +127,68 @@ def quality_funnel(
     return df.withColumn(out, verdict)
 
 
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    bucket_col: str = "bucket",
+    weight_col: str = "w_milli",
+    intercept_milli: int = 0,
+) -> DataFrame:
+    """Linear text-classifier scoring via the hashing trick (fasttext /
+    Vowpal-Wabbit style) — the model-based quality-filter stage of a
+    training-data pipeline (CCNet-style LM filtering, LLaMA's quality
+    classifier) as ONE explode + broadcast join + map-side-combined sum.
+
+    Tokens hash into ``n_buckets`` with ``md5_long``; ``weights`` is the
+    TRAINED weight table (bucket, w_milli) in integer milli-units — a few
+    MB even at 2^18 buckets, so it broadcasts and document text never
+    shuffles. The logit is the length-normalized mean feature weight
+    (standard for linear text classifiers — keeps scores length-invariant):
+    ``logit = (intercept_milli + score_milli / n_tokens) / 1000`` computed
+    in DOUBLE over exact integer operands (divisions only — IEEE-identical
+    in any engine; ``prob = sigmoid(logit)`` is exposed too, but exp() is
+    not correctly-rounded across libms, so cross-engine comparisons should
+    anchor on ``logit``). Docs with no tokens drop (nothing to score —
+    fasttext behavior).
+
+    Returns (id_col, n_tokens, score_milli, logit, prob).
+
+    Scale: cost is one token explode (doc-bounded fan-out), a broadcast
+    hash join, and a map-side-combined sum back to doc grain — no
+    doc-to-doc shuffle anywhere. score_milli is a per-document sum of
+    |w| <= ~10^6 milli-weights over document-bounded token counts: BIGINT
+    headroom at any corpus size (the sum never crosses documents).
+    """
+    toks = words(F.col(text_col))
+    bucketed = (
+        df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+        .select("__id", (md5_long(F.col("__t")) % n_buckets).alias(bucket_col))
+    )
+    joined = bucketed.join(
+        F.broadcast(weights.select(bucket_col, weight_col)), bucket_col, "left"
+    )
+    agg = joined.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(0))).alias(
+            "score_milli"
+        ),
+    )
+    logit = (
+        F.lit(float(intercept_milli))
+        + F.col("score_milli").cast("double") / F.col("n_tokens")
+    ) / F.lit(1000.0)
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "score_milli",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+    )
+
+
 def default_funnel_rules(
     n_words: Column, n_distinct: Column, n_stop: Column
 ) -> list[tuple[str, Column]]:

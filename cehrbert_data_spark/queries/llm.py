@@ -2005,6 +2005,58 @@ FROM s GROUP BY doc_id
 """
 
 
+# --- hashed linear classifier scoring (model-based quality filter) -----------
+
+def t_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality-filter scoring
+    (operators/text.py:hashed_classifier_score): fasttext/VW-style hashing
+    trick — tokens hash into 4096 buckets, a broadcast weight table scores
+    each doc as the length-normalized mean feature weight. The weight table
+    here is a DETERMINISTIC stand-in (affine-derived from the bucket id,
+    reproduced verbatim in the oracle CTE) — production feeds trained
+    weights through the same operator; the hash → broadcast-join →
+    map-side-combine path under test is identical. Returns logit (exact
+    integer sums + IEEE divisions), not prob — exp() is not
+    correctly-rounded across engines."""
+    from cehrbert_data_spark.operators.text import hashed_classifier_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_buckets = 4096
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * F.lit(2654435761)) % F.lit(2147483647)) % F.lit(2001)
+         - F.lit(1000)).cast("long").alias("w_milli"),
+    )
+    return hashed_classifier_score(
+        docs, "doc_id", "text", weights, n_buckets=n_buckets
+    ).select("doc_id", "n_tokens", "score_milli", "logit")
+
+
+T_CLASSIFIER_SQL = f"""
+WITH w AS (
+  SELECT r.range AS bucket,
+         ((r.range * 2654435761) % 2147483647) % 2001 - 1000 AS w_milli
+  FROM RANGE(4096) r
+),
+tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, {_md5_long_sql('t')} % 4096 AS bucket FROM tok
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(COALESCE(w.w_milli, 0)) AS score_milli
+  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score_milli AS BIGINT) AS score_milli,
+       (0.0 + CAST(score_milli AS DOUBLE) / n_tokens) / 1000.0 AS logit
+FROM s
+"""
+
+
 # --- quality funnel: first-failing-rule attribution --------------------------
 
 def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2069,6 +2121,7 @@ FROM v GROUP BY 1, 2
 
 QUERIES = {
     "t_quality": (t_quality, T_QUALITY_SQL),
+    "t_classifier_score": (t_classifier_score, T_CLASSIFIER_SQL),
     "t_language": (t_language, T_LANGUAGE_SQL),
     "t_fingerprint": (t_fingerprint, T_FINGERPRINT_SQL),
     "t_tokens": (t_tokens, T_TOKENS_SQL),

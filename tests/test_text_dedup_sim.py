@@ -102,6 +102,43 @@ def test_simhash_identical_and_stable(spark):
     assert out == again  # deterministic (md5-derived, seed-free)
 
 
+def test_hashed_classifier_score_matches_bruteforce(spark):
+    import hashlib
+    import math
+
+    from cehrbert_data_spark.operators.text import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "good clean prose here"), (2, "spam spam spam"), (3, "  ")],
+        "doc_id: long, text: string",
+    )
+    n_buckets = 64
+    wrows = [(b, (b * 37) % 41 - 20) for b in range(n_buckets)]
+    weights = spark.createDataFrame(wrows, "bucket: long, w_milli: long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_milli"], r["logit"], r["prob"])
+        for r in hashed_classifier_score(
+            docs, "doc_id", "text", weights, n_buckets=n_buckets
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    wmap = dict(wrows)
+    for doc_id, text in [(1, "good clean prose here"), (2, "spam spam spam")]:
+        toks = text.strip().split()
+        score = sum(wmap[bucket(t)] for t in toks)
+        logit = (0.0 + score / len(toks)) / 1000.0
+        assert got[doc_id][0] == len(toks)
+        assert got[doc_id][1] == score
+        assert got[doc_id][2] == logit
+        assert abs(got[doc_id][3] - 1 / (1 + math.exp(-logit))) < 1e-12
+    # doc 3 trims to "" -> split yields [""], md5("") still buckets: one
+    # token scored; what matters is the doc is present with n_tokens == 1
+    assert got[3][0] == 1
+
+
 def test_fingerprint_deterministic(spark):
     df = _docs(spark).select("doc_id", fingerprint(F.col("text")).alias("fp"))
     out = {r["doc_id"]: r["fp"] for r in df.collect()}
