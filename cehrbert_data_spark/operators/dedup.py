@@ -518,6 +518,100 @@ def connected_components(
     return labels
 
 
+def remove_duplicated_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, the EXACTSUBSTR pass of
+    "Deduplicating Training Data Makes Language Models Better"): REMOVE
+    every token covered by an n-gram occurring >= ``min_count`` times
+    corpus-wide (occurrence count, not document frequency — within-document
+    repetition counts toward the threshold, matching the suffix-array
+    formulation). Near-dup DOC removal (minhash_lsh_pairs -> dedup_keepers)
+    drops whole documents; this drops the boilerplate spans INSIDE
+    otherwise-unique documents — the two compose.
+
+    Returns ``df`` with ``text_col`` replaced (or ``out_col`` added):
+    surviving tokens rejoined by single spaces in original order, plus
+    ``n_tokens`` / ``n_kept`` accounting columns. Whitespace is normalized
+    as a side effect (a cleaned corpus makes that a no-op). Documents whose
+    every token is covered come back as ''.
+
+    Scale shape — the suffix-array algorithm re-expressed relationally:
+    token positions explode to (id, pos, digest) n-gram rows (one md5 per
+    n-gram, digests shuffle, never text); the duplicated set is ONE
+    map-side-combined hash-agg with a count filter; covered positions
+    explode each duplicated span to its n token indices; removal is an
+    (id, pos) anti-join; reassembly is the sequence-assembly idiom
+    (array_sort of (pos, word) structs inside one groupBy). No doc-pair
+    enumeration anywhere — cost is token-grain, linear in corpus size.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    out_col = out_col or text_col
+    w = words(F.col(text_col))
+    base = widen_for_fanout(df).select(F.col(id_col).alias("id"), w.alias("__w"))
+    n_tok = F.size("__w")
+    toks = base.select(
+        "id", F.posexplode("__w").alias("__p0", "__word")
+    ).select("id", (F.col("__p0") + 1).alias("pos"), F.col("__word").alias("word"))
+    idx = F.when(n_tok >= n, F.sequence(F.lit(1), n_tok - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select("id", "__w", F.explode(idx).alias("pos")).select(
+        "id",
+        "pos",
+        md5_long(F.concat_ws(" ", F.slice(F.col("__w"), F.col("pos"), n))).alias(
+            "digest"
+        ),
+    )
+    # The gram set feeds both the occurrence count and the span join —
+    # materialize once (exchange reuse never fires across pruned subtrees).
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
+    grams = checkpoint_barrier(grams)
+    dups = (
+        grams.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .where(F.col("__occ") >= min_count)
+        .select("digest")
+    )
+    covered = (
+        grams.join(dups, "digest")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("__new_text"),
+    )
+    sizes = base.select("id", n_tok.alias("n_tokens"))
+    out = (
+        df.join(sizes, df[id_col] == sizes["id"]).drop("id")
+        .join(
+            rebuilt, df[id_col] == rebuilt["id"], "left"
+        )
+        .drop("id")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)).cast("long"))
+        .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
+        .drop("__new_text")
+    )
+    return out
+
+
 def dedup_keepers(
     df: DataFrame,
     pairs: DataFrame,

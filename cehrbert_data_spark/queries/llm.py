@@ -1326,6 +1326,59 @@ GROUP BY h.id
 """
 
 
+def d_remove_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. EXACTSUBSTR re-expressed
+    relationally, operators/dedup.py:remove_duplicated_ngrams): strip every
+    token covered by a 5-gram occurring >= 2 times corpus-wide; returns the
+    rewritten text plus before/after token accounting. Composes with doc-
+    level near-dup removal — this cleans boilerplate INSIDE unique docs."""
+    from cehrbert_data_spark.operators.dedup import remove_duplicated_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = remove_duplicated_ngrams(
+        docs.select("doc_id", "text"), "doc_id", "text", n=5, min_count=2,
+        out_col="text_out",
+    )
+    return out.select("doc_id", "n_tokens", "n_kept", "text_out")
+
+
+D_REMOVE_DUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, words[i] AS word
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         {_md5_long_sql("ARRAY_TO_STRING(words[i:i+4], ' ')")} AS digest
+  FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
+  WHERE i <= LEN(words) - 4
+),
+dups AS (SELECT digest FROM grams GROUP BY digest HAVING COUNT(*) >= 2),
+spans AS (SELECT g.doc_id, g.pos FROM grams g JOIN dups USING (digest)),
+covered AS (
+  SELECT DISTINCT s.doc_id, c.p AS pos
+  FROM spans s, UNNEST(GENERATE_SERIES(s.pos, s.pos + 4)) AS c(p)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         STRING_AGG(word, ' ' ORDER BY pos) AS text_out
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(LEN(w.words) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.text_out, '') AS text_out
+FROM w LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory-compressed ANN: product-quantization codes (4 subspaces,
     deterministic codebook) scored by asymmetric distance — all-BIGINT."""
@@ -2153,6 +2206,7 @@ QUERIES = {
     "t_word_rarity": (t_word_rarity, T_WORD_RARITY_SQL),
     "t_contamination": (t_contamination, T_CONTAMINATION_SQL),
     "d_dup_ngram_rate": (d_dup_ngram_rate, D_DUP_NGRAM_SQL),
+    "d_remove_dup_ngrams": (d_remove_dup_ngrams, D_REMOVE_DUP_SQL),
     "sim_pq_topk": (sim_pq_topk, SIM_PQ_TOPK_SQL),
     "t_domain_mix": (t_domain_mix, T_DOMAIN_MIX_SQL),
     "t_vocab_coverage": (t_vocab_coverage, T_VOCAB_COVERAGE_SQL),

@@ -102,6 +102,41 @@ def test_simhash_identical_and_stable(spark):
     assert out == again  # deterministic (md5-derived, seed-free)
 
 
+def test_remove_duplicated_ngrams(spark):
+    import pytest
+
+    from cehrbert_data_spark.operators.dedup import remove_duplicated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            # "the quick brown fox jumps" is a 5-gram shared by docs 1 and 2
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "something else entirely here the quick brown fox jumps again and again"),
+            (3, "unique words only appear once nowhere repeated"),
+            (4, "tiny doc"),  # shorter than n: no n-grams, fully kept
+            # within-doc repetition alone crosses the occurrence threshold
+            (5, "a b c d e X a b c d e"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text"])
+        for r in remove_duplicated_ngrams(
+            docs, "doc_id", "text", n=5, min_count=2
+        ).collect()
+    }
+    assert out[1] == (10, 5, "over the lazy dog tonight")
+    assert out[2] == (12, 7, "something else entirely here again and again")
+    assert out[3] == (7, 7, "unique words only appear once nowhere repeated")
+    assert out[4] == (2, 2, "tiny doc")
+    # doc 5: "a b c d e" occurs twice within the doc -> both spans removed,
+    # only the separator survives
+    assert out[5] == (11, 1, "X")
+    for bad in (dict(n=1), dict(min_count=1)):
+        with pytest.raises(ValueError):
+            remove_duplicated_ngrams(docs, "doc_id", "text", **bad)
+
+
 def test_hashed_classifier_score_matches_bruteforce(spark):
     import hashlib
     import math
