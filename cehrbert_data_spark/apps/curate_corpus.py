@@ -42,7 +42,11 @@ import argparse
 
 from pyspark.sql import DataFrame, functions as F
 
-from cehrbert_data_spark.operators.dedup import dedup_keepers, minhash_lsh_pairs
+from cehrbert_data_spark.operators.dedup import (
+    dedup_keepers,
+    minhash_lsh_pairs,
+    remove_duplicated_ngrams,
+)
 from cehrbert_data_spark.operators.text import (
     clean_text,
     default_funnel_rules,
@@ -66,6 +70,7 @@ def curate(
     exact_dedup: bool = True,
     near_dedup: bool = True,
     lsh_max_bucket: int | None = None,
+    substring_dedup_n: int | None = None,
 ) -> tuple[DataFrame, list[tuple[str, DataFrame]], str | None]:
     """Compose the pipeline; returns (curated_df, stages, final_stage).
 
@@ -99,6 +104,19 @@ def curate(
         labeled = checkpoint_barrier(labeled)
         stages.append(("funnel_report", labeled.groupBy("verdict").count()))
         cur = labeled.where(F.col("verdict") == "pass").drop("verdict")
+    if substring_dedup_n is not None:
+        # Substring-level exact dedup (Lee et al. EXACTSUBSTR): strip tokens
+        # covered by corpus-duplicated n-grams BEFORE document-level dedup —
+        # boilerplate inside otherwise-unique docs never reaches the LSH
+        # pass. Barriered: the rewrite feeds the stage count AND the next
+        # stage, and its own gram-digest agg must not recompute the funnel.
+        cur = checkpoint_barrier(
+            remove_duplicated_ngrams(
+                cur, id_col, text_col, n=substring_dedup_n
+            ).drop("n_tokens", "n_kept")
+        )
+        stages.append(("after_substring_dedup", cur))
+        final_stage = "after_substring_dedup"
     if exact_dedup:
         keep = cur.groupBy(F.md5(F.col(text_col)).alias("__digest")).agg(
             F.min(id_col).alias(id_col)
@@ -138,6 +156,7 @@ def main(
     exact_dedup: bool = True,
     near_dedup: bool = True,
     lsh_max_bucket: int | None = None,
+    substring_dedup_n: int | None = None,
     plan_check: bool = False,
     spark=None,
 ) -> dict:
@@ -150,6 +169,7 @@ def main(
         exact_dedup=exact_dedup,
         near_dedup=near_dedup,
         lsh_max_bucket=lsh_max_bucket,
+        substring_dedup_n=substring_dedup_n,
     )
     if plan_check:
         from cehrbert_data_spark.plans.budget import assert_plan_budget
@@ -196,6 +216,11 @@ def parse_args(argv=None):
     p.add_argument("--no_exact_dedup", action="store_true")
     p.add_argument("--no_near_dedup", action="store_true")
     p.add_argument(
+        "--substring_dedup", type=int, default=None, metavar="N",
+        help="strip tokens covered by corpus-duplicated N-grams before "
+        "document-level dedup (Lee et al. EXACTSUBSTR; off by default)",
+    )
+    p.add_argument(
         "--lsh_max_bucket", type=int, default=None,
         help="exclude LSH buckets larger than this from pair generation "
         "(bounds the quadratic in-bucket cost; off by default)",
@@ -215,6 +240,7 @@ if __name__ == "__main__":
         exact_dedup=not args.no_exact_dedup,
         near_dedup=not args.no_near_dedup,
         lsh_max_bucket=args.lsh_max_bucket,
+        substring_dedup_n=args.substring_dedup,
         plan_check=args.plan_check,
     )
     print(out)
