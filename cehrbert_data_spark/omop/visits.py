@@ -412,17 +412,35 @@ def remap_visit_ids(domain_table: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
-def _visit_span_col(df: DataFrame, dt_col: str, date_col: str, end: bool = False):
+def _visit_span_col(
+    df: DataFrame,
+    dt_col: str,
+    date_col: str,
+    end: bool = False,
+    inclusive: bool = False,
+):
     """Timestamp span bound tolerant of partial OMOP schemas: coalesce the
     datetime column with the date column (end dates are exclusive-next-day,
     matching construct_artificial_visits' bounds) — using whichever of the
-    two the table actually has."""
+    two the table actually has.
+
+    ``inclusive=True`` (census use) pulls a date-derived END back to the
+    last second of the visit's actual last day (start-of-next-day minus
+    1 s), so consumers pairing it with an INCLUSIVE overlap predicate do
+    not count merely-abutting day-granularity visits (A's last day Jan 5,
+    B starts Jan 6) as overlapping. Datetime-column ends are real instants
+    and pass through unchanged either way."""
     candidates = []
     if dt_col in df.columns:
         candidates.append(F.to_timestamp(F.col(dt_col)))
     if date_col in df.columns:
-        d = F.date_add(F.col(date_col), 1) if end else F.col(date_col)
-        candidates.append(F.to_timestamp(d))
+        if end:
+            d = F.to_timestamp(F.date_add(F.col(date_col), 1))
+            if inclusive:
+                d = d - F.expr("INTERVAL 1 SECOND")
+        else:
+            d = F.to_timestamp(F.col(date_col))
+        candidates.append(d)
     if not candidates:
         raise ValueError(f"visit table has neither {dt_col} nor {date_col}")
     return F.coalesce(*candidates) if len(candidates) > 1 else candidates[0]
@@ -520,8 +538,13 @@ def concurrent_visit_census(
     :func:`operators.joins.overlap_join_buckets` (epoch-bucket equi-join,
     exactly-once crediting, Σ bucket² cost) rather than a cartesian
     product. Self-pairs are excluded via ``extra_condition``; overlap is
-    inclusive on both ends. Visits with NULL/inverted spans return
-    n_concurrent = 0 (they are excluded from bucketing on both sides).
+    inclusive on both ends for datetime schemas (visits touching at one
+    instant count), while date-only-derived ends are pulled back to the
+    last second of the visit's last day — so day-granularity visits that
+    merely abut (A's last day Jan 5, B starts Jan 6) are NOT concurrent,
+    but visits sharing a calendar day are. Visits with NULL/inverted spans
+    return n_concurrent = 0 (they are excluded from bucketing on both
+    sides).
 
     Returns (visit_occurrence_id, n_concurrent).
     """
@@ -533,7 +556,11 @@ def concurrent_visit_census(
             visit_occurrence, "visit_start_datetime", "visit_start_date"
         ).alias("__start"),
         _visit_span_col(
-            visit_occurrence, "visit_end_datetime", "visit_end_date", end=True
+            visit_occurrence,
+            "visit_end_datetime",
+            "visit_end_date",
+            end=True,
+            inclusive=True,
         ).alias("__end"),
     )
     left = spans.select(

@@ -279,8 +279,23 @@ def corr_regression(
     # oracle errors. DECIMAL(18,0) operands keep the product type within
     # both engines' 38-digit cap (18+18 < 38; Spark 4 yields (37,0), DuckDB
     # (36,0)) and are exact for any |quantized value| < 1e18.
-    xd = xq.cast("decimal(18,0)")
-    yd = yq.cast("decimal(18,0)")
+    #
+    # Values AT or above 1e18 would NULL out of the DECIMAL(18,0) cast in
+    # non-ANSI Spark and silently drop from sx/sy/sxy/sxx/syy while n_rows
+    # still counts them — a quietly wrong correlation. Guard explicitly:
+    # assert_true raises in EVERY mode (ANSI or not), returns NULL on
+    # success, and is folded in as +0 so the output values are untouched.
+    lim = 10**18
+    guard = F.assert_true(
+        (xq.isNull() | (F.abs(xq) < lim)) & (yq.isNull() | (F.abs(yq) < lim)),
+        F.lit(
+            "corr_regression: |round(value * scale)| >= 1e18 overflows the"
+            " exact DECIMAL(18,0) accumulators; lower `scale`"
+        ),
+    )
+    guard0 = F.coalesce(guard.cast("long"), F.lit(0))
+    xd = (xq + guard0).cast("decimal(18,0)")
+    yd = (yq + guard0).cast("decimal(18,0)")
     agged = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(xd).alias("sx"),

@@ -104,7 +104,20 @@ def transitive_closure(
     try:
         seed = loop_spark.table(f"{gt_db}.{tag}_seed")
         loop_step = loop_spark.table(f"{gt_db}.{tag}_step")
-        return _closure_loop(seed, seed, loop_step, max_iterations, hop_batch)
+        result = _closure_loop(seed, seed, loop_step, max_iterations, hop_batch)
+        # Re-root the RESULT back onto the caller's session (the reverse of
+        # the seed/step re-rooting above): the loop's DataFrames are bound
+        # to loop_spark, whose shuffle width is pinned to loop_width (as low
+        # as 8) — a caller composing heavy downstream shuffles on the result
+        # would silently inherit that width. spark.table() analyzes eagerly,
+        # so the caller-session plan survives the view drop below; the
+        # underlying relations are already-materialized checkpoint RDDs
+        # (context-level), so nothing recomputes under the loop session.
+        result.createOrReplaceGlobalTempView(f"{tag}_out")
+        try:
+            return spark.table(f"{gt_db}.{tag}_out")
+        finally:
+            spark.catalog.dropGlobalTempView(f"{tag}_out")
     finally:
         spark.catalog.dropGlobalTempView(f"{tag}_seed")
         spark.catalog.dropGlobalTempView(f"{tag}_step")

@@ -598,13 +598,16 @@ def remove_duplicated_ngrams(
             ),
         ).alias("__new_text"),
     )
-    sizes = base.select("id", n_tok.alias("n_tokens"))
+    # Reserved helper-key name: a caller whose id_col is literally "id"
+    # must not have its join key swallowed by drop("id") on the helper side.
+    sizes = base.select(F.col("id").alias("__rdn_id"), n_tok.alias("n_tokens"))
+    rebuilt = rebuilt.withColumnRenamed("id", "__rdn_id")
     out = (
-        df.join(sizes, df[id_col] == sizes["id"]).drop("id")
+        df.join(sizes, df[id_col] == sizes["__rdn_id"]).drop("__rdn_id")
         .join(
-            rebuilt, df[id_col] == rebuilt["id"], "left"
+            rebuilt, df[id_col] == rebuilt["__rdn_id"], "left"
         )
-        .drop("id")
+        .drop("__rdn_id")
         .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)).cast("long"))
         .withColumn(out_col, F.coalesce("__new_text", F.lit("")))
         .drop("__new_text")

@@ -120,6 +120,7 @@ def asof_join_union(
     right_ts: str,
     how: str = "inner",
     tiebreak: str | None = None,
+    salt_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """J7 (merge form): for each left row, the LAST right row at-or-before
     its timestamp — computed as a union + one window, with NO join fan-out.
@@ -146,6 +147,18 @@ def asof_join_union(
     left rows with NULL ``left_ts`` are dropped under ``how='inner'`` /
     kept with NULL right columns under ``how='left'``.
     ``how='left'`` keeps unmatched left rows with NULL right columns.
+
+    **Skew hardening** (``salt_bucket_seconds``): the plain form windows
+    over the key alone, so one pathological key (a person with millions of
+    visits) serializes a single task. With ``salt_bucket_seconds`` set, the
+    running window is SEGMENTED by epoch time-bucket: a local window runs
+    per (key, bucket) — the largest task is bounded by the busiest (key,
+    bucket), not the busiest key — and cross-bucket carry-in is resolved on
+    the per-(key, bucket) summary table (one row per key×bucket: the
+    bucket's latest right payload, prefix-max'd over earlier buckets and
+    joined back on the SAME (key, bucket) partitioning). Results are
+    IDENTICAL to the unsalted form (test-pinned); pick a bucket near the
+    key's typical event spread (e.g. 30 days) so buckets stay balanced.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join_union supports inner/left, got {how!r}")
@@ -197,16 +210,64 @@ def asof_join_union(
         "__l", F.col("__l_pre").cast(dict(tagged_left.dtypes)["__l"])
     ).drop("__l_pre")
 
-    w = (
-        Window.partitionBy(*on_list)
-        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__tb"), F.col("__r"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned = tagged_left.select("*").unionByName(
+        tagged_right.select(tagged_left.columns)
     )
-    carried = (
-        tagged_left.select("*").unionByName(tagged_right.select(tagged_left.columns))
-        .withColumn("__carried", F.last("__r", ignorenulls=True).over(w))
-        .where(F.col("__is_left") == 1)
-    )
+    if salt_bucket_seconds is None:
+        w = (
+            Window.partitionBy(*on_list)
+            .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__tb"), F.col("__r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(
+            "__carried", F.last("__r", ignorenulls=True).over(w)
+        ).where(F.col("__is_left") == 1)
+    else:
+        # Segmented running window: local pass per (key, time-bucket), then
+        # cross-bucket carry-in off the tiny per-(key, bucket) summary.
+        unioned = unioned.withColumn(
+            "__b",
+            F.floor(
+                F.unix_timestamp(F.col("__ts").cast("timestamp"))
+                / F.lit(salt_bucket_seconds)
+            ),
+        )
+        w_local = (
+            Window.partitionBy(*on_list, "__b")
+            .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__tb"), F.col("__r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = unioned.withColumn(
+            "__local", F.last("__r", ignorenulls=True).over(w_local)
+        )
+        # Latest right payload per (key, bucket): max of struct(ts, tb, r)
+        # is exactly the window's (ts, tb, r) ordering among right rows
+        # (left rows carry no payload, so __is_left never discriminates).
+        # One groupBy on the SAME (key, bucket) keys — Catalyst reuses the
+        # local window's exchange. Buckets with only left rows must still
+        # appear (their carry-in comes wholly from earlier buckets), hence
+        # the aggregation runs over the full union with a null-safe max.
+        finals = unioned.groupBy(*on_list, "__b").agg(
+            F.max(
+                F.when(
+                    F.col("__is_left") == 0,
+                    F.struct(F.col("__ts"), F.col("__tb"), F.col("__r")),
+                )
+            ).alias("__fin")
+        )
+        w_carry = (
+            Window.partitionBy(*on_list)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = finals.withColumn("__in", F.max("__fin").over(w_carry)).select(
+            *on_list, "__b", F.col("__in.__r").alias("__carry_in")
+        )
+        carried = (
+            local.join(carry, on_list + ["__b"])
+            .withColumn("__carried", F.coalesce(F.col("__local"), F.col("__carry_in")))
+            .where(F.col("__is_left") == 1)
+        )
     if how == "inner":
         carried = carried.where(F.col("__carried").isNotNull())
     out = carried.select(

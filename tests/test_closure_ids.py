@@ -52,6 +52,22 @@ def test_closure_loop_never_mutates_caller_session_conf(spark, monkeypatch):
         assert spark.conf.get(key) == "32"
         # results from the cloned session compose with the caller's session
         assert rows[(1, 6)] == 5 and len(rows) == 15
+        # round-7 advice: the RESULT must be re-rooted onto the caller's
+        # session — downstream shuffles composed on it run at the caller's
+        # width (32), not the narrowed loop width (8)
+        result = closure_mod.transitive_closure(edges)
+        assert result.sparkSession.conf.get(key) == "32"
+        # AQE would coalesce this tiny shuffle to 1 either way — disable
+        # its coalescing so the probe sees the session width the shuffle
+        # was PLANNED at (the quantity the re-rooting is about)
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = spark.conf.get(coalesce_key)
+        spark.conf.set(coalesce_key, "false")
+        try:
+            downstream = result.groupBy("src").count()
+            assert downstream.rdd.getNumPartitions() == 32
+        finally:
+            spark.conf.set(coalesce_key, prev_coalesce)
         # and the re-rooting views are cleaned up
         leftover = [
             t.name

@@ -46,6 +46,27 @@ def test_corr_regression_zero_variance_guard(spark):
     assert row["corr"] is None and row["slope"] is None and row["intercept"] is None
 
 
+def test_corr_regression_overflow_guard_raises(spark):
+    """|quantized| >= 1e18 must raise loudly (in ANY ANSI mode), never
+    silently NULL out of the DECIMAL(18,0) accumulators while n_rows still
+    counts the row."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", 2.0e16, 1.0), ("g", 3.0e16, 2.0), ("g", 4.0e16, 3.0)],
+        "k: string, x: double, y: double",
+    )
+    with pytest.raises(Exception, match="corr_regression|ASSERT|overflow"):
+        corr_regression(df, ["k"], "x", "y", scale=100).collect()
+    # under the wire (just below 1e18 after quantization) still works
+    ok = spark.createDataFrame(
+        [("g", 9.0e15, 1.0), ("g", 8.0e15, 2.0), ("g", 7.0e15, 3.0)],
+        "k: string, x: double, y: double",
+    )
+    row = corr_regression(ok, ["k"], "x", "y", scale=100).collect()[0]
+    assert row["corr"] is not None and row["n_rows"] == 3
+
+
 # --- streaks -----------------------------------------------------------------
 
 def test_streaks_islands(spark):

@@ -137,6 +137,26 @@ def test_remove_duplicated_ngrams(spark):
             remove_duplicated_ngrams(docs, "doc_id", "text", **bad)
 
 
+def test_remove_duplicated_ngrams_id_col_named_id(spark):
+    """Round-7 advice: a caller whose id_col is literally "id" must not have
+    its join key swallowed by the internal helper-key drop."""
+    from cehrbert_data_spark.operators.dedup import remove_duplicated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "something else entirely here the quick brown fox jumps again and again"),
+        ],
+        "id: long, text: string",
+    )
+    out = {
+        r["id"]: (r["n_tokens"], r["n_kept"], r["text"])
+        for r in remove_duplicated_ngrams(docs, "id", "text", n=5, min_count=2).collect()
+    }
+    assert out[1] == (10, 5, "over the lazy dog tonight")
+    assert out[2] == (12, 7, "something else entirely here again and again")
+
+
 def test_hashed_classifier_score_matches_bruteforce(spark):
     import hashlib
     import math

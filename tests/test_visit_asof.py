@@ -140,6 +140,34 @@ def test_concurrent_visit_census_matches_bruteforce(spark):
     assert got[3] >= 1 and got[6] == 0 and got[7] == 0
 
 
+def test_concurrent_visit_census_date_only_abutting(spark):
+    """Date-only schema: exclusive-next-day end bounds must NOT make
+    merely-abutting visits concurrent (A's last day Jan 5, B starts Jan 6),
+    while visits sharing a calendar day ARE concurrent."""
+    from cehrbert_data_spark.omop.visits import concurrent_visit_census
+
+    rows = [
+        (1, "2020-01-01", "2020-01-05"),  # abuts 2, shares a day with 3
+        (2, "2020-01-06", "2020-01-08"),  # abuts 1 only
+        (3, "2020-01-05", "2020-01-05"),  # same-day overlap with 1
+        (4, "2020-02-01", "2020-02-01"),  # isolated
+    ]
+    visits = spark.createDataFrame(
+        rows,
+        "visit_occurrence_id: long, visit_start_date: string,"
+        " visit_end_date: string",
+    ).select(
+        "visit_occurrence_id",
+        F.to_date("visit_start_date").alias("visit_start_date"),
+        F.to_date("visit_end_date").alias("visit_end_date"),
+    )
+    got = {
+        r["visit_occurrence_id"]: r["n_concurrent"]
+        for r in concurrent_visit_census(visits).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
 @pytest.mark.skipif(not os.path.isdir(OMOP_SAMPLE), reason="sample OMOP absent")
 def test_extract_features_app_last_visit_feature(spark, tmp_path):
     """End-to-end: the app option surfaces the merge-form recency features,
