@@ -525,6 +525,7 @@ def remove_duplicated_ngrams(
     n: int = 5,
     min_count: int = 2,
     out_col: str | None = None,
+    barrier_path: str | None = None,
 ) -> DataFrame:
     """Exact substring-level dedup (Lee et al. 2022, the EXACTSUBSTR pass of
     "Deduplicating Training Data Makes Language Models Better"): REMOVE
@@ -549,6 +550,17 @@ def remove_duplicated_ngrams(
     (id, pos) anti-join; reassembly is the sequence-assembly idiom
     (array_sort of (pos, word) structs inside one groupBy). No doc-pair
     enumeration anywhere — cost is token-grain, linear in corpus size.
+
+    **Barrier storage sizing**: the (id, pos, digest) gram set feeds two
+    consumers (the occurrence count and the span join) and is materialized
+    once behind a barrier. The default ``localCheckpoint`` pins it on
+    EXECUTOR storage: ≈ one row per token, ~20-24 bytes each (long id +
+    int pos + long digest) — about 3-4× the corpus token count in bytes.
+    At petabyte corpus scale that executor-memory/disk residency can
+    exceed the cluster's storage fraction; pass ``barrier_path`` (an
+    object-store/HDFS URI) to spill the gram set to a DURABLE parquet
+    round-trip instead — same single-materialization semantics, storage
+    off-cluster, and the written gram set is reusable across reruns.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
@@ -573,9 +585,11 @@ def remove_duplicated_ngrams(
     )
     # The gram set feeds both the occurrence count and the span join —
     # materialize once (exchange reuse never fires across pruned subtrees).
+    # barrier_path spills it durably instead of pinning executor storage
+    # (see the docstring's sizing note).
     from cehrbert_data_spark.sources.writers import checkpoint_barrier
 
-    grams = checkpoint_barrier(grams)
+    grams = checkpoint_barrier(grams, path=barrier_path)
     dups = (
         grams.groupBy("digest")
         .agg(F.count(F.lit(1)).alias("__occ"))

@@ -502,3 +502,118 @@ def test_streaks_vs_bruteforce(spark, seed):
         )
     got = {k: sorted(v) for k, v in got.items()}
     assert got == _streaks_expected(rows)
+
+
+# --- remove_duplicated_ngrams vs pure-Python suffix scan ---------------------
+
+def _rdn_expected(docs, n, min_count):
+    """Naive EXACTSUBSTR: count every n-gram occurrence corpus-wide (within-
+    doc repetition counts), then strip every token covered by a duplicated
+    n-gram. Tokenization mirrors words(): split of trim on whitespace, so
+    an empty/whitespace-only doc yields a single '' token (no n-grams for
+    n >= 2)."""
+    import re
+    from collections import Counter
+
+    toks = {i: re.split(r"\s+", t.strip()) for i, t in docs}
+    cnt = Counter()
+    for ws in toks.values():
+        for p in range(len(ws) - n + 1):
+            cnt[" ".join(ws[p : p + n])] += 1
+    out = {}
+    for i, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            if cnt[" ".join(ws[p : p + n])] >= min_count:
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        out[i] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("n,min_count", [(2, 2), (3, 2), (5, 3)])
+def test_remove_duplicated_ngrams_vs_bruteforce(spark, seed, n, min_count):
+    """Adversarial random corpora: tiny vocab (forced duplicate n-grams,
+    incl. self-overlapping within-doc repeats), unicode tokens, punctuation
+    tokens, docs shorter than n, empty docs, and duplicated spans straddling
+    doc start/end."""
+    from cehrbert_data_spark.operators.dedup import remove_duplicated_ngrams
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "cc", "δξ", "漢字", "x!", "42", "_", "q-q", "ζ"]
+    docs = []
+    for i in range(60):
+        ln = rng.choice([0, 1, n - 1, n, n + 1, rng.randrange(2, 16)])
+        words_ = [rng.choice(vocab) for _ in range(ln)]
+        # ~1 in 4 docs: force a run of one token (self-overlapping n-grams)
+        if rng.random() < 0.25 and ln >= n:
+            words_[: n + rng.randrange(3)] = [rng.choice(vocab)] * (
+                n + rng.randrange(3)
+            )
+        docs.append((i, " ".join(words_)))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text"])
+        for r in remove_duplicated_ngrams(
+            df, "doc_id", "text", n=n, min_count=min_count
+        ).collect()
+    }
+    assert got == _rdn_expected(docs, n, min_count)
+
+
+# --- hashed_classifier_score vs pure-Python scorer ---------------------------
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_hashed_classifier_score_vs_bruteforce(spark, seed):
+    """Randomized weight tables (sparse, negative weights, negative
+    intercept), unicode/punctuation tokens, empty docs, and NULL text."""
+    import hashlib
+    import math
+    import re
+
+    from cehrbert_data_spark.operators.text import hashed_classifier_score
+
+    rng = random.Random(seed)
+    n_buckets = 128
+    intercept = rng.randrange(-5000, 5000)
+    # sparse weight table: ~half the buckets have no weight (coalesce-0 path)
+    wrows = [
+        (b, rng.randrange(-1000, 1000))
+        for b in range(n_buckets)
+        if rng.random() < 0.5
+    ]
+    vocab = ["alpha", "beta", "δξ", "漢字", "x!", "42", "", "q-q", "the", "ζ"]
+    docs = []
+    for i in range(50):
+        ln = rng.randrange(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(ln))))
+    docs.append((98, None))  # NULL text: must drop entirely
+    docs.append((99, "   "))  # whitespace-only: single '' token
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    weights = spark.createDataFrame(wrows, "bucket: long, w_milli: long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_milli"], r["logit"], r["prob"])
+        for r in hashed_classifier_score(
+            df, "doc_id", "text", weights,
+            n_buckets=n_buckets, intercept_milli=intercept,
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    wmap = dict(wrows)
+    expected = {}
+    for i, text in docs:
+        if text is None:
+            continue
+        toks = re.split(r"\s+", text.strip())
+        score = sum(wmap.get(bucket(t), 0) for t in toks)
+        logit = (float(intercept) + score / len(toks)) / 1000.0
+        expected[i] = (len(toks), score, logit, 1.0 / (1.0 + math.exp(-logit)))
+    assert set(got) == set(expected)
+    for i, (nt, sc, lg, pb) in expected.items():
+        assert got[i][0] == nt and got[i][1] == sc, i
+        assert got[i][2] == lg, i  # identical IEEE operands -> identical bits
+        assert abs(got[i][3] - pb) < 1e-12, i

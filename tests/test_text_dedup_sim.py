@@ -137,6 +137,38 @@ def test_remove_duplicated_ngrams(spark):
             remove_duplicated_ngrams(docs, "doc_id", "text", **bad)
 
 
+def test_remove_duplicated_ngrams_durable_barrier(spark, tmp_path):
+    """barrier_path spills the gram set to a durable parquet round-trip
+    instead of executor storage — identical output, files on disk."""
+    import os
+
+    from cehrbert_data_spark.operators.dedup import remove_duplicated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "something else entirely here the quick brown fox jumps again and again"),
+            (3, "a b c d e X a b c d e"),
+        ],
+        "doc_id: long, text: string",
+    )
+    gram_dir = str(tmp_path / "grams")
+    durable = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text"])
+        for r in remove_duplicated_ngrams(
+            docs, "doc_id", "text", n=5, min_count=2, barrier_path=gram_dir
+        ).collect()
+    }
+    in_memory = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text"])
+        for r in remove_duplicated_ngrams(
+            docs, "doc_id", "text", n=5, min_count=2
+        ).collect()
+    }
+    assert durable == in_memory
+    assert any(f.endswith(".parquet") for f in os.listdir(gram_dir))
+
+
 def test_remove_duplicated_ngrams_id_col_named_id(spark):
     """Round-7 advice: a caller whose id_col is literally "id" must not have
     its join key swallowed by the internal helper-key drop."""
