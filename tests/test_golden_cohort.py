@@ -177,6 +177,59 @@ COHORT_CONFIGS = {
         dict(observation_window=360, prediction_window=360),
         {"0", "1"},
     ),
+    # round-8: the remaining 9 pairs at volume — all 12 prediction pairs
+    # now have member-for-member 110-person goldens
+    # mixed labels here, unlike the raw-sample hospitalization_pw720: the
+    # volume input derives from the AUGMENTED sample, whose extended
+    # inpatient stays give the target cohort a positive outcome
+    "hospitalization_vol_pw720": (
+        "hospitalization", "volume",
+        dict(observation_window=360, hold_off_window=180, prediction_window=720),
+        {"0", "1"},
+    ),
+    "home_death_vol_pw360": (
+        "discharge_home_death", "volume",
+        dict(observation_window=360, prediction_window=360),
+        {"0", "1"},
+    ),
+    "copd_readmission_vol_pw1800": (
+        "copd_readmission", "volume",
+        dict(observation_window=360, prediction_window=1800),
+        {"0", "1"},
+    ),
+    "afib_stroke_vol_pw720": (
+        "afib_ischemic_stroke", "volume",
+        dict(observation_window=360, prediction_window=720),
+        {"0", "1"},
+    ),
+    "cad_cabg_vol_pw720": (
+        "cad_cabg", "volume",
+        dict(observation_window=360, prediction_window=720),
+        {"0", "1"},
+    ),
+    "t2dm_hf_vol_pw2000": (
+        "t2dm_hf", "volume",
+        dict(
+            observation_window=360, prediction_window=2000,
+            date_lower_bound="1960-01-01",
+        ),
+        {"0", "1"},
+    ),
+    "covid_death_vol_pw30": (
+        "covid_death", "volume",
+        dict(observation_window=360, prediction_window=30),
+        {"0", "1"},
+    ),
+    "cad_hf_vol_pw1500": (
+        "cad_hf", "volume",
+        dict(observation_window=360, prediction_window=1500),
+        {"0", "1"},
+    ),
+    "covid_vent_vol_pw30": (
+        "covid_ventilation", "volume",
+        dict(observation_window=360, prediction_window=30),
+        {"0", "1"},
+    ),
 }
 
 

@@ -171,6 +171,53 @@ COHORT_FIXTURES = {
         "hf_readmission", "volume",
         ["-ow", "360", "-pw", "360"],
     ),
+    # round-8: the remaining 9 prediction pairs at volume — every pair in
+    # the library now has a 110-person member-for-member golden
+    "hospitalization_vol_pw720": (
+        "cehrbert_data.prediction_cohorts.hospitalization", "hospitalization",
+        "volume",
+        ["-ow", "360", "-hw", "180", "-pw", "720"],
+    ),
+    "home_death_vol_pw360": (
+        "cehrbert_data.prediction_cohorts.discharge_home_death",
+        "discharge_home_death", "volume",
+        ["-ow", "360", "-pw", "360"],
+    ),
+    "copd_readmission_vol_pw1800": (
+        "cehrbert_data.prediction_cohorts.copd_readmission",
+        "copd_readmission", "volume",
+        ["-ow", "360", "-pw", "1800"],
+    ),
+    "afib_stroke_vol_pw720": (
+        "cehrbert_data.prediction_cohorts.afib_ischemic_stroke",
+        "afib_ischemic_stroke", "volume",
+        ["-ow", "360", "-pw", "720"],
+    ),
+    "cad_cabg_vol_pw720": (
+        "cehrbert_data.prediction_cohorts.cad_cabg_cohort",
+        "cad_cabg", "volume",
+        ["-ow", "360", "-pw", "720"],
+    ),
+    "t2dm_hf_vol_pw2000": (
+        "cehrbert_data.prediction_cohorts.t2dm_hf_cohort",
+        "t2dm_hf", "volume",
+        ["-ow", "360", "-pw", "2000", "-dl", "1960-01-01"],
+    ),
+    "covid_death_vol_pw30": (
+        "cehrbert_data.prediction_cohorts.covid_death",
+        "covid_death", "volume",
+        ["-ow", "360", "-pw", "30"],
+    ),
+    "cad_hf_vol_pw1500": (
+        "cehrbert_data.prediction_cohorts.cad_hf_cohort",
+        "cad_hf", "volume",
+        ["-ow", "360", "-pw", "1500"],
+    ),
+    "covid_vent_vol_pw30": (
+        "cehrbert_data.prediction_cohorts.covid_ventilation",
+        "covid_ventilation", "volume",
+        ["-ow", "360", "-pw", "30"],
+    ),
 }
 
 
