@@ -119,21 +119,34 @@ def main() -> None:
     qs = all_queries()
 
     best_of = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    load_avg = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+
+    def load_now() -> float | None:
+        return round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+
+    load_avg = load_now()
 
     # Failure-isolated: one broken query must never erase the other
     # measurements (round 3 lost ALL perf numbers to a single crash).
     timings: dict[str, float | None] = {}
     all_runs: dict[str, list[float]] = {}
+    # 1-min load at the start of EVERY run (round-7 verdict ask: a load
+    # spike mid-bench was only visible as a start-of-bench footnote; now
+    # each query's runs carry their own ambient-load annotation so
+    # cross-round comparisons can discount contaminated lines in place).
+    run_loads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         runs: list[float] = []
+        loads: list[float] = []
 
         def one_run() -> bool:
             from pyspark.sql import functions as F
 
+            ld = load_now()
+            if ld is not None:
+                loads.append(ld)
             t0 = time.time()
             try:
                 # Force EVERY output column (see module docstring): one
@@ -164,6 +177,8 @@ def main() -> None:
             timings[name] = None
             continue
         all_runs[name] = [round(t, 3) for t in runs]
+        if loads:
+            run_loads[name] = loads
         best = min(runs)
         timings[name] = round(best, 3)
         total += best
@@ -177,6 +192,16 @@ def main() -> None:
         "best_of": best_of,
         "runs": all_runs,
     }
+    if run_loads:
+        out["run_loads"] = run_loads
+        peak = max(x for v in run_loads.values() for x in v)
+        out["load_avg_peak"] = peak
+        if peak > 1.0:
+            print(
+                f"bench: WARNING peak ambient load {peak:.1f} during the run — "
+                "per-query run_loads shows which lines are contaminated",
+                file=sys.stderr,
+            )
     if load_avg is not None:
         out["load_avg_start"] = round(load_avg, 2)
         if load_avg > 1.0:

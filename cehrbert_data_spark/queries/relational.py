@@ -1060,6 +1060,61 @@ FROM l LEFT JOIN (SELECT event_id, asof_ts, asof_value FROM cand WHERE rn = 1) c
 """
 
 
+def st_keystats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful running-key-stats operator's batch dual under the
+    oracle: per-user (count, exact-decimal sum, last event time). The
+    streaming path (applyInPandasWithState, cross-batch running state with
+    idle-key timeout) is pinned to these totals by
+    tests/test_streaming.py's last-emitted-state == batch equality; this
+    entry puts the shared aggregate contract under the driver gate."""
+    from cehrbert_data_spark.streaming import running_key_stats_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    return running_key_stats_stream(ev, ["user_id"], "ts", "value")
+
+
+ST_KEYSTATS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def st_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sliding-rollup operator run in batch mode: per-USER
+    1-hour windows sliding every 30 minutes (w14 covers the same window
+    shape keyed by event_type via raw F.window; this entry drives the
+    streaming operator itself — watermark guard, window projection, exact
+    decimal sum — through the oracle gate)."""
+    from cehrbert_data_spark.streaming import sliding_rollup_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    return sliding_rollup_stream(
+        ev, ["user_id"], "ts", "value", width="1 hour", slide="30 minutes"
+    )
+
+
+ST_SLIDING_SQL = """
+WITH e AS (
+  SELECT user_id, value,
+         CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS s0
+  FROM events
+),
+u AS (
+  SELECT user_id, value, s0 AS ws FROM e
+  UNION ALL
+  SELECT user_id, value, s0 - 1800 AS ws FROM e
+)
+SELECT make_timestamp(ws * 1000000) AS win_start,
+       make_timestamp((ws + 3600) * 1000000) AS win_end,
+       user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM u GROUP BY 1, 2, 3
+"""
+
+
 def a12_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-l_partkey sketch per return flag,
     joined against the exact count it approximates. The register table and
@@ -2147,6 +2202,8 @@ QUERIES = {
     "w7_sessionize": (w7_sessionize, W7_SQL),
     "st_asof_batch": (st_asof_batch, ST_ASOF_SQL),
     "st_session_batch": (st_session_batch, ST_SESSION_SQL),
+    "st_keystats_batch": (st_keystats_batch, ST_KEYSTATS_SQL),
+    "st_sliding_batch": (st_sliding_batch, ST_SLIDING_SQL),
     "w11_trailing_range": (w11_trailing_range, W11_SQL),
     "u1_union": (u1_union, U1_SQL),
     "u5_distinct": (u5_distinct, U5_SQL),

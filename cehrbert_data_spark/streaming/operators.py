@@ -443,6 +443,10 @@ def running_key_stats_stream(
 
     On a batch DataFrame, falls back to the equivalent groupBy aggregate
     (identical output for a single batch: running totals == final totals).
+    The batch fallback sums in DECIMAL(20,6) (order-independent, oracle-
+    exact — the battery's convention); the streaming path accumulates IEEE
+    doubles in arrival order, so stream-vs-batch sums agree to float
+    tolerance, exactly for sub-ulp workloads.
     """
     import pandas as pd
 
@@ -457,7 +461,9 @@ def running_key_stats_stream(
     if not df.isStreaming:
         return df.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(value).cast("double").alias("sum_value"),
+            F.sum(F.col(value).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
             F.max(ts).alias("last_ts"),
         )
 
