@@ -450,6 +450,7 @@ def index_visit_features(
     cohort: DataFrame,
     visit_occurrence: DataFrame,
     form: str = "merge",
+    salt_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Last visit at-or-before each cohort member's index date — the
     unbounded-lookback as-of match that decorates a prediction cohort with
@@ -473,6 +474,11 @@ def index_visit_features(
     days_since_last_visit); members with no prior visit keep NULL features
     (left semantics). ``cohort_member_id`` must uniquely identify a cohort
     row (it does, by construction of ``load_cohort``).
+
+    ``salt_bucket_seconds`` (merge form only) engages the time-bucket
+    segmented window in :func:`operators.joins.asof_join_union` — the
+    production lever when a single pathological person (millions of
+    visits) would otherwise serialize one task; results are identical.
     """
     from cehrbert_data_spark.operators.joins import asof_join, asof_join_union
 
@@ -494,6 +500,7 @@ def index_visit_features(
             right_ts="__visit_start",
             how="left",
             tiebreak="last_visit_occurrence_id",
+            salt_bucket_seconds=salt_bucket_seconds,
         )
     elif form == "rank1":
         matched = asof_join(

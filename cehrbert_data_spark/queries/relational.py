@@ -1083,33 +1083,36 @@ FROM events GROUP BY user_id
 
 
 def st_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming sliding-rollup operator run in batch mode: per-USER
-    1-hour windows sliding every 30 minutes (w14 covers the same window
-    shape keyed by event_type via raw F.window; this entry drives the
-    streaming operator itself — watermark guard, window projection, exact
-    decimal sum — through the oracle gate)."""
+    """The streaming sliding-rollup operator run in batch mode: 1-hour
+    windows sliding every 30 minutes per event type. w14 covers the same
+    window arithmetic via raw F.window; this entry drives the streaming
+    operator itself (watermark guard, window projection, exact decimal
+    sum) through the oracle gate. Keyed by event_type, NOT user_id: the
+    battery convention is report-grain output — a window×user result is
+    millions of rows at the scaled sweeps and measures collect bandwidth,
+    not the operator."""
     from cehrbert_data_spark.streaming import sliding_rollup_stream
 
     ev = read_table(spark, sf_dir, "events")
     return sliding_rollup_stream(
-        ev, ["user_id"], "ts", "value", width="1 hour", slide="30 minutes"
+        ev, ["event_type"], "ts", "value", width="1 hour", slide="30 minutes"
     )
 
 
 ST_SLIDING_SQL = """
 WITH e AS (
-  SELECT user_id, value,
+  SELECT event_type, value,
          CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS s0
   FROM events
 ),
 u AS (
-  SELECT user_id, value, s0 AS ws FROM e
+  SELECT event_type, value, s0 AS ws FROM e
   UNION ALL
-  SELECT user_id, value, s0 - 1800 AS ws FROM e
+  SELECT event_type, value, s0 - 1800 AS ws FROM e
 )
 SELECT make_timestamp(ws * 1000000) AS win_start,
        make_timestamp((ws + 3600) * 1000000) AS win_end,
-       user_id, COUNT(*) AS n_events,
+       event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
 FROM u GROUP BY 1, 2, 3
 """

@@ -79,6 +79,18 @@ def test_asof_union_and_rank1_forms_agree_with_bruteforce(spark, seed, how):
     }
     assert got_union == expected, f"asof_join_union vs brute force (seed={seed})"
 
+    # salted (time-bucket segmented) merge form: identical semantics, the
+    # bucket only re-shapes the physical window; tiny bucket (7 "seconds")
+    # forces many cross-bucket carry-ins over the 0-24 ts range
+    got_salted = {
+        r["l_id"]: r["r_id"]
+        for r in asof_join_union(
+            left, right, "key", "lts", "rts", how=how, tiebreak="r_id",
+            salt_bucket_seconds=7,
+        ).collect()
+    }
+    assert got_salted == expected, f"salted asof_join_union (seed={seed})"
+
     # rank-1 windowed form, same semantics: unbounded lookback, latest-then-
     # max-r_id wins.  NULL-ts rows never satisfy BETWEEN, matching the union
     # form's guard.

@@ -59,6 +59,13 @@ def test_index_visit_features_merge_equals_rank1_on_sample(spark, tmp_path):
     merge = _by_member(index_visit_features(cohort, visits, form="merge"))
     rank1 = _by_member(index_visit_features(cohort, visits, form="rank1"))
     assert merge == rank1
+    # skew-hardened merge form: 30-day buckets, identical result
+    salted = _by_member(
+        index_visit_features(
+            cohort, visits, form="merge", salt_bucket_seconds=30 * 86400
+        )
+    )
+    assert salted == merge
     assert len(merge) == 5  # every member present (left semantics)
     # members have history before their index by construction, so the
     # feature is non-NULL and the gap is non-negative
