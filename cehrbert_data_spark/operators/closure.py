@@ -221,13 +221,19 @@ def pagerank(
     simplification. Returns (node, rank_scaled).
 
     Scale: the decorated edge table (edge ∪ per-src out-weight) is consumed
-    once per iteration, so it is materialized once (``checkpoint_barrier``
-    ≈ persist(MEMORY_AND_DISK) — exactly what GraphX/production PageRank
-    does with its edge RDD; on a real cluster pre-bucket edges by src so
-    every iteration's rank join is co-partitioned). Each iteration is one
-    equi-join (ranks are node-grain, the small side as iterations proceed)
-    plus one map-side-combined agg on dst. Iteration count is FIXED, so
-    the plan is a static 3-deep tree — no driver-side convergence reads.
+    once per iteration, so it is materialized once behind a DISK_ONLY
+    barrier (GraphX persists its edge RDD the same way at memory pressure;
+    on a real cluster pre-bucket edges by src so every iteration's rank
+    join is co-partitioned). DISK_ONLY, not MEMORY_AND_DISK: the barrier
+    materializes in the same stage as the edge-weight hash aggregation,
+    and memory-resident blocks are only evictable down to the protected
+    storage fraction — at 100× (≈10⁸ symmetrized edges) the pinned blocks
+    starved that aggregation's execution memory outright, while the
+    disk-backed barrier costs three sequential scans of a once-written
+    table. Each iteration is one equi-join (ranks are node-grain, the
+    small side as iterations proceed) plus one map-side-combined agg on
+    dst. Iteration count is FIXED, so the plan is a static 3-deep tree —
+    no driver-side convergence reads.
     """
     from cehrbert_data_spark.sources.writers import checkpoint_barrier
 
@@ -236,11 +242,12 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    e2 = checkpoint_barrier(e.join(outw, "src"))
+    e2 = checkpoint_barrier(e.join(outw, "src"), storage_level="DISK_ONLY")
     nodes = checkpoint_barrier(
         e2.select(F.col("src").alias("node"))
         .union(e2.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        storage_level="DISK_ONLY",
     )
     base = scale * (damp_den - damp_num) // damp_den
     r = nodes.select("node", F.lit(scale).cast("long").alias("r"))

@@ -536,32 +536,48 @@ FROM lineitem GROUP BY l_returnflag
 # --- A8: moment statistics (exact, order-independent) ----------------------------
 
 def a8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev over money via INTEGER-CENTS sufficient statistics.
+
+    Round-8 hardening: the previous form squared the raw double and cast
+    the product to DECIMAL(…,6) — Spark rounds that cast HALF_UP, DuckDB
+    HALF_EVEN, a per-row 1-ulp wobble that a 6-dp output round absorbed at
+    small SFs but which accumulated past it at 15M rows (caught by the
+    100× sweep). Quantizing to cents FIRST (round(x*100) → BIGINT, exact
+    and identical in both engines) makes every accumulator a scale-0
+    decimal: products exact, sums exact, and the final decimal→double
+    casts are pure int→double conversions (correctly rounded identically
+    everywhere — scale-6 casts divide by 10^6 along engine-specific
+    paths). The double expressions then see identical operands and return
+    identical bits; the 6-dp round on std stays as belt-and-suspenders for
+    the sqrt boundary."""
     orders = read_table(spark, sf_dir, "orders")
-    s = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
-    sq = F.sum(
-        (F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,6)")
-    ).cast("double")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(15,0)")
+    s = F.sum(cents).cast("double")
+    sq = F.sum(cents * cents).cast("double")
     n = F.count("o_totalprice")
-    mean = s / n
+    mean = s / n / 100.0
     var = (sq - s * s / n) / (n - 1)
-    # std rounded to 6 decimals: the squared-term double→decimal cast rounds
-    # HALF_UP in Spark vs HALF_EVEN in DuckDB, a 1-ulp wobble.
     return orders.groupBy("o_orderstatus").agg(
         mean.alias("mean_price"),
-        F.round(F.sqrt(var), 6).alias("std_price"),
+        F.round(F.sqrt(var) / 100.0, 6).alias("std_price"),
         n.alias("n"),
     )
 
 
 A8_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_totalprice,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(15,0)) AS cents
+  FROM orders
+)
 SELECT o_orderstatus,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o_totalprice) AS mean_price,
-       ROUND(SQRT((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
-             - CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
-               * CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(o_totalprice))
-            / (COUNT(o_totalprice) - 1)), 6) AS std_price,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(o_totalprice) / 100.0 AS mean_price,
+       ROUND(SQRT((CAST(SUM(cents * cents) AS DOUBLE)
+             - CAST(SUM(cents) AS DOUBLE)
+               * CAST(SUM(cents) AS DOUBLE) / COUNT(o_totalprice))
+            / (COUNT(o_totalprice) - 1)) / 100.0, 6) AS std_price,
        COUNT(o_totalprice) AS n
-FROM orders GROUP BY o_orderstatus
+FROM c GROUP BY o_orderstatus
 """
 
 

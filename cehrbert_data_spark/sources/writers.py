@@ -32,7 +32,9 @@ def write_split(df: DataFrame, splits: DataFrame, path: str, person_col: str = "
     joined.write.mode("overwrite").partitionBy("split").parquet(path)
 
 
-def checkpoint_barrier(df: DataFrame, path: str | None = None) -> DataFrame:
+def checkpoint_barrier(
+    df: DataFrame, path: str | None = None, storage_level: str | None = None
+) -> DataFrame:
     """S10: cut lineage and freeze nondeterministic ids.
 
     The reference writes+re-reads parquet
@@ -41,9 +43,22 @@ def checkpoint_barrier(df: DataFrame, path: str | None = None) -> DataFrame:
     materialization. ``localCheckpoint(eager=True)`` achieves the same
     determinism barrier without a round-trip through the object store; pass
     ``path`` to keep the reference's durable-checkpoint behavior.
+
+    ``storage_level`` (e.g. ``"DISK_ONLY"``) controls where the checkpoint
+    blocks live. The default (MEMORY_AND_DISK) pins unified memory —
+    blocks can only be evicted down to the protected storage fraction, so
+    a barrier materialized in the SAME stage as a wide hash aggregation
+    starves the aggregation's execution memory. DISK_ONLY bypasses the
+    MemoryStore entirely: right for barriers that are written once and
+    scanned sequentially a few times (iterative edge tables).
     """
     if path is None:
-        return df.localCheckpoint(eager=True)
+        level = None
+        if storage_level is not None:
+            from pyspark import StorageLevel
+
+            level = getattr(StorageLevel, storage_level)
+        return df.localCheckpoint(eager=True, storageLevel=level)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

@@ -83,6 +83,10 @@ def test_checkpoint_barrier(spark, tmp_path):
     assert checkpoint_barrier(df).count() == 2
     durable = checkpoint_barrier(df, os.path.join(str(tmp_path), "ckpt"))
     assert durable.count() == 2
+    # DISK_ONLY blocks bypass the MemoryStore (no unified-memory pinning);
+    # values identical
+    disk = checkpoint_barrier(df, storage_level="DISK_ONLY")
+    assert sorted(r["v"] for r in disk.collect()) == [1, 2]
 
 
 def test_winsorize_approx_close_to_exact(spark):
