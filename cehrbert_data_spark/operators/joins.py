@@ -243,11 +243,16 @@ def asof_join_union(
         # Latest right payload per (key, bucket): max of struct(ts, tb, r)
         # is exactly the window's (ts, tb, r) ordering among right rows
         # (left rows carry no payload, so __is_left never discriminates).
-        # One groupBy on the SAME (key, bucket) keys — Catalyst reuses the
-        # local window's exchange. Buckets with only left rows must still
-        # appear (their carry-in comes wholly from earlier buckets), hence
-        # the aggregation runs over the full union with a null-safe max.
-        finals = unioned.groupBy(*on_list, "__b").agg(
+        # Physical shape (plan-pinned in tests/test_plan_shapes): Catalyst
+        # prunes the window out of this branch entirely and pushes a
+        # PARTIAL aggregate below its exchange, so the big data shuffles
+        # exactly once (the window's own exchange) — the finals branch
+        # re-scans the pruned sources but moves only one row per
+        # (key, bucket) per mapper, and the carry table broadcasts into
+        # the final join (no reshuffle of the windowed rows). Buckets with
+        # only left rows still appear (their carry-in comes wholly from
+        # earlier buckets), hence the null-safe max over the full union.
+        finals = local.groupBy(*on_list, "__b").agg(
             F.max(
                 F.when(
                     F.col("__is_left") == 0,

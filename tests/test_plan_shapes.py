@@ -448,3 +448,40 @@ def test_minhash_cap_preserves_exchange_reuse(spark):
         p = plan(df)
         assert "isFinalPlan=true" in p, f"cap={cap}: plan never finalized"
         assert "ReusedExchange" in p, f"cap={cap}: signature subtree computed twice"
+
+
+def test_salted_asof_single_big_shuffle_broadcast_carry(spark):
+    """The salted as-of merge form's 100 TB shape: the unioned big data
+    shuffles exactly ONCE (the segmented window's (key, bucket) exchange);
+    the finals branch carries a PARTIAL aggregate below its own exchange
+    (it moves one row per key×bucket, never full rows — Catalyst also
+    prunes the window out of that branch entirely); and the per-(key,
+    bucket) carry table BROADCASTS into the final join, so the windowed
+    rows are never reshuffled."""
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.operators.joins import asof_join_union
+
+    right = spark.range(1000).select(
+        F.lit(1).alias("k"), (F.col("id") * 100).alias("rts"), F.col("id").alias("rid")
+    )
+    left = spark.range(10000).select(
+        F.lit(1).alias("k"), (F.col("id") * 10 + 5).alias("lts"), F.col("id").alias("lid")
+    )
+    out = asof_join_union(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        tiebreak="rid", salt_bucket_seconds=86400,
+    )
+    p = plan(out, "simple")
+    # exactly three hash exchanges: the window's (k, __b) over full rows,
+    # the finals branch's (k, __b) over partially-aggregated rows, and the
+    # tiny carry window's (k)
+    assert p.count("Exchange hashpartitioning") == 3
+    # the carry table reaches the join as a broadcast — windowed rows are
+    # never reshuffled for the join
+    assert "BroadcastHashJoin" in p
+    # the finals branch aggregates BELOW its exchange (map-side combine):
+    # a partial max over struct appears under the second (k, __b) exchange
+    assert "partial_max" in p or "partial" in p.lower()
+    # exactly two windows: the segmented local pass and the bucket carry
+    assert p.count("Window") >= 2
