@@ -157,6 +157,7 @@ def main(
     near_dedup: bool = True,
     lsh_max_bucket: int | None = None,
     substring_dedup_n: int | None = None,
+    shuffle_shards: int | None = None,
     plan_check: bool = False,
     spark=None,
 ) -> dict:
@@ -199,6 +200,14 @@ def main(
 
     if out_format == "jsonl":
         write_jsonl(curated, f"{output_dir}/corpus")
+    elif shuffle_shards:
+        # training-ready layout: deterministic global shuffle into exactly
+        # N shards (md5-keyed — reproducible membership AND in-shard order)
+        from cehrbert_data_spark.sources.writers import write_shuffled_shards
+
+        write_shuffled_shards(
+            curated, f"{output_dir}/corpus", "doc_id", n_shards=shuffle_shards
+        )
     else:
         write_parquet(curated, f"{output_dir}/corpus")
     report = spark.createDataFrame(report_rows, "stage: string, n_docs: long")
@@ -221,6 +230,11 @@ def parse_args(argv=None):
         "document-level dedup (Lee et al. EXACTSUBSTR; off by default)",
     )
     p.add_argument(
+        "--shuffle_shards", type=int, default=None, metavar="N",
+        help="write the curated corpus as N deterministically-shuffled "
+        "parquet shards (md5-order; the training-ready layout)",
+    )
+    p.add_argument(
         "--lsh_max_bucket", type=int, default=None,
         help="exclude LSH buckets larger than this from pair generation "
         "(bounds the quadratic in-bucket cost; off by default)",
@@ -241,6 +255,7 @@ if __name__ == "__main__":
         near_dedup=not args.no_near_dedup,
         lsh_max_bucket=args.lsh_max_bucket,
         substring_dedup_n=args.substring_dedup,
+        shuffle_shards=args.shuffle_shards,
         plan_check=args.plan_check,
     )
     print(out)

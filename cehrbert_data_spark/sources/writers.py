@@ -13,6 +13,7 @@ pass over the data) rather than the reference's two filtered full scans.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -103,6 +104,44 @@ def write_zordered(
         .repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 32,
+    seed: str = "",
+) -> None:
+    """Deterministic global corpus shuffle into exactly ``n_shards``
+    parquet shards (beyond-ref; the last step of every LLM training-data
+    pipeline — data loaders stream shards sequentially, so the
+    randomization has to happen HERE, at write time, and has to be
+    reproducible for experiment parity).
+
+    The shuffle key is ``md5(seed || id)`` — deterministic, uniform, and
+    uncorrelated with ingest order (sequential ids land in different
+    shards at unpredictable offsets) — range-partitioned into shards and
+    sorted within each, so the same input always produces byte-identical
+    shard membership AND in-shard order in any engine, at any parallelism.
+    ``seed`` reshuffles: distinct seeds give independent permutations
+    (epoch-wise reshuffling without rewriting the corpus ingest).
+
+    One range shuffle + in-partition sort — the exact cost of a sort, no
+    driver-side randomness or collect. At cluster scale set ``n_shards``
+    from bytes/target-shard-size.
+    """
+    from cehrbert_data_spark.operators.text import md5_long
+
+    key = md5_long(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    (
+        df.withColumn("__shuffle", key)
+        .repartitionByRange(n_shards, "__shuffle")
+        .sortWithinPartitions("__shuffle")
+        .drop("__shuffle")
         .write.mode("overwrite")
         .parquet(path)
     )

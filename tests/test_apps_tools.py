@@ -151,6 +151,26 @@ def test_curate_corpus_jsonl_sink(spark, tmp_path):
     assert back.count() == metrics["output"]
 
 
+def test_curate_corpus_shuffle_shards_sink(spark, tmp_path):
+    import glob as _glob
+
+    from cehrbert_data_spark.apps.curate_corpus import main as curate_main
+
+    out_dir = str(tmp_path / "curated_sh")
+    metrics = curate_main(
+        "/root/testdata/sf0.001/documents.parquet",
+        out_dir,
+        near_dedup=False,
+        shuffle_shards=4,
+        spark=spark,
+    )
+    shards = sorted(_glob.glob(f"{out_dir}/corpus/part-*.parquet"))
+    assert len(shards) == 4
+    back = spark.read.parquet(f"{out_dir}/corpus")
+    assert back.count() == metrics["output"]
+    assert back.select("doc_id").distinct().count() == metrics["output"]
+
+
 def test_curate_corpus_substring_dedup_stage(spark, tmp_path):
     from cehrbert_data_spark.apps.curate_corpus import main as curate_main
 

@@ -123,3 +123,40 @@ def test_jsonl_round_trip(spark, tmp_path):
     ]
     # inference fallback still reads the same rows (documented extra pass)
     assert read_jsonl(spark, path).count() == 2
+
+
+def test_write_shuffled_shards_deterministic(spark, tmp_path):
+    """The training-data shuffle sink: exactly N shards, full disjoint
+    coverage, byte-identical across runs, in-shard order uncorrelated with
+    ingest order, and a different seed gives a different permutation."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from cehrbert_data_spark.sources.writers import write_shuffled_shards
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    out1, out2, out3 = (str(tmp_path / d) for d in ("s1", "s2", "s3"))
+    write_shuffled_shards(docs, out1, "doc_id", n_shards=8)
+    write_shuffled_shards(docs, out2, "doc_id", n_shards=8)
+    write_shuffled_shards(docs, out3, "doc_id", n_shards=8, seed="epoch2")
+
+    def read_order(path):
+        files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+        order = []
+        for f in files:
+            order.append([r["doc_id"] for r in spark.read.parquet(f).collect()])
+        return files, order
+
+    f1, o1 = read_order(out1)
+    _, o2 = read_order(out2)
+    _, o3 = read_order(out3)
+    assert len(f1) == 8
+    flat1 = [d for shard in o1 for d in shard]
+    assert sorted(flat1) == list(range(500))  # disjoint, complete
+    assert o1 == o2  # deterministic: same membership AND order
+    assert o1 != o3  # seed reshuffles
+    # decorrelated from ingest order: no shard is a contiguous id range
+    assert all(shard != sorted(shard) for shard in o1 if len(shard) > 3)
