@@ -629,3 +629,117 @@ def test_hashed_classifier_score_vs_bruteforce(spark, seed):
         assert got[i][0] == nt and got[i][1] == sc, i
         assert got[i][2] == lg, i  # identical IEEE operands -> identical bits
         assert abs(got[i][3] - pb) < 1e-12, i
+
+
+# --- sketches vs pure-Python replicas -----------------------------------------
+
+def _md5_60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_hll_registers_and_estimate_vs_bruteforce(spark, seed):
+    """Register table AND estimate reproduced bit-for-bit by a pure-Python
+    HLL over the same md5 bit-slicing (bucket = h mod m, rank from the
+    60-p suffix's bit length)."""
+    from cehrbert_data_spark.operators.sketches import hll_alpha, hll_distinct, hll_registers
+
+    rng = random.Random(seed)
+    p, m, wbits, scale = 5, 32, 55, 57
+    vals = [rng.randrange(10**9) for _ in range(3000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g: string, v: long")
+
+    got_regs = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(df, ["g"], F.col("v"), p=p).collect()
+    }
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = _md5_60(str(v))
+        w = h >> p
+        rank = (wbits + 1 - w.bit_length()) if w > 0 else (wbits + 1)
+        b = h % m
+        regs[b] = max(regs.get(b, 0), rank)
+    assert got_regs == regs
+
+    row = hll_distinct(df, ["g"], F.col("v"), p=p).collect()[0]
+    present_sum = sum(1 << (scale - r) for r in regs.values())
+    register_sum = present_sum + (m - len(regs)) * (1 << scale)
+    est = float(repr(hll_alpha(m) * m * m * float(1 << scale))) / float(register_sum)
+    assert row["n_present"] == len(regs)
+    assert row["register_sum"] == register_sum
+    assert row["hll_estimate"] == est  # identical IEEE operands
+    # sanity: the estimate is in the right ballpark of the true cardinality
+    true = len(set(vals))
+    assert abs(row["hll_estimate"] - true) / true < 0.5
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_cms_never_underestimates_and_matches_bruteforce(spark, seed):
+    from collections import Counter
+
+    from cehrbert_data_spark.operators.sketches import cms_build, cms_estimate
+
+    rng = random.Random(seed)
+    depth, width = 4, 64
+    # zipf-ish: heavy repeats force collisions at width 64
+    vals = [rng.choice([1, 1, 1, 2, 2, rng.randrange(500)]) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    sketch = cms_build(df, F.col("v"), depth=depth, width=width)
+
+    # pure-Python replica of the sketch
+    table = Counter()
+    for v in vals:
+        for r in range(depth):
+            table[(r, _md5_60(f"{r}:{v}") % width)] += 1
+    got_cells = {(r["r"], r["c"]): r["counter"] for r in sketch.collect()}
+    assert got_cells == dict(table)
+
+    truth = Counter(vals)
+    probes = list(truth)[:50]
+    probe_df = spark.createDataFrame([(v,) for v in probes], "v: long")
+    got_est = {
+        r["probe_key"]: r["cms_est"]
+        for r in cms_estimate(probe_df, sketch, F.col("v"), depth=depth, width=width).collect()
+    }
+    for v in probes:
+        expect = min(table[(r, _md5_60(f"{r}:{v}") % width)] for r in range(depth))
+        assert got_est[v] == expect
+        assert got_est[v] >= truth[v]  # CMS never underestimates
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bloom_no_false_negatives_and_exact_bits(spark, seed):
+    from cehrbert_data_spark.operators.sketches import bloom_build, bloom_probe
+
+    rng = random.Random(seed)
+    m_bits, k = 1024, 3
+    members = [rng.randrange(10**8) for _ in range(300)]
+    df = spark.createDataFrame([(v,) for v in set(members)], "v: long")
+    filt = bloom_build(df, F.col("v"), m_bits=m_bits, k=k)
+
+    # pure-Python replica of the packed words
+    words: dict[int, int] = {}
+    for v in set(members):
+        h = _md5_60(str(v))
+        h1, h2 = h % m_bits, (h >> 30) % m_bits
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    got_words = {r["word"]: r["bits"] for r in filt.collect()}
+    assert got_words == words
+
+    # membership: every member probes TRUE (no false negatives, ever)
+    probe = spark.createDataFrame(
+        [(v,) for v in members[:100]] + [(-(i + 1),) for i in range(100)], "v: long"
+    )
+    got = {
+        r["probe_key"]: r["bloom_maybe"]
+        for r in bloom_probe(probe, filt, F.col("v"), m_bits=m_bits, k=k).collect()
+    }
+    assert all(got[v] for v in members[:100])
+    # false-positive rate on definite non-members stays plausible (<20%)
+    fp = sum(1 for i in range(100) if got[-(i + 1)])
+    assert fp < 20
