@@ -743,3 +743,37 @@ def test_bloom_no_false_negatives_and_exact_bits(spark, seed):
     # false-positive rate on definite non-members stays plausible (<20%)
     fp = sum(1 for i in range(100) if got[-(i + 1)])
     assert fp < 20
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kmv_sketch_and_jaccard_vs_bruteforce(spark, seed):
+    """KMV sketch = the k smallest md5 hashes exactly; the Jaccard estimate
+    reproduced from a pure-Python replay of the union-resample rule."""
+    from cehrbert_data_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    rng = random.Random(seed)
+    k = 64
+    pool = list(range(5000))
+    set_a = set(rng.sample(pool, 800))
+    # force genuine overlap: half of b drawn from a
+    set_b = set(rng.sample(sorted(set_a), 400)) | set(rng.sample(pool, 500))
+    df_a = spark.createDataFrame([(v,) for v in set_a], "v: long")
+    df_b = spark.createDataFrame([(v,) for v in set_b], "v: long")
+
+    sk_a = kmv_sketch(df_a, F.col("v"), k=k)
+    sk_b = kmv_sketch(df_b, F.col("v"), k=k)
+    ha = sorted(_md5_60(str(v)) for v in set_a)[:k]
+    hb = sorted(_md5_60(str(v)) for v in set_b)[:k]
+    assert [r["h"] for r in sk_a.orderBy("h").collect()] == ha
+    assert [r["h"] for r in sk_b.orderBy("h").collect()] == hb
+
+    row = kmv_jaccard(sk_a, sk_b, k=k).collect()[0]
+    union_k = sorted(set(ha) | set(hb))[:k]
+    n_common = sum(1 for h in union_k if h in set(ha) and h in set(hb))
+    assert row["n_common"] == n_common
+    assert row["jaccard_est"] == n_common / k
+    assert row["kth_a"] == ha[-1] and row["kth_b"] == hb[-1]
+    assert row["est_distinct_a"] == (k - 1) * float(1 << 60) / float(ha[-1])
+    # the estimate tracks the true Jaccard within sketch error
+    true_j = len(set_a & set_b) / len(set_a | set_b)
+    assert abs(row["jaccard_est"] - true_j) < 0.2
