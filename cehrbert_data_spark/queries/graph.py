@@ -84,29 +84,34 @@ def r3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_sql(iters: int = 3, scale: int = 1_000_000,
                   damp_num: int = 85, damp_den: int = 100) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines single-reference CTEs, and
+    # inlining the r{t-1} -> c{t} chain re-derives the edge join per
+    # iteration — 4x slower at 10x and a >70 GB disk spill at 30x+.
+    # Materialization pins each iteration's state once, exactly like the
+    # Spark side's checkpoint_barrier (identical results, verified).
     base = scale * (damp_den - damp_num) // damp_den
     ctes = [f"""
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b, COUNT(*) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a AS src, b AS dst, w FROM pairs
   UNION ALL
   SELECT b AS src, a AS dst, w FROM pairs
 ),
-outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""]
+outw AS MATERIALIZED (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)"""]
     for t in range(1, iters + 1):
         ctes.append(f"""
-c{t} AS (
+c{t} AS MATERIALIZED (
   SELECT e.dst, SUM((r.r * e.w) // o.outw) AS s
   FROM edges e JOIN r{t-1} r ON e.src = r.node JOIN outw o ON e.src = o.src
   GROUP BY e.dst
 ),
-r{t} AS (
+r{t} AS MATERIALIZED (
   SELECT n.node,
          CAST({base} + ({damp_num} * COALESCE(c.s, 0)) // {damp_den} AS BIGINT) AS r
   FROM nodes n LEFT JOIN c{t} c ON n.node = c.dst
