@@ -117,7 +117,20 @@ def gap_fill_daily(
             ).alias("day"),
         )
     )
-    joined = cal.join(daily, [*parts, "day"], "left")
+    # Null-safe on the entity keys: groupBy treats NULL as a group of its
+    # own, so the join back must too (a name-list join uses plain equality
+    # and silently drops every NULL-key group's observations — caught by
+    # tests/test_differential_random.py::test_gap_fill_daily_vs_bruteforce).
+    # Null-safe equality is still an equi-join key to the planner — this
+    # stays a shuffled hash/sort-merge join, never a nested loop.
+    d = daily.select(
+        *[F.col(c).alias(f"__d_{c}") for c in parts],
+        F.col("day").alias("__d_day"),
+        F.col("day_sum").alias("__d_sum"),
+    )
+    cond = [cal[c].eqNullSafe(d[f"__d_{c}"]) for c in parts]
+    cond.append(cal["day"] == d["__d_day"])
+    joined = cal.join(d, cond, "left").select(cal["*"], d["__d_sum"].alias("day_sum"))
     w = (
         Window.partitionBy(*parts)
         .orderBy("day")

@@ -116,33 +116,45 @@ def write_shuffled_shards(
     n_shards: int = 32,
     seed: str = "",
 ) -> None:
-    """Deterministic global corpus shuffle into exactly ``n_shards``
-    parquet shards (beyond-ref; the last step of every LLM training-data
-    pipeline — data loaders stream shards sequentially, so the
-    randomization has to happen HERE, at write time, and has to be
-    reproducible for experiment parity).
+    """Deterministic global corpus shuffle into ``n_shards`` parquet
+    shard directories ``shard=0/ .. shard=N-1/`` (beyond-ref; the last
+    step of every LLM training-data pipeline — data loaders stream shards
+    sequentially, so the randomization has to happen HERE, at write time,
+    and has to be reproducible for experiment parity).
 
-    The shuffle key is ``md5(seed || id)`` — deterministic, uniform, and
-    uncorrelated with ingest order (sequential ids land in different
-    shards at unpredictable offsets) — range-partitioned into shards and
-    sorted within each, so the same input always produces byte-identical
-    shard membership AND in-shard order in any engine, at any parallelism.
+    Shard membership is an exact computed value, ``pmod(md5(seed || id),
+    n_shards)`` — a pure function of (seed, id), so membership is
+    byte-identical across runs, engines, and ANY upstream partition
+    layout. (The previous design range-partitioned on the md5 key, but
+    ``repartitionByRange`` derives its boundaries from a reservoir SAMPLE
+    of the input; at corpus scale the sample is a subsample, so rows near
+    boundaries could migrate between shards when the input's parallelism
+    changed. An exact ``pmod`` has no boundaries to estimate.)
+
+    In-shard order is the md5 key itself (``sortWithinPartitions``), so
+    it is likewise deterministic and uncorrelated with ingest order —
+    sequential ids land in different shards at unpredictable offsets.
     ``seed`` reshuffles: distinct seeds give independent permutations
     (epoch-wise reshuffling without rewriting the corpus ingest).
 
-    One range shuffle + in-partition sort — the exact cost of a sort, no
-    driver-side randomness or collect. At cluster scale set ``n_shards``
-    from bytes/target-shard-size.
+    One hash shuffle on the shard id + in-partition sort — the cost of a
+    sort, no driver-side randomness or collect. Every shard directory is
+    written by exactly one task (all rows of a shard hash to one
+    partition), so each holds one file. A shard with no rows produces no
+    directory (only possible when rows < shards). At cluster scale set
+    ``n_shards`` from bytes/target-shard-size.
     """
     from cehrbert_data_spark.operators.text import md5_long
 
     key = md5_long(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     (
         df.withColumn("__shuffle", key)
-        .repartitionByRange(n_shards, "__shuffle")
-        .sortWithinPartitions("__shuffle")
+        .withColumn("shard", F.pmod(F.col("__shuffle"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__shuffle")
         .drop("__shuffle")
         .write.mode("overwrite")
+        .partitionBy("shard")
         .parquet(path)
     )
 

@@ -164,7 +164,7 @@ def test_curate_corpus_shuffle_shards_sink(spark, tmp_path):
         shuffle_shards=4,
         spark=spark,
     )
-    shards = sorted(_glob.glob(f"{out_dir}/corpus/part-*.parquet"))
+    shards = sorted(_glob.glob(f"{out_dir}/corpus/shard=*"))
     assert len(shards) == 4
     back = spark.read.parquet(f"{out_dir}/corpus")
     assert back.count() == metrics["output"]

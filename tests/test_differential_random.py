@@ -777,3 +777,105 @@ def test_kmv_sketch_and_jaccard_vs_bruteforce(spark, seed):
     # the estimate tracks the true Jaccard within sketch error
     true_j = len(set_a & set_b) / len(set_a | set_b)
     assert abs(row["jaccard_est"] - true_j) < 0.2
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_write_shuffled_shards_vs_python_md5(spark, tmp_path, seed):
+    """The shard sink's membership and in-shard order replayed in pure
+    Python: shard = md5_60(epoch_seed || id) % n_shards, order = the md5
+    key — exact, no sampling, so ANY upstream layout must reproduce it
+    (the round-8 design range-partitioned on a reservoir SAMPLE and could
+    not make this guarantee; see sources/writers.py docstring)."""
+    import glob as _glob
+
+    from cehrbert_data_spark.sources.writers import write_shuffled_shards
+
+    rng = random.Random(seed)
+    n_shards = rng.choice([3, 8, 16])
+    epoch = f"ep{seed}"
+    # string ids with duplicates-free random structure; skewed lengths
+    ids = list({f"doc-{rng.randrange(10**6)}-{rng.choice('abcxyz')}" for _ in range(400)})
+    docs = spark.createDataFrame([(i, f"txt {i}") for i in ids], "doc_id: string, text: string")
+    out = str(tmp_path / f"sh{seed}")
+    write_shuffled_shards(
+        docs.repartition(rng.choice([1, 7, 64])), out, "doc_id", n_shards=n_shards, seed=epoch
+    )
+
+    expected = {}
+    for i in ids:
+        h = _md5_60(epoch + i)
+        expected.setdefault(h % n_shards, []).append((h, i))
+    for shard in expected.values():
+        shard.sort()
+
+    dirs = _glob.glob(f"{out}/shard=*")
+    assert sorted(int(d.rsplit("=", 1)[1]) for d in dirs) == sorted(expected)
+    for d in dirs:
+        k = int(d.rsplit("=", 1)[1])
+        files = _glob.glob(f"{d}/part-*.parquet")
+        assert len(files) == 1
+        got = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
+        assert got == [i for _, i in expected[k]]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_gap_fill_daily_vs_bruteforce(spark, seed):
+    """gap_fill_daily on adversarial shapes: multi-year spans, NULL key
+    values (a group of their own), observed days whose values are ALL
+    NULL (day_sum NULL -> not observed, forward-filled), leading all-NULL
+    days (nothing to fill from -> filled stays NULL), single-day keys."""
+    from datetime import date
+
+    from cehrbert_data_spark.operators.windows import gap_fill_daily
+
+    rng = random.Random(seed)
+    keys = ["k0", "k1", "k2", None]  # NULL key is a legitimate group
+    rows = []
+    for k in keys:
+        span_days = rng.choice([1, 40, 900])  # incl. multi-year
+        base = datetime(2019, 3, 1) + timedelta(days=rng.randrange(30))
+        n_events = 1 if span_days == 1 else rng.randrange(5, 25)
+        for j in range(n_events):
+            d = rng.randrange(span_days)
+            ts = base + timedelta(days=d, hours=rng.randrange(24))
+            # leading-NULL shape: first ~20% of the span carries NULL values
+            v = None if (d < span_days // 5 or rng.random() < 0.15) else round(
+                rng.uniform(-50, 50), 3
+            )
+            rows.append((k, ts, v))
+    df = spark.createDataFrame(rows, "key: string, ts: timestamp, v: double")
+    got = {
+        (r["key"], r["day"]): (r["filled"], r["is_observed"])
+        for r in gap_fill_daily(df, ["key"], "ts", "v").collect()
+    }
+
+    # brute force: python groupby -> daily sum (None if all NULL) -> dense
+    # calendar -> forward fill
+    daily: dict[tuple, dict[date, float | None]] = {}
+    for k, ts, v in rows:
+        dmap = daily.setdefault(k, {})
+        day = ts.date()
+        if v is not None:
+            dmap[day] = (dmap.get(day) or 0.0) + v
+        else:
+            dmap.setdefault(day, None)
+    expected = {}
+    for k, dmap in daily.items():
+        d0, d1 = min(dmap), max(dmap)
+        carry = None
+        d = d0
+        while d <= d1:
+            observed = d in dmap and dmap[d] is not None
+            if observed:
+                carry = dmap[d]
+            expected[(k, d)] = (carry, 1 if observed else 0)
+            d += timedelta(days=1)
+
+    assert set(got) == set(expected)
+    for key, (exp_fill, exp_obs) in expected.items():
+        g_fill, g_obs = got[key]
+        assert g_obs == exp_obs, key
+        if exp_fill is None:
+            assert g_fill is None, key
+        else:
+            assert g_fill == pytest.approx(exp_fill, rel=1e-9), key

@@ -126,9 +126,11 @@ def test_jsonl_round_trip(spark, tmp_path):
 
 
 def test_write_shuffled_shards_deterministic(spark, tmp_path):
-    """The training-data shuffle sink: exactly N shards, full disjoint
-    coverage, byte-identical across runs, in-shard order uncorrelated with
-    ingest order, and a different seed gives a different permutation."""
+    """The training-data shuffle sink: exactly N shard directories, full
+    disjoint coverage, byte-identical across runs AND across different
+    upstream parallelism (membership is computed, not sampled), in-shard
+    order uncorrelated with ingest order, and a different seed gives a
+    different permutation."""
     import glob as _glob
 
     from pyspark.sql import functions as F
@@ -138,25 +140,32 @@ def test_write_shuffled_shards_deterministic(spark, tmp_path):
     docs = spark.range(500).select(
         F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
     )
-    out1, out2, out3 = (str(tmp_path / d) for d in ("s1", "s2", "s3"))
-    write_shuffled_shards(docs, out1, "doc_id", n_shards=8)
-    write_shuffled_shards(docs, out2, "doc_id", n_shards=8)
+    out1, out2, out3, out4 = (str(tmp_path / d) for d in ("s1", "s2", "s3", "s4"))
+    write_shuffled_shards(docs.repartition(1), out1, "doc_id", n_shards=8)
+    write_shuffled_shards(docs.repartition(64), out2, "doc_id", n_shards=8)
     write_shuffled_shards(docs, out3, "doc_id", n_shards=8, seed="epoch2")
+    write_shuffled_shards(docs, out4, "doc_id", n_shards=8)
 
     def read_order(path):
-        files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+        dirs = sorted(
+            _glob.glob(f"{path}/shard=*"), key=lambda d: int(d.rsplit("=", 1)[1])
+        )
         order = []
-        for f in files:
-            order.append([r["doc_id"] for r in spark.read.parquet(f).collect()])
-        return files, order
+        for d in dirs:
+            files = _glob.glob(f"{d}/part-*.parquet")
+            assert len(files) == 1  # one task owns each shard
+            order.append([r["doc_id"] for r in spark.read.parquet(files[0]).collect()])
+        return dirs, order
 
-    f1, o1 = read_order(out1)
+    d1, o1 = read_order(out1)
     _, o2 = read_order(out2)
     _, o3 = read_order(out3)
-    assert len(f1) == 8
+    _, o4 = read_order(out4)
+    assert len(d1) == 8
     flat1 = [d for shard in o1 for d in shard]
     assert sorted(flat1) == list(range(500))  # disjoint, complete
-    assert o1 == o2  # deterministic: same membership AND order
+    assert o1 == o4  # deterministic: same membership AND order, same input
+    assert o1 == o2  # membership/order survive a 1-vs-64 partition layout
     assert o1 != o3  # seed reshuffles
     # decorrelated from ingest order: no shard is a contiguous id range
     assert all(shard != sorted(shard) for shard in o1 if len(shard) > 3)
