@@ -145,8 +145,6 @@ def main() -> None:
             from pyspark.sql import functions as F
 
             ld = load_now()
-            if ld is not None:
-                loads.append(ld)
             t0 = time.time()
             try:
                 # Force EVERY output column (see module docstring): one
@@ -162,6 +160,11 @@ def main() -> None:
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
                 return False
             runs.append(time.time() - t0)
+            # Appended only alongside a recorded timing, so
+            # run_loads[name][i] is always the load sampled at the start of
+            # runs[name][i] — failed attempts record neither (round-8 ADVICE).
+            if ld is not None:
+                loads.append(ld)
             return True
 
         for _ in range(best_of):

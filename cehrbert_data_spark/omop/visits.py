@@ -425,11 +425,14 @@ def _visit_span_col(
     two the table actually has.
 
     ``inclusive=True`` (census use) pulls a date-derived END back to the
-    last second of the visit's actual last day (start-of-next-day minus
-    1 s), so consumers pairing it with an INCLUSIVE overlap predicate do
-    not count merely-abutting day-granularity visits (A's last day Jan 5,
-    B starts Jan 6) as overlapping. Datetime-column ends are real instants
-    and pass through unchanged either way."""
+    last representable instant of the visit's actual last day
+    (start-of-next-day minus 1 µs — the smallest timestamp unit, so in
+    mixed schemas a datetime visit starting anywhere inside the final
+    second of a date-only visit's last day, e.g. 23:59:59.5, still counts
+    as same-day concurrent), so consumers pairing it with an INCLUSIVE
+    overlap predicate do not count merely-abutting day-granularity visits
+    (A's last day Jan 5, B starts Jan 6) as overlapping. Datetime-column
+    ends are real instants and pass through unchanged either way."""
     candidates = []
     if dt_col in df.columns:
         candidates.append(F.to_timestamp(F.col(dt_col)))
@@ -437,7 +440,7 @@ def _visit_span_col(
         if end:
             d = F.to_timestamp(F.date_add(F.col(date_col), 1))
             if inclusive:
-                d = d - F.expr("INTERVAL 1 SECOND")
+                d = d - F.expr("INTERVAL 1 MICROSECOND")
         else:
             d = F.to_timestamp(F.col(date_col))
         candidates.append(d)
@@ -547,9 +550,11 @@ def concurrent_visit_census(
     product. Self-pairs are excluded via ``extra_condition``; overlap is
     inclusive on both ends for datetime schemas (visits touching at one
     instant count), while date-only-derived ends are pulled back to the
-    last second of the visit's last day — so day-granularity visits that
-    merely abut (A's last day Jan 5, B starts Jan 6) are NOT concurrent,
-    but visits sharing a calendar day are. Visits with NULL/inverted spans
+    last MICROSECOND of the visit's last day — so day-granularity visits
+    that merely abut (A's last day Jan 5, B starts Jan 6) are NOT
+    concurrent, but visits sharing a calendar day are, including a
+    datetime visit starting inside the final second of a date-only
+    visit's last day (23:59:59.5). Visits with NULL/inverted spans
     return n_concurrent = 0 (they are excluded from bucketing on both
     sides).
 

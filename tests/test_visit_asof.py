@@ -175,6 +175,40 @@ def test_concurrent_visit_census_date_only_abutting(spark):
     assert got == {1: 1, 2: 0, 3: 1, 4: 0}
 
 
+def test_concurrent_visit_census_mixed_schema_final_second(spark):
+    """Mixed date-only/datetime schema: a datetime visit starting inside
+    the FINAL SECOND of a date-only visit's last day (23:59:59.5) shares
+    that calendar day and must count as concurrent — the date-derived end
+    is pulled back by one microsecond, not one second (round-8 ADVICE).
+    A visit starting at exactly midnight of the NEXT day must not."""
+    from cehrbert_data_spark.omop.visits import concurrent_visit_census
+
+    rows = [
+        (1, None, "2020-01-01", None, "2020-01-05"),  # date-only, last day Jan 5
+        (2, "2020-01-05 23:59:59.5", None, "2020-01-06 04:00:00", None),  # inside final second
+        (3, "2020-01-06 00:00:00", None, "2020-01-06 01:00:00", None),  # next-day midnight
+    ]
+    visits = spark.createDataFrame(
+        rows,
+        "visit_occurrence_id: long, visit_start_datetime: string,"
+        " visit_start_date: string, visit_end_datetime: string,"
+        " visit_end_date: string",
+    ).select(
+        "visit_occurrence_id",
+        F.to_timestamp("visit_start_datetime").alias("visit_start_datetime"),
+        F.to_date("visit_start_date").alias("visit_start_date"),
+        F.to_timestamp("visit_end_datetime").alias("visit_end_datetime"),
+        F.to_date("visit_end_date").alias("visit_end_date"),
+    )
+    got = {
+        r["visit_occurrence_id"]: r["n_concurrent"]
+        for r in concurrent_visit_census(visits).collect()
+    }
+    # 1↔2 concurrent (2 starts 23:59:59.5 on 1's last day); 2↔3 overlap as
+    # real instants; 1↔3 merely abut at the day boundary.
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
 @pytest.mark.skipif(not os.path.isdir(OMOP_SAMPLE), reason="sample OMOP absent")
 def test_extract_features_app_last_visit_feature(spark, tmp_path):
     """End-to-end: the app option surfaces the merge-form recency features,

@@ -5,7 +5,12 @@ the same scale factor, then compares row count, schema arity, and
 order-insensitive values (columns sorted by name, rows sorted by their string
 rendering). Usage:
 
-    python tools/verify_oracle.py [sf_dir] [--sample N] [query ...]
+    python tools/verify_oracle.py [sf_dir] [--sample N] [query ...] [--exclude q ...]
+
+``--exclude`` consumes names until the next ``-``-prefixed flag, and every
+consumed name must be a known query (an unknown token — e.g. a positional
+sf_dir mistakenly placed after it — aborts with exit 2 instead of being
+silently treated as an exclusion). Place positionals BEFORE --exclude.
 
 ``--sample N`` verifies against a deterministic md5-sampled 1/N subset of
 the ``documents`` and ``embeddings`` tables (other tables untouched). This
@@ -91,11 +96,24 @@ def main() -> int:
     # multiply, the time axis doesn't, so time-overlap pair volume grows
     # as SF² — e.g. j6b_overlap_buckets at 100× emits ~5e10 genuine pairs
     # in BOTH engines; a data-shape artifact, not an engine defect).
+    # Consumes names up to the next flag, and every consumed name must be a
+    # known query — otherwise a positional sf_dir/query placed after
+    # --exclude would be swallowed silently (round-8 ADVICE).
     excluded: set[str] = set()
     if "--exclude" in argv:
         i = argv.index("--exclude")
-        excluded = set(argv[i + 1 :])
-        del argv[i:]
+        j = i + 1
+        while j < len(argv) and not argv[j].startswith("-"):
+            j += 1
+        excluded = set(argv[i + 1 : j])
+        del argv[i:j]
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as _e  # cheap: no JVM until build_session
+
+        unknown = excluded - set(_e.queries())
+        if unknown:
+            print(f"--exclude: unknown queries {sorted(unknown)}", file=sys.stderr)
+            return 2
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if sample_n:
