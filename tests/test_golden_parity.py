@@ -15,9 +15,15 @@ match Spark 3.1 cast semantics). Two decorator configurations are pinned:
   diff caught a real type-coercion bug and a nondeterministic id-minting
   order in construct_artificial_visits)
 
-All verified cell-identical (22 persons x 21 columns, token-by-token)
-against this repo's output when the fixtures were generated — see
-ROUND_NOTES.md round 5. This test re-runs OUR pipeline on the same input
+Round 9 adds VOLUME parity: the day_day / cehrbert_mix /
+cehrbert_mix_artificial configs replayed on the 110-person volume sample
+(tests/volume_sample.py), pinning member ordering and ATT insertion at a
+scale where string-vs-numeric person ordering and cross-person leakage
+actually bite.
+
+All verified cell-identical (22 persons x 21 columns, token-by-token;
+volume configs 110 persons) against this repo's output when the fixtures
+were generated — see ROUND_NOTES.md rounds 5 and 9. This test re-runs OUR pipeline on the same input
 and asserts every column of every person still matches, so ANY drift in
 the decorator chain (visit_end minus-1-minute, inpatient date clamp,
 span/hour ATT tokens, demographic prompt, ordering, segments, ages...)
@@ -87,6 +93,26 @@ CONFIGS = {
             input_kind="augmented",
         ),
     ),
+    # VOLUME parity (round-9, VERDICT r8 ask 4): the same decorator configs
+    # on the 110-person volume sample (tests/volume_sample.py) — pins
+    # token-by-token sequence assembly where only volume breaks it:
+    # member-id assignment order over many string-sorted persons, ATT
+    # insertion across replicas, artificial-visit id minting at volume
+    "day_day_volume": (
+        "day_day_volume",
+        dict(att_type="day", inpatient_att_type="day", input_kind="volume"),
+    ),
+    "cehrbert_mix_volume": (
+        "cehrbert_mix_volume",
+        dict(att_type="cehr_bert", inpatient_att_type="mix", input_kind="volume"),
+    ),
+    "cehrbert_mix_artificial_volume": (
+        "cehrbert_mix_artificial_volume",
+        dict(
+            att_type="cehr_bert", inpatient_att_type="mix",
+            should_construct_artificial_visits=True, input_kind="volume",
+        ),
+    ),
 }
 
 # Every column of the reference's new-patient-representation output.
@@ -136,6 +162,15 @@ def augmented_training_dir(tmp_path_factory):
     )
 
 
+@pytest.fixture(scope="session")
+def volume_training_dir(tmp_path_factory):
+    from volume_sample import build_volume_sample
+
+    return build_volume_sample(
+        str(tmp_path_factory.mktemp("volume_training") / "omop")
+    )
+
+
 @pytest.mark.skipif(not os.path.isdir(SAMPLE), reason="reference sample data not present")
 @pytest.mark.parametrize("config_name", sorted(CONFIGS))
 def test_golden_parity(spark, tmp_path, config_name, request):
@@ -143,11 +178,12 @@ def test_golden_parity(spark, tmp_path, config_name, request):
 
     fixture_dir, overrides = CONFIGS[config_name]
     overrides = dict(overrides)  # pops below must not mutate the shared config
-    input_folder = (
-        request.getfixturevalue("augmented_training_dir")
-        if overrides.pop("input_kind", "sample") == "augmented"
-        else SAMPLE
-    )
+    input_kind = overrides.pop("input_kind", "sample")
+    input_folder = {
+        "augmented": lambda: request.getfixturevalue("augmented_training_dir"),
+        "volume": lambda: request.getfixturevalue("volume_training_dir"),
+        "sample": lambda: SAMPLE,
+    }[input_kind]()
     out = main(
         input_folder=input_folder,
         output_folder=str(tmp_path / config_name),

@@ -67,6 +67,19 @@ TRAINING_FIXTURES = {
     "week_month": ("week", "month", []),
 }
 
+#: volume variants (round-9, VERDICT r8 ask 4): the same decorator configs
+#: replayed on the 110-person volume sample (tests/volume_sample.py) —
+#: member-id ordering and ATT insertion are where volume breaks sequence
+#: assembly, the same class of bug the cohort volume goldens caught
+#: (string-vs-numeric person ordering)
+TRAINING_VOLUME_FIXTURES = {
+    "day_day_volume": ("day", "day", [], "volume"),
+    "cehrbert_mix_volume": ("cehr_bert", "mix", [], "volume"),
+    "cehrbert_mix_artificial_volume": (
+        "cehr_bert", "mix", ["--should_construct_artificial_visits"], "volume",
+    ),
+}
+
 #: extra flag variants replayed on the cehr_bert/mix config (age-group
 #: buckets instead of exact ages; visit type kept but VS/VE tokens dropped)
 TRAINING_FLAG_FIXTURES = {
@@ -415,7 +428,7 @@ def _commit_fixture(src_glob: str, fixture: str, filename: str, replace: bool = 
 
 
 def make_training(fixture: str) -> None:
-    cfg = {**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}[fixture]
+    cfg = {**TRAINING_FIXTURES, **TRAINING_VOLUME_FIXTURES, **TRAINING_FLAG_FIXTURES}[fixture]
     att, inpatient_att, extra = cfg[0], cfg[1], cfg[2]
     input_kind = cfg[3] if len(cfg) > 3 else "sample"
     with tempfile.TemporaryDirectory() as workdir:
@@ -477,12 +490,12 @@ def main() -> None:
         CHECK_MODE = True
     if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help", "list"):
         print(__doc__)
-        print("training fixtures:", ", ".join({**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}))
+        print("training fixtures:", ", ".join({**TRAINING_FIXTURES, **TRAINING_VOLUME_FIXTURES, **TRAINING_FLAG_FIXTURES}))
         print("cohort fixtures:  ", ", ".join(COHORT_FIXTURES))
         return
     cmd = sys.argv[1]
     if cmd == "all":
-        for f in {**TRAINING_FIXTURES, **TRAINING_FLAG_FIXTURES}:
+        for f in {**TRAINING_FIXTURES, **TRAINING_VOLUME_FIXTURES, **TRAINING_FLAG_FIXTURES}:
             make_training(f)
         for f in COHORT_FIXTURES:
             make_cohort(f)
