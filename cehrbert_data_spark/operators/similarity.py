@@ -253,24 +253,37 @@ def ivf_assign(
     vec_col: str,
     centroid_mod: int = 64,
     nprobe: int = 1,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization with a deterministic codebook: centroids are
-    the vectors whose id ≡ 0 (mod ``centroid_mod``) — reproducible in any
-    engine, no k-means training step. Returns (id, cid, probe_rank) for each
-    vector's ``nprobe`` nearest centroids by exact quantized cosine
-    (tie-broken on centroid id).
+    """IVF coarse quantization. Default codebook is deterministic-untrained:
+    centroids are the vectors whose id ≡ 0 (mod ``centroid_mod``) —
+    reproducible in any engine with no training step. Pass ``codebook``
+    (a ``(cid, cvec)`` table of BIGINT-quantized centroids, e.g.
+    ``operators.clustering.kmeans_fit``'s output) to probe TRAINED
+    centroids instead — data-adaptive inverted lists, the production IVF
+    shape. Returns (id, cid, probe_rank) for each vector's ``nprobe``
+    nearest centroids by exact quantized cosine (tie-broken on centroid
+    id).
 
-    The centroid set is tiny (n / centroid_mod) and broadcast; assignment is
-    a map-side scored cross join — the corpus never shuffles.
+    The centroid set is tiny (n / centroid_mod, or k) and broadcast;
+    assignment is a map-side scored cross join — the corpus never
+    shuffles.
     """
     q = with_quantized_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
-    centroids = q.where(F.col("id") % centroid_mod == 0).select(
-        F.col("id").alias("cid"),
-        F.col("ivec").alias("cvec"),
-        F.col("inorm2").alias("cnorm2"),
-    )
+    if codebook is not None:
+        centroids = codebook.select(
+            "cid",
+            F.col("cvec").alias("cvec"),
+            int_dot(F.col("cvec"), F.col("cvec")).alias("cnorm2"),
+        )
+    else:
+        centroids = q.where(F.col("id") % centroid_mod == 0).select(
+            F.col("id").alias("cid"),
+            F.col("ivec").alias("cvec"),
+            F.col("inorm2").alias("cnorm2"),
+        )
     cos = (
         int_dot(F.col("ivec"), F.col("cvec")).cast("double")
         / (F.sqrt(F.col("inorm2")) * F.sqrt(F.col("cnorm2")))
@@ -293,6 +306,7 @@ def ivf_topk(
     k: int = 5,
     centroid_mod: int = 64,
     nprobe: int = 1,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: candidates share an assigned centroid (inverted list),
     exact quantized cosine ranks them per query. With ``nprobe`` > 1 each
@@ -313,7 +327,10 @@ def ivf_topk(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
     assigned = checkpoint_barrier(
-        ivf_assign(df, id_col, vec_col, centroid_mod, nprobe=max(1, nprobe))
+        ivf_assign(
+            df, id_col, vec_col, centroid_mod,
+            nprobe=max(1, nprobe), codebook=codebook,
+        )
     )
     lists_ = assigned.where(F.col("probe_rank") == 1)
     probes = assigned

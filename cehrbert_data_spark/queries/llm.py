@@ -491,6 +491,88 @@ SELECT q_id, n_id, cosine, rank FROM (
 """
 
 
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators/clustering.py): 3 fixed Lloyd
+    iterations from an md5-deterministic seed sample, exact-integer
+    distances, floor-quantized centroid updates — the IVF codebook
+    trainer, summarized to report grain (cid, n_members, inertia)."""
+    from cehrbert_data_spark.operators.clustering import kmeans_summary
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, "vec_id", "embedding", k=8, n_iter=3)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 3) -> str:
+    """Oracle mirroring clustering.kmeans_summary exactly: the fixed Lloyd
+    chain unrolled into MATERIALIZED CTEs (DuckDB inlines single-reference
+    CTEs — without the hint it re-derives every earlier iteration per
+    step, the PageRank-oracle lesson)."""
+    md5 = _md5_long_sql("CAST(id AS VARCHAR)")
+
+    def dist2(n: str, c: str) -> str:
+        return (
+            f"{n}.norm2 + LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({c}.cvec)),"
+            f" i -> {c}.cvec[i] * {c}.cvec[i]))"
+            f" - 2 * LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({n}.ivec)),"
+            f" i -> {n}.ivec[i] * {c}.cvec[i]))"
+        )
+
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS id,
+         LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+  FROM embeddings
+),
+normed AS MATERIALIZED (
+  SELECT id, ivec,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ivec)), i -> ivec[i] * ivec[i])) AS norm2
+  FROM q
+),
+c0 AS MATERIALIZED (
+  SELECT rn - 1 AS cid, ivec AS cvec FROM (
+    SELECT ivec, ROW_NUMBER() OVER (ORDER BY {md5}, id) AS rn FROM normed
+  ) WHERE rn <= {k}
+)"""]
+    for t in range(1, n_iter + 2):
+        prev = f"c{t - 1}"
+        # assignment pass t against the previous centroids
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT id, ivec, norm2, cid, dist2 FROM (
+    SELECT id, ivec, norm2, cid, dist2,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist2, cid) AS rn
+    FROM (
+      SELECT n.id, n.ivec, n.norm2, c.cid, {dist2("n", "c")} AS dist2
+      FROM normed n CROSS JOIN {prev} c
+    )
+  ) WHERE rn = 1
+)""")
+        if t == n_iter + 1:
+            break  # final pass only assigns; no update follows
+        parts.append(f""",
+m{t} AS MATERIALIZED (
+  SELECT cid, d AS pos,
+         CAST(FLOOR(CAST(SUM(ivec[d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{t}, UNNEST(GENERATE_SERIES(1, LEN(ivec))) AS g(d)
+  GROUP BY cid, d
+),
+c{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, LIST(m ORDER BY pos) AS cvec FROM m{t} GROUP BY cid
+  ) u ON p.cid = u.cid
+)""")
+    parts.append(f"""
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist2) AS BIGINT) AS inertia
+FROM a{n_iter + 1} GROUP BY cid
+""")
+    return "".join(parts)
+
+
+ML_KMEANS_SQL = _kmeans_sql()
+
+
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return lsh_bucket(emb, "vec_id", "embedding", num_planes=8)
@@ -2224,6 +2306,7 @@ QUERIES = {
     "sim_lsh_buckets": (sim_lsh_buckets, SIM_LSH_SQL),
     "sim_lsh_topk": (sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "sim_ivf_topk": (sim_ivf_topk, SIM_IVF_TOPK_SQL),
+    "ml_kmeans": (ml_kmeans, ML_KMEANS_SQL),
     "mm_media_meta": (mm_media_meta, MM_META_SQL),
     "mm_image_dims": (mm_image_dims, MM_IMAGE_DIMS_SQL),
     "mm_av_meta": (mm_av_meta, MM_AV_META_SQL),

@@ -879,3 +879,74 @@ def test_gap_fill_daily_vs_bruteforce(spark, seed):
             assert g_fill is None, key
         else:
             assert g_fill == pytest.approx(exp_fill, rel=1e-9), key
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kmeans_vs_python_replay(spark, seed):
+    """kmeans_summary replayed exactly in pure Python: md5-smallest seed
+    init, exact integer squared-L2 assignment with (dist2, cid) ties,
+    floor-quantized centroid means, empty-cluster carry-over, fixed
+    iterations + final assignment. Inputs are dyadic rationals so the
+    float32 storage and the ×1000 quantization are exact in both paths."""
+    import math
+
+    from cehrbert_data_spark.operators.clustering import kmeans_summary
+
+    rng = random.Random(seed)
+    n, dim, k, n_iter = 120, 8, 5, 3
+    vecs = {
+        i: [rng.randint(-2000, 2000) / 1024 for _ in range(dim)]
+        for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {
+        r["cid"]: (r["n_members"], r["inertia"])
+        for r in kmeans_summary(df, "vec_id", "embedding", k=k, n_iter=n_iter).collect()
+    }
+
+    # --- pure-Python replay -------------------------------------------------
+    def half_up(v: float) -> int:
+        # Spark F.round / DuckDB ROUND: half away from zero — NOT python's
+        # banker's round() (dyadic inputs land exactly on .5 boundaries)
+        return math.floor(v + 0.5) if v >= 0 else -math.floor(-v + 0.5)
+
+    iv = {i: [half_up(x * 1000) for x in v] for i, v in vecs.items()}  # exact
+    order = sorted(iv, key=lambda i: (_md5_60(str(i)), i))
+    cents = {c: list(iv[order[c]]) for c in range(k)}
+
+    def assign(cents):
+        out = {}
+        for i, v in iv.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cv)), c)
+                for c, cv in cents.items()
+            )
+            out[i] = (best[1], best[0])  # (cid, dist2)
+        return out
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for i, (c, _) in a.items():
+            counts[c] = counts.get(c, 0) + 1
+            s = sums.setdefault(c, [0] * dim)
+            for d, x in enumerate(iv[i]):
+                s[d] += x
+        cents = {
+            c: (
+                [math.floor(float(sums[c][d]) / counts[c]) for d in range(dim)]
+                if c in counts
+                else cv
+            )
+            for c, cv in cents.items()
+        }
+    final = assign(cents)
+    want: dict[int, tuple[int, int]] = {}
+    for i, (c, d2) in final.items():
+        m, s = want.get(c, (0, 0))
+        want[c] = (m + 1, s + d2)
+    assert got == want
