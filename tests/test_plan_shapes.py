@@ -485,3 +485,20 @@ def test_salted_asof_single_big_shuffle_broadcast_carry(spark):
     assert "partial_max" in p or "partial" in p.lower()
     # exactly two windows: the segmented local pass and the bucket carry
     assert p.count("Window") >= 2
+
+
+def test_kmeans_assignment_is_a_pure_projection(spark):
+    """The k-means Lloyd pass's 100 TB contract: assignment inlines the
+    k×d centroids as literal structs and argmins with array_min — NO join,
+    NO window, ZERO exchanges, one output row per corpus row. (The obvious
+    broadcast-join + per-id-window formulation shuffles n×k rows on id
+    per iteration — the plan this design exists to avoid.)"""
+    from cehrbert_data_spark.operators.clustering import (
+        _assign, _quantized, _seed_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = _quantized(emb, "vec_id", "embedding")
+    p = plan(_assign(q, _seed_centroids(q, 4)))
+    assert "Exchange" not in p
+    assert "Join" not in p and "Window" not in p

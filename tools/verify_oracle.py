@@ -25,6 +25,7 @@ checks stay at sf0.01.
 
 from __future__ import annotations
 
+import gc
 import math
 import os
 import sys
@@ -147,11 +148,6 @@ def main() -> int:
     from cehrbert_data_spark.session import build_session
 
     spark = build_session("verify_oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
 
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -162,70 +158,82 @@ def main() -> int:
         if name in excluded:
             print(f"SKIP  {name}: --exclude")
             continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            s_rows = sdf.collect()
-            s_cols = sdf.columns
-        except Exception as exc:
-            print(f"FAIL  {name}: spark error: {exc}")
+        # Fresh DuckDB connection per query and a function frame whose
+        # giant collected/normalized lists die on return, plus an explicit
+        # gc.collect(): at 100× a single megarow compare holds tens of GB
+        # transiently, and without the release a long sweep exhausts the
+        # process allocator mid-run — every later 2 KB DuckDB malloc then
+        # fails with "bad allocation" and the cascade reads like 39 engine
+        # failures (round-9 lesson).
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        if not _check_one(spark, con, sf_dir, name, fn, oracles):
             failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(s_rows)} rows, no oracle) [{time.time()-t0:.1f}s]")
-            continue
-        # Representation guard: the driver hashes typed values, so a DuckDB
-        # HUGEINT (int128) or a list-typed column hash-mismatches Spark even
-        # when the values are equal. str()-normalized compare below can't see
-        # that, so flag it at the type level.
-        type_flags = []
-        for f in sdf.schema.fields:
-            if f.dataType.typeName() in ("array", "map", "struct"):
-                type_flags.append(f"spark {f.name}: {f.dataType.simpleString()}")
-        try:
-            for col_name, col_type, *_ in con.execute(
-                f"DESCRIBE {oracles[name]}"
-            ).fetchall():
-                if "HUGEINT" in col_type.upper() or "[]" in col_type:
-                    type_flags.append(f"duckdb {col_name}: {col_type}")
-        except Exception:
-            pass
-        if type_flags:
-            print(f"FAIL  {name}: driver-unhashable result types: {type_flags}")
-            failures.append(name)
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
-        except Exception as exc:
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            failures.append(name)
-            continue
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL  {name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
-            failures.append(name)
-            continue
-        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
-            print(f"FAIL  {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-            failures.append(name)
-            continue
-        _, s_norm = _normalize(s_rows, [c.lower() for c in s_cols])
-        _, d_norm = _normalize(d_rows, [c.lower() for c in d_cols])
-        if s_norm != d_norm:
-            n_diff = sum(1 for a, b in zip(s_norm, d_norm) if a != b)
-            print(f"FAIL  {name}: values differ ({n_diff}/{len(s_norm)} rows)")
-            for a, b in list(zip(s_norm, d_norm))[:200]:
-                if a != b:
-                    print(f"   spark : {a}")
-                    print(f"   duckdb: {b}")
-                    break
-            failures.append(name)
-            continue
-        print(f"PASS  {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+        con.close()
+        gc.collect()
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
+
+
+def _check_one(spark, con, sf_dir, name, fn, oracles) -> bool:
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        s_rows = sdf.collect()
+        s_cols = sdf.columns
+    except Exception as exc:
+        print(f"FAIL  {name}: spark error: {exc}")
+        return False
+    if name not in oracles:
+        print(f"ok?   {name}: rows-only ({len(s_rows)} rows, no oracle) [{time.time()-t0:.1f}s]")
+        return True
+    # Representation guard: the driver hashes typed values, so a DuckDB
+    # HUGEINT (int128) or a list-typed column hash-mismatches Spark even
+    # when the values are equal. str()-normalized compare below can't see
+    # that, so flag it at the type level.
+    type_flags = []
+    for f in sdf.schema.fields:
+        if f.dataType.typeName() in ("array", "map", "struct"):
+            type_flags.append(f"spark {f.name}: {f.dataType.simpleString()}")
+    try:
+        for col_name, col_type, *_ in con.execute(
+            f"DESCRIBE {oracles[name]}"
+        ).fetchall():
+            if "HUGEINT" in col_type.upper() or "[]" in col_type:
+                type_flags.append(f"duckdb {col_name}: {col_type}")
+    except Exception:
+        pass
+    if type_flags:
+        print(f"FAIL  {name}: driver-unhashable result types: {type_flags}")
+        return False
+    try:
+        cur = con.execute(oracles[name])
+        d_cols = [d[0] for d in cur.description]
+        d_rows = cur.fetchall()
+    except Exception as exc:
+        print(f"FAIL  {name}: duckdb error: {exc}")
+        return False
+    if len(s_rows) != len(d_rows):
+        print(f"FAIL  {name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
+        return False
+    if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
+        print(f"FAIL  {name}: columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return False
+    _, s_norm = _normalize(s_rows, [c.lower() for c in s_cols])
+    _, d_norm = _normalize(d_rows, [c.lower() for c in d_cols])
+    if s_norm != d_norm:
+        n_diff = sum(1 for a, b in zip(s_norm, d_norm) if a != b)
+        print(f"FAIL  {name}: values differ ({n_diff}/{len(s_norm)} rows)")
+        for a, b in list(zip(s_norm, d_norm))[:200]:
+            if a != b:
+                print(f"   spark : {a}")
+                print(f"   duckdb: {b}")
+                break
+        return False
+    print(f"PASS  {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+    return True
 
 
 if __name__ == "__main__":
