@@ -94,6 +94,13 @@ def seq_user_sequence_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scale note (round-9): at 100×-sweep volume (10M events) DuckDB's ordered
+# LIST aggregation drives the process to ~65k distinct memory mappings —
+# the DEFAULT vm.max_map_count — and mmap failures at the boundary surface
+# as misleading 'bad allocation' OOMs that poison the whole process. Not a
+# query-shape problem (split/composite-list reformulations all ride the
+# same boundary); the sweep prerequisite is a raised kernel limit, warned
+# about by tools/verify_oracle.py.
 SEQ_USER_SQL = """
 SELECT user_id,
        array_to_string(LIST(event_type ORDER BY ts, event_id), '|') AS event_types,

@@ -12,6 +12,20 @@ consumed name must be a known query (an unknown token — e.g. a positional
 sf_dir mistakenly placed after it — aborts with exit 2 instead of being
 silently treated as an exclusion). Place positionals BEFORE --exclude.
 
+SCALE-SWEEP PREREQUISITE (round-9 finding): DuckDB's ordered-LIST
+aggregations at 10M+ rows drive the process to ~65k distinct memory
+mappings — exactly the default ``vm.max_map_count`` (65530). At the
+boundary, mmap failures surface as ``Out of Memory Error ... (bad
+allocation)`` at tiny block sizes and poison the WHOLE process allocator
+(every later 2 KB malloc fails too), so one rich aggregate can read as
+dozens of phantom engine failures. Raise the limit before 100×-class
+sweeps::
+
+    sysctl -w vm.max_map_count=1048576    # resets on reboot
+
+This tool warns when the limit is at the default and the target dir is
+scaled-sweep sized.
+
 ``--sample N`` verifies against a deterministic md5-sampled 1/N subset of
 the ``documents`` and ``embeddings`` tables (other tables untouched). This
 exists for the all-pairs dedup queries (d_embed_neardup,
@@ -142,6 +156,20 @@ def main() -> int:
                 "subset; everything else runs full).",
                 flush=True,
             )
+
+    try:
+        max_maps = int(open("/proc/sys/vm/max_map_count").read())
+    except OSError:
+        max_maps = None
+    if max_maps is not None and max_maps < 262144:
+        print(
+            f"WARNING: vm.max_map_count={max_maps} — DuckDB's ordered-LIST "
+            "aggregations at scaled-sweep volume exhaust the default 65530 "
+            "mappings and fail with misleading 'bad allocation' OOMs that "
+            "poison the whole process (see module docstring). Run "
+            "'sysctl -w vm.max_map_count=1048576' first.",
+            flush=True,
+        )
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
