@@ -54,13 +54,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle-side DECIMAL->DOUBLE casts are routed through VARCHAR (here and at
+# every unbounded-sum site in this module): DuckDB's direct cast converts the
+# scaled int128 to double FIRST and then divides by 10^scale -- two roundings
+# -- while Spark's decimal->double is correctly rounded from the decimal
+# value. The paths agree while the scaled integer stays under 2^53 and can
+# differ by 1 ulp beyond it; first observed at the 1000x rung (600M-row
+# lineitem: sum_disc_price 2679535128980.000000 read back as
+# ...979.9995, avg_price off by 1 ulp). VARCHAR->DOUBLE (strtod) is
+# correctly rounded, so both engines produce the bit-identical double of the
+# same exact decimal at any scale. Values are unchanged wherever the old
+# form already matched.
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -112,7 +123,7 @@ WITH f AS (
     AND l_shipdate IS NOT NULL
 )
 SELECT price_band, COUNT(*) AS n_rows, COUNT(DISTINCT okey) AS n_orders,
-       CAST(SUM(CAST(disc AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc
+       CAST(CAST(SUM(CAST(disc AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_disc
 FROM f GROUP BY price_band
 """
 
@@ -134,7 +145,7 @@ def j1_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J1_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -466,7 +477,7 @@ def a2_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 A2_SQL = """
 SELECT user_id, CAST(ts AS DATE) AS bucket_date, EXTRACT(HOUR FROM ts) AS bucket_hour,
        MIN(ts) AS first_ts,
-       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(value) AS mean_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS mean_value,
        COUNT(value) AS n
 FROM events
 GROUP BY user_id, CAST(ts AS DATE), EXTRACT(HOUR FROM ts)
@@ -799,7 +810,7 @@ def a1_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 A1_SQL = """
 SELECT o_custkey, COUNT(*) AS n_orders, COUNT(DISTINCT o_orderstatus) AS n_statuses,
        MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders GROUP BY o_custkey
 """
 
@@ -1000,7 +1011,7 @@ def w11_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 W11_SQL = """
 SELECT user_id, event_id, ts,
        COUNT(*) OVER w AS n_trailing_7d,
-       CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_value_7d
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_value_7d
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH(ts)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
@@ -1092,7 +1103,7 @@ def st_keystats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 ST_KEYSTATS_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value,
        MAX(ts) AS last_ts
 FROM events GROUP BY user_id
 """
@@ -1129,7 +1140,7 @@ u AS (
 SELECT make_timestamp(ws * 1000000) AS win_start,
        make_timestamp((ws + 3600) * 1000000) AS win_end,
        event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM u GROUP BY 1, 2, 3
 """
 
@@ -1444,7 +1455,7 @@ SELECT priority, yr,
        CAST(GROUPING(priority) AS BIGINT) AS g_priority,
        CAST(GROUPING(yr) AS BIGINT) AS g_yr,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM src
 GROUP BY ROLLUP (priority, yr)
 """
@@ -1581,7 +1592,7 @@ def w13_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 W13_SQL = """
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_sum
+         CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS day_sum
   FROM events WHERE user_id < 50 GROUP BY 1, 2
 ),
 span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
@@ -1708,7 +1719,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -1791,7 +1802,7 @@ u AS (
 SELECT make_timestamp(ws * 1000000) AS win_start,
        make_timestamp((ws + 3600) * 1000000) AS win_end,
        event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM u GROUP BY 1, 2, 3
 """
 
