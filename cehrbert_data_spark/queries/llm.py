@@ -239,6 +239,41 @@ GROUP BY a.id, b.id
 D_MINHASH_SQL = _minhash_sql()
 
 
+def d_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH configuration under the driver gate:
+    ``max_bucket_size`` excludes heavy-hitter band buckets from pair
+    generation BEFORE the bucket join (operators/dedup.py:223-240), turning
+    the join's Σ|bucket|² cost from quadratic-in-cluster-size to bounded by
+    cap·|rows|. The 1000x bench is why this entry exists: the uncapped
+    exact-banding mode exhausted shuffle-spill disk on a corpus whose
+    duplicate clusters reached ~1000 members, while this capped form
+    finished the same 5M docs in 41.3 s (BENCH_1000x_r09.json). cap=2 (the
+    minimum) so the exclusion path is exercised at BOTH gate scales
+    (buckets of 3+ exist at sf0.001 and sf0.01)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, band_size=2,
+        max_bucket_size=2,
+    )
+
+
+# Mirrors the operator exactly: oversized buckets drop BEFORE the pair
+# join, so n_bands counts collisions in surviving buckets only.
+D_MINHASH_CAPPED_SQL = f"""{_minhash_banded_cte()},
+kept AS (
+  SELECT id, band, band_key FROM (
+    SELECT id, band, band_key,
+           COUNT(*) OVER (PARTITION BY band, band_key) AS n
+    FROM banded
+  ) WHERE n <= 2
+)
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_bands
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
 def st_minhash_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming MinHash near-dup operator's batch dual under the
     oracle: (id, band, keeper) collision records with keeper = the LSH
@@ -2298,6 +2333,7 @@ QUERIES = {
     "d_embed_neardup_exact": (d_embed_neardup_exact, D_EMBED_NEARDUP_EXACT_SQL),
     "d_ngram_jaccard": (d_ngram_jaccard, D_JACCARD_SQL),
     "d_minhash_lsh": (d_minhash_lsh, D_MINHASH_SQL),
+    "d_minhash_capped": (d_minhash_capped, D_MINHASH_CAPPED_SQL),
     "st_minhash_batch": (st_minhash_batch, ST_MINHASH_SQL),
     "d_dedup_groups": (d_dedup_groups, D_DEDUP_GROUPS_SQL),
     "d_minhash_verified": (d_minhash_verified, D_MINHASH_VERIFIED_SQL),
