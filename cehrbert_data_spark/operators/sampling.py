@@ -200,3 +200,61 @@ def dsir_select(
         )
     )
     return scores.orderBy(F.desc("score_bits"), F.asc("id")).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate_num: int,
+    rate_den: int,
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic per-row weighted Bernoulli sample:
+    ``P(keep row i) = min(1, (rate_num/rate_den) * w_i / max(w))``.
+
+    Sampling documents with probability proportional to length/token count
+    approximates a UNIFORM sample over tokens with a corpus-size budget
+    knob — the composition primitive between uniform doc sampling (every
+    doc equal) and ``domain_mix_sample`` (group-level quotas). The
+    reference has no sampling beyond patient subsetting
+    (apps/sample_omop_tables.py); this is beyond-reference surface for the
+    LLM-pipeline brief.
+
+    Exactness/portability: the keep decision is the INTEGER inequality
+
+        u * max_w * rate_den  <  2^60 * w * rate_num,
+
+    with ``u = md5_long(seed || ':' || id) ∈ [0, 2^60)``, evaluated in
+    DECIMAL(38,0) on Spark (int128/HUGEINT on engines that have it) — no
+    float anywhere, so membership is a pure function of
+    (seed, id, w, max_w), reproducible across engines, partitionings, and
+    runs. Same md5 discipline as ``domain_mix_sample`` above; ``rand()``
+    samplers can give none of these guarantees. Weights must be
+    non-negative integers (token/char/byte counts); rows with NULL or
+    non-positive weight are never kept (w=0 ⇒ rhs=0).
+
+    100 TB design: one ``max()`` aggregate broadcast back
+    (``with_scalar_max`` — the corpus itself never shuffles), then a
+    narrow projected filter: one scan + one 1-row broadcast, no other
+    exchange. Changing ``seed`` re-draws the sample without re-reading
+    anything twice.
+    """
+    if rate_num <= 0 or rate_den <= 0:
+        raise ValueError(f"rate must be positive, got {rate_num}/{rate_den}")
+    from cehrbert_data_spark.operators.joins import with_scalar_max
+
+    dec = "decimal(38,0)"
+    u = md5_long(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), 60
+    )
+    out = with_scalar_max(
+        df.withColumn("__w", F.col(weight_col).cast("long")), "__w", "__maxw"
+    )
+    lhs = u.cast(dec) * F.col("__maxw").cast(dec) * F.lit(rate_den).cast(dec)
+    rhs = (
+        F.lit(1 << 60).cast(dec)
+        * F.col("__w").cast(dec)
+        * F.lit(rate_num).cast(dec)
+    )
+    return out.where(lhs < rhs).drop("__w", "__maxw")

@@ -1028,6 +1028,33 @@ WHERE CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) %
 """
 
 
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sample: P(keep) = min(1, 0.4 * n_chars /
+    max(n_chars)) — sampling docs proportional to size approximates a
+    uniform sample over the corpus's CONTENT (chars/tokens) rather than
+    its document count. Membership is the operator's integer md5
+    inequality: exact, engine-portable, reshuffle-invariant."""
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 2, 5, seed="ws").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# Mirrors the operator bit-for-bit: u = first 15 hex digits of
+# md5('ws:' || id) in [0, 2^60); keep iff u*maxw*5 < 2^60*n_chars*2,
+# evaluated in HUGEINT (DuckDB's int128 — the dual of Spark's
+# DECIMAL(38,0) path).
+T_WEIGHTED_SQL = f"""
+WITH mw AS (SELECT MAX(n_chars) AS maxw FROM documents)
+SELECT doc_id, source, n_chars
+FROM documents, mw
+WHERE CAST({_md5_long_sql("'ws:' || CAST(doc_id AS VARCHAR)")} AS HUGEINT) * maxw * 5
+      < CAST(1152921504606846976 AS HUGEINT) * n_chars * 2
+"""
+
+
 # --- embedding column analytics ------------------------------------------------------
 
 def e_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2355,6 +2382,7 @@ QUERIES = {
     "e_dim_stats": (e_dim_stats, E_DIM_STATS_SQL),
     "t_pack_chunks": (t_pack_chunks, T_PACK_SQL),
     "t_stratified_sample": (t_stratified_sample, T_STRATIFIED_SQL),
+    "t_weighted_sample": (t_weighted_sample, T_WEIGHTED_SQL),
     "t_clean_text": (t_clean_text, T_CLEAN_SQL),
     "t_word_rarity": (t_word_rarity, T_WORD_RARITY_SQL),
     "t_contamination": (t_contamination, T_CONTAMINATION_SQL),

@@ -68,3 +68,67 @@ def test_vocab_top_coverage_k_larger_than_vocab(spark):
     top = max(out, key=lambda r: r["cum_freq"])
     assert top["cum_freq"] == top["total_tokens"] == 3
     assert top["coverage"] == 1.0
+
+
+# --- weighted_sample ---------------------------------------------------------
+
+def _py_weighted_keep(seed: str, doc_id: int, w: int, maxw: int, num: int, den: int) -> bool:
+    """Pure-Python replica of the operator's integer inequality."""
+    u = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+    return u * maxw * den < (1 << 60) * w * num
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 500)) for i in range(400)]
+    maxw = max(w for _, w in rows)
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    got = sorted(
+        r["id"] for r in weighted_sample(df, "id", "w", 1, 3, seed="t").collect()
+    )
+    want = sorted(i for i, w in rows if _py_weighted_keep("t", i, w, maxw, 1, 3))
+    assert got == want
+    assert want  # the configuration actually keeps something
+    # zero-weight rows are never kept (rhs = 0)
+    assert all(dict(rows)[i] > 0 for i in got)
+
+
+def test_weighted_sample_membership_is_layout_invariant(spark):
+    rows = [(i, (i * 37) % 211 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    one = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(1), "id", "w", 2, 5).collect()
+    )
+    wide = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(64), "id", "w", 2, 5).collect()
+    )
+    assert one == wide
+    # a different seed re-draws: same expected mass, different membership
+    other = sorted(
+        r["id"]
+        for r in weighted_sample(df, "id", "w", 2, 5, seed="epoch2").collect()
+    )
+    assert other != one
+
+
+def test_weighted_sample_probability_tracks_weight(spark):
+    # two weight classes: heavy rows (w = maxw) keep at ~rate, light rows
+    # (w = maxw/10) at ~rate/10 -- the proportional-to-size contract.
+    n = 4000
+    rows = [(i, 1000 if i % 2 == 0 else 100) for i in range(n)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    kept = [r["id"] for r in weighted_sample(df, "id", "w", 1, 2).collect()]
+    heavy = sum(1 for i in kept if i % 2 == 0) / (n / 2)
+    light = sum(1 for i in kept if i % 2 == 1) / (n / 2)
+    assert abs(heavy - 0.5) < 0.05
+    assert abs(light - 0.05) < 0.02
