@@ -46,6 +46,11 @@ HEADLINE = [
     "r1_transitive_closure",
     "d_exact_dedup",
     "d_minhash_lsh",
+    # The production capped-LSH configuration (round-9 lesson: the uncapped
+    # form is the small-SF regression canary but breaks on clone-heavy
+    # corpora at 1000×; the capped form is what ships at scale — track both
+    # round-over-round at every SF).
+    "d_minhash_capped",
     "sim_cosine_topk",
     "t_quality",
 ]

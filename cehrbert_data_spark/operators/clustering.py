@@ -101,14 +101,44 @@ def _update(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> list[tuple[
     their previous centroid. One (cid, dim)-grain map-side-combined
     aggregation — output k×d rows, collected (the driver-resident
     centroid contract)."""
+    # The mean is computed as FLOOR(sum::double / n). That is EXACT only
+    # while |sum| < 2^53 (every BIGINT in that range round-trips through
+    # double losslessly); beyond it the cast silently rounds and the
+    # "floor-quantized integer mean" contract degrades without any error.
+    # Make the assumption explicit: assert_true raises in every mode
+    # (ANSI or not; pattern: aggregations.py corr_regression guard) and
+    # folds in as +0 so in-range sums are untouched. At the x1000
+    # quantization this allows ~9e12 rows per cluster per component —
+    # far above codebook-training reality, so the guard is free.
+    lim = 1 << 53
     comp = (
         _assign(q, centroids)
         .select("cid", F.posexplode("ivec").alias("pos", "x"))
         .groupBy("cid", "pos")
         .agg(
+            F.sum("x").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cid",
+            "pos",
             F.floor(
-                F.sum("x").cast("double") / F.count(F.lit(1))
-            ).cast("long").alias("m")
+                (
+                    F.col("s")
+                    + F.coalesce(
+                        F.assert_true(
+                            F.abs(F.col("s")) < F.lit(lim),
+                            F.lit(
+                                "kmeans_fit: |per-cluster component sum| >="
+                                " 2^53 breaks the exact double mean; lower"
+                                " the quantization scale or cluster sizes"
+                            ),
+                        ).cast("long"),
+                        F.lit(0),
+                    )
+                ).cast("double")
+                / F.col("n")
+            ).cast("long").alias("m"),
         )
         .collect()
     )

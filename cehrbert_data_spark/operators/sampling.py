@@ -19,6 +19,8 @@ the property `rand()`-based samplers cannot give.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -242,19 +244,69 @@ def weighted_sample(
     """
     if rate_num <= 0 or rate_den <= 0:
         raise ValueError(f"rate must be positive, got {rate_num}/{rate_den}")
+    # The keep inequality is scale-invariant in (rate_num, rate_den), so
+    # reducing by the gcd changes nothing about membership while keeping
+    # the DECIMAL operands as small as possible.
+    g = math.gcd(rate_num, rate_den)
+    rate_num //= g
+    rate_den //= g
+    if rate_den > 10**18:
+        raise ValueError(
+            f"rate_den={rate_den} (after gcd reduction) exceeds 1e18; the"
+            " exact DECIMAL(38,0) keep test cannot hold u*max_w*rate_den"
+        )
     from cehrbert_data_spark.operators.joins import with_scalar_max
+
+    # Collision-safe temp names: never clobber caller columns.
+    w_col, maxw_col = "__w", "__maxw"
+    existing = set(df.columns)
+    while w_col in existing:
+        w_col += "_"
+    while maxw_col in existing or maxw_col == w_col:
+        maxw_col += "_"
 
     dec = "decimal(38,0)"
     u = md5_long(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), 60
     )
     out = with_scalar_max(
-        df.withColumn("__w", F.col(weight_col).cast("long")), "__w", "__maxw"
+        df.withColumn(w_col, F.col(weight_col).cast("long")), w_col, maxw_col
     )
-    lhs = u.cast(dec) * F.col("__maxw").cast(dec) * F.lit(rate_den).cast(dec)
+    # u < 2^60, so lhs = u*max_w*rate_den stays inside DECIMAL(38,0) iff
+    # max_w*rate_den <= (10^38-1) // (2^60-1). Outside that range non-ANSI
+    # Spark would NULL the product and silently DROP the row while an
+    # int128/HUGEINT mirror keeps computing — a cross-engine membership
+    # divergence. assert_true raises in every mode (pattern:
+    # aggregations.py corr_regression guard) and folds in as +0 so kept
+    # rows are untouched. The guard product itself cannot overflow:
+    # max_w <= 2^63 and rate_den <= 1e18 (validated above) => < 1e37.
+    bound = (10**38 - 1) // ((1 << 60) - 1)
+    guard = F.assert_true(
+        F.col(maxw_col).isNull()
+        | (
+            F.col(maxw_col).cast(dec) * F.lit(rate_den).cast(dec)
+            <= F.lit(str(bound)).cast(dec)
+        ),
+        F.lit(
+            "weighted_sample: max(weight) * rate_den exceeds the exact"
+            " DECIMAL(38,0) range of the keep test; reduce the weights or"
+            " the rate denominator"
+        ),
+    )
+    # Fold the guard into a MULTIPLICAND (not a trailing +0): operands are
+    # evaluated before the product, so the assert's message wins over the
+    # raw NUMERIC_VALUE_OUT_OF_RANGE the triple product would raise under
+    # ANSI mode — and under non-ANSI it fires where the product would have
+    # silently gone NULL.
+    guard0 = F.coalesce(guard.cast("long"), F.lit(0)).cast(dec)
+    lhs = (
+        u.cast(dec)
+        * (F.col(maxw_col).cast(dec) + guard0)
+        * F.lit(rate_den).cast(dec)
+    )
     rhs = (
         F.lit(1 << 60).cast(dec)
-        * F.col("__w").cast(dec)
+        * F.col(w_col).cast(dec)
         * F.lit(rate_num).cast(dec)
     )
-    return out.where(lhs < rhs).drop("__w", "__maxw")
+    return out.where(lhs < rhs).drop(w_col, maxw_col)

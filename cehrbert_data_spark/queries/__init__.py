@@ -42,7 +42,14 @@ import json
 import re
 from pathlib import Path
 
-from cehrbert_data_spark.queries import relational, sequences, graph, llm, clinical
+from cehrbert_data_spark.queries import (
+    checksums,
+    clinical,
+    graph,
+    llm,
+    relational,
+    sequences,
+)
 
 #: How many registry entries the driver's per-round correctness window reads.
 _DRIVER_SLOTS = 50
@@ -92,7 +99,7 @@ def rotation_order(names: list[str], history: dict[str, int]) -> list[str]:
 
 def _merged():
     merged = {}
-    for mod in (relational, sequences, graph, clinical, llm):
+    for mod in (relational, sequences, graph, clinical, llm, checksums):
         for name, pair in mod.QUERIES.items():
             merged[name] = pair
     order = rotation_order(list(merged), verdict_history())

@@ -651,7 +651,7 @@ WITH rev AS (
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY s_nationkey, s_suppkey
 )
-SELECT s_nationkey, s_suppkey, CAST(revenue_d AS DOUBLE) AS revenue, rank_in_nation FROM (
+SELECT s_nationkey, s_suppkey, CAST(CAST(revenue_d AS VARCHAR) AS DOUBLE) AS revenue, rank_in_nation FROM (
   SELECT *, DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY revenue_d DESC, s_suppkey) AS rank_in_nation
   FROM rev
 ) WHERE rank_in_nation <= 3

@@ -67,3 +67,26 @@ def test_ml_kmeans_registry_entry(spark):
 
     assert "ml_kmeans" in all_queries()
     assert "MATERIALIZED" in ML_KMEANS_SQL  # the PageRank-oracle lesson
+
+
+def test_kmeans_exact_mean_guard_raises_past_2_53(spark):
+    # round-9 verdict nit: the floor-quantized centroid mean is exact only
+    # while |per-cluster component sum| < 2^53; the guard must RAISE there
+    # instead of silently degrading. 6.1M identical 1-dim vectors at value
+    # 1.5e6 quantize (x1000) to 1.5e9 each -> sum 9.15e15 > 2^53 (9.007e15),
+    # while every intermediate (inorm2 = 2.25e18, dist2 terms) stays inside
+    # BIGINT, so the ONLY failure is the one under test.
+    n = 6_100_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.5e6)).cast("array<double>").alias("embedding"),
+    )
+    with pytest.raises(Exception, match="kmeans_fit"):
+        kmeans_fit(df, "vec_id", "embedding", k=1, n_iter=1).collect()
+    # just inside the bound (6.0M rows -> sum 9.0e15 < 2^53): must succeed
+    ok = spark.range(6_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.5e6)).cast("array<double>").alias("embedding"),
+    )
+    cents = kmeans_fit(ok, "vec_id", "embedding", k=1, n_iter=1).collect()
+    assert cents[0]["cvec"] == [1_500_000_000]

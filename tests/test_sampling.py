@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.operators.sampling import domain_mix_sample, vocab_top_coverage
@@ -132,3 +133,61 @@ def test_weighted_sample_probability_tracks_weight(spark):
     light = sum(1 for i in kept if i % 2 == 1) / (n / 2)
     assert abs(heavy - 0.5) < 0.05
     assert abs(light - 0.05) < 0.02
+
+
+def test_weighted_sample_preserves_caller_temp_columns(spark):
+    # round-9 advice: a caller column literally named __w / __maxw must
+    # survive untouched (the operator generates collision-safe names).
+    rows = [(i, (i * 13) % 97 + 1, -i, -2 * i) for i in range(200)]
+    df = spark.createDataFrame(rows, "id: long, w: long, __w: long, __maxw: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(df, "id", "w", 1, 2, seed="cc").collect()
+    assert out, "sample unexpectedly empty"
+    assert set(df.columns) == {"id", "w", "__w", "__maxw"}
+    for r in out:
+        assert r["__w"] == -r["id"] and r["__maxw"] == -2 * r["id"]
+    # membership identical to the collision-free input (same seed/w/maxw)
+    plain = spark.createDataFrame(
+        [(i, w) for i, w, *_ in rows], "id: long, w: long"
+    )
+    want = sorted(
+        r["id"] for r in weighted_sample(plain, "id", "w", 1, 2, seed="cc").collect()
+    )
+    assert sorted(r["id"] for r in out) == want
+
+
+def test_weighted_sample_gcd_reduction_is_membership_invariant(spark):
+    rows = [(i, (i * 37) % 211 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    a = sorted(r["id"] for r in weighted_sample(df, "id", "w", 2, 6).collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "id", "w", 1, 3).collect())
+    assert a == b
+
+
+def test_weighted_sample_overflow_guard_raises(spark):
+    # round-9 advice: max_w * rate_den beyond (10^38-1)//(2^60-1) would
+    # overflow the DECIMAL(38,0) keep test and (non-ANSI) silently DROP
+    # rows while a HUGEINT oracle keeps computing. The guard must raise
+    # instead of diverging. 2^62 * 33 = 1.52e20 > the 8.67e19 bound.
+    rows = [(1, 1 << 62), (2, 1 << 61), (3, 1000)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    with pytest.raises(Exception, match="weighted_sample"):
+        weighted_sample(df, "id", "w", 1, 33).collect()
+    # the same weights with a small denominator stay inside the bound:
+    # 2^62 * 2 = 9.2e18 << 8.67e19 -- must NOT raise.
+    weighted_sample(df, "id", "w", 1, 2).collect()
+
+
+def test_weighted_sample_validates_rate_den_magnitude(spark):
+    df = spark.createDataFrame([(1, 10)], "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    with pytest.raises(ValueError, match="rate_den"):
+        weighted_sample(df, "id", "w", 1, 10**18 + 1)
+    # but a reducible huge denominator is fine after gcd (10^19/10 -> 10^18)
+    weighted_sample(df, "id", "w", 10, 10**19).collect()

@@ -131,6 +131,17 @@ def main() -> int:
             return 2
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if only:
+        # Same trap as --exclude (round-8 ADVICE): an unknown positional
+        # query name would filter EVERYTHING out and report a vacuous
+        # "0 failures". Validate against the registry before any work.
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as _e2  # cheap: no JVM until build_session
+
+        unknown_only = only - set(_e2.queries())
+        if unknown_only:
+            print(f"unknown queries {sorted(unknown_only)}", file=sys.stderr)
+            return 2
     if sample_n:
         sf_dir = build_sampled_dir(sf_dir, sample_n)
         print(f"sampled 1/{sample_n} subset at {sf_dir}")
