@@ -51,6 +51,7 @@ def main(
     with_drug_rollup: bool = False,
     with_diagnosis_rollup: bool = False,
     should_construct_artificial_visits: bool = False,
+    artificial_visit_relink_form: str = "window",
     apply_age_filter: bool = True,
     aggregate_by_hour: bool = False,
     bucket_by_person: int | None = None,
@@ -124,7 +125,9 @@ def main(
         )
 
     if should_construct_artificial_visits:
-        events, visit_person = construct_artificial_visits(events, visit_person)
+        events, visit_person = construct_artificial_visits(
+            events, visit_person, relink_form=artificial_visit_relink_form
+        )
 
     if apply_age_filter:
         events = events.where(F.col("age") < 90)

@@ -31,10 +31,26 @@ def construct_artificial_visits(
     visit_occurrence: DataFrame,
     duplicate_records: bool = False,
     disconnect_problem_list_records: bool = False,
+    relink_form: str = "window",
 ) -> tuple[DataFrame, DataFrame]:
     """Re-link orphan events to covering visits, then mint artificial visits
     for the rest (reference: utils/spark_utils.py:662-825). Returns
-    (refreshed_patient_events, visit_occurrence ∪ artificial_visits)."""
+    (refreshed_patient_events, visit_occurrence ∪ artificial_visits).
+
+    ``relink_form`` picks the rank-1 physical strategy for the covering-
+    visit match (winner: min (visit_start_datetime, visit_occurrence_id)
+    among visits containing the event datetime — identical rows either
+    way, pinned by a parity test):
+
+    * ``'window'``: the reference's shape — ``row_number`` over record_id
+      (spark_utils.py:752-755). Shuffles and SORTS every candidate row.
+    * ``'agg'``: ``min(struct(start, id, payload))`` per record. The
+      candidate join is already partitioned by person_id, so partial
+      aggregation collapses each record's candidate fan-out MAP-SIDE —
+      the shuffle carries ~one row per orphan event instead of one per
+      (event × covering visit), and nothing is sorted. The 100 TB form
+      (the as-of merge-vs-rank1 lesson applied to containment rank-1).
+    """
     visit = (
         visit_occurrence.select(
             F.col("person_id"),
@@ -91,7 +107,7 @@ def construct_artificial_visits(
 
     # As-of: earliest-starting visit covering the event datetime
     # (spark_utils.py:740-752) — person_id equality keeps this a hash join.
-    candidates = (
+    joined = (
         events_to_fix.drop("visit_occurrence_id").alias("event")
         .join(
             visit.alias("visit"),
@@ -102,38 +118,73 @@ def construct_artificial_visits(
             ),
             "left_outer",
         )
-        .withColumn(
-            "matching_rank",
-            # The id tiebreak makes the winner deterministic when two
-            # candidate visits share a start datetime (the reference ranks
-            # on start datetime alone, spark_utils.py:752-755, leaving ties
-            # to row order — its runs happen to resolve them to the lowest
-            # id, which this pins explicitly).
-            F.row_number().over(
-                W.partitionBy("event.record_id").orderBy(
-                    "visit.visit_start_datetime",
-                    F.col("visit.visit_occurrence_id").cast("long"),
+    )
+    # Only carry the matched visit's concept id when the input events had
+    # that column — otherwise the re-linked branch would gain a column the
+    # untouched branch lacks and the final union breaks.
+    event_cols = [
+        c
+        for c in events_to_fix.columns
+        if c not in ("visit_occurrence_id", "visit_concept_id")
+    ]
+    carry_concept = "visit_concept_id" in events_to_fix.columns
+    if relink_form == "window":
+        candidates = (
+            joined.withColumn(
+                "matching_rank",
+                # The id tiebreak makes the winner deterministic when two
+                # candidate visits share a start datetime (the reference
+                # ranks on start datetime alone, spark_utils.py:752-755,
+                # leaving ties to row order — its runs happen to resolve
+                # them to the lowest id, which this pins explicitly).
+                F.row_number().over(
+                    W.partitionBy("event.record_id").orderBy(
+                        "visit.visit_start_datetime",
+                        F.col("visit.visit_occurrence_id").cast("long"),
+                    )
+                ),
+            )
+            .where(F.col("matching_rank") == 1)
+            .select(
+                [F.col("event." + c).alias(c) for c in event_cols]
+                + [F.col("visit.visit_occurrence_id").alias("visit_occurrence_id")]
+                + (
+                    [F.col("visit.visit_concept_id").alias("visit_concept_id")]
+                    if carry_concept
+                    else []
                 )
-            ),
-        )
-        .where(F.col("matching_rank") == 1)
-        .select(
-            [
-                F.col("event." + c).alias(c)
-                for c in events_to_fix.columns
-                if c not in ("visit_occurrence_id", "visit_concept_id")
-            ]
-            + [F.col("visit.visit_occurrence_id").alias("visit_occurrence_id")]
-            # Only carry the matched visit's concept id when the input events
-            # had that column — otherwise the re-linked branch would gain a
-            # column the untouched branch lacks and the final union breaks.
-            + (
-                [F.col("visit.visit_concept_id").alias("visit_concept_id")]
-                if "visit_concept_id" in events_to_fix.columns
-                else []
             )
         )
-    )
+    elif relink_form == "agg":
+        # min(struct(start, id, payload)): struct comparison is field-order
+        # lexicographic and (start, id) is unique per visit, so the payload
+        # fields never participate — the winner is exactly the window
+        # form's rank 1. A record with NO covering visit contributes its
+        # single null-extended row (left join), so orphans survive with
+        # NULL visit fields, same as the window form.
+        payload = F.struct(
+            *[
+                F.col("visit.visit_start_datetime").alias("__s"),
+                F.col("visit.visit_occurrence_id").cast("long").alias("__i"),
+            ],
+            *[F.col("event." + c).alias(c) for c in event_cols],
+            F.col("visit.visit_occurrence_id").alias("visit_occurrence_id"),
+            *(
+                [F.col("visit.visit_concept_id").alias("visit_concept_id")]
+                if carry_concept
+                else []
+            ),
+        )
+        out_cols = event_cols + ["visit_occurrence_id"] + (
+            ["visit_concept_id"] if carry_concept else []
+        )
+        candidates = (
+            joined.groupBy("event.record_id")
+            .agg(F.min(payload).alias("__best"))
+            .select(*[F.col("__best." + c).alias(c) for c in out_cols])
+        )
+    else:
+        raise ValueError(f"relink_form must be 'window' or 'agg', got {relink_form!r}")
     linked = candidates.where(F.col("visit_occurrence_id").isNotNull())
     orphans = candidates.where(F.col("visit_occurrence_id").isNull())
 

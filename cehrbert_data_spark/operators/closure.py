@@ -207,6 +207,7 @@ def pagerank(
     scale: int = 1_000_000,
     damp_num: int = 85,
     damp_den: int = 100,
+    emit_prev: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an edge list in EXACT integer fixed-point
     (beyond-ref; the flagship iterative-graph workload, done so any engine
@@ -251,7 +252,14 @@ def pagerank(
     )
     base = scale * (damp_den - damp_num) // damp_den
     r = nodes.select("node", F.lit(scale).cast("long").alias("r"))
-    for _ in range(iters):
+    prev = r
+    for i in range(iters):
+        if emit_prev and i == iters - 1:
+            # r_{t−1} feeds BOTH the last iteration and the output join;
+            # without a barrier the whole (t−1)-iteration subtree would
+            # evaluate twice. Node-grain — tiny next to the edge table.
+            r = checkpoint_barrier(r, storage_level="DISK_ONLY")
+        prev = r
         contrib = (
             e2.join(r, e2["src"] == r["node"])
             .select("dst", F.expr("(r * w) div outw").alias("c"))
@@ -268,5 +276,18 @@ def pagerank(
             )
             .cast("long")
             .alias("r"),
+        )
+    if emit_prev:
+        # (node, rank after `iters`, rank after `iters`-1) from ONE run —
+        # the residual |r_t − r_{t−1}| gate at the billion-edge rung needs
+        # both, and a second full run would double the barrier/disk cost
+        # (tools/pagerank_gate.py). One extra node-grain join, edges
+        # untouched.
+        return r.join(
+            prev.select("node", F.col("r").alias("prev_r")), "node"
+        ).select(
+            "node",
+            F.col("r").alias("rank_scaled"),
+            F.col("prev_r").alias("prev_scaled"),
         )
     return r.select("node", F.col("r").alias("rank_scaled"))

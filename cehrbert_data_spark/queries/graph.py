@@ -64,6 +64,16 @@ def r3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls as CTEs."""
     from cehrbert_data_spark.operators.closure import pagerank
 
+    return pagerank(
+        trade_edges(spark, sf_dir), "src", "dst", weight="w", iters=3
+    )
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer↔supplier trade graph r3_pagerank runs on — exposed so
+    tools/pagerank_gate.py gates the SAME graph at the billion-edge rung
+    (any drift between the gate's graph and the query's graph would void
+    the replica-consistency evidence)."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -74,12 +84,11 @@ def r3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionByName(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
     )
-    return pagerank(edges, "src", "dst", weight="w", iters=3)
 
 
 def _pagerank_sql(iters: int = 3, scale: int = 1_000_000,

@@ -130,3 +130,28 @@ def test_pagerank_matches_integer_bruteforce(spark):
     assert got == r
     # node 4 has no in-edges: teleport-only mass
     assert got[4] == base
+
+
+def test_pagerank_emit_prev_is_previous_iteration(spark):
+    """emit_prev returns (r_t, r_{t-1}) from ONE run: prev_scaled must equal
+    a standalone run at iters-1 for every node (tools/pagerank_gate.py
+    relies on this to extract the registry query's 3-iteration ranks from
+    the residual-gated 4-iteration run)."""
+    from cehrbert_data_spark.operators.closure import pagerank
+
+    edges = [(1, 2, 3), (2, 1, 1), (2, 3, 1), (3, 1, 2), (4, 1, 5), (3, 4, 7)]
+    df = spark.createDataFrame(edges, "src: long, dst: long, w: long")
+    both = {
+        r["node"]: (r["rank_scaled"], r["prev_scaled"])
+        for r in pagerank(df, weight="w", iters=4, emit_prev=True).collect()
+    }
+    r3 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight="w", iters=3).collect()
+    }
+    r4 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, weight="w", iters=4).collect()
+    }
+    assert {n: v[0] for n, v in both.items()} == r4
+    assert {n: v[1] for n, v in both.items()} == r3

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.omop.visits import (
@@ -127,3 +128,88 @@ def test_drug_rollup(spark):
     out = {r["drug_exposure_id"]: r["drug_concept_id"]
            for r in roll_up_to_drug_ingredients(drug_exposure, concept, ancestor).collect()}
     assert out == {1: 10, 2: 200}  # 100 -> ingredient 10; 200 keeps itself
+
+
+def test_relink_forms_identical(spark):
+    """The agg form (min-struct, map-side combinable) must produce row-for-
+    row the window form's output, including tie-breaks (two visits sharing
+    a start datetime -> lowest id wins) and orphans (no covering visit)."""
+    import random
+
+    rng = random.Random(11)
+    visits = _visit_df(
+        spark,
+        [
+            (
+                vid,
+                p,
+                9202,
+                _dt(m, d).date(),
+                _dt(m, d, 8),
+                _dt(m, d).date(),
+                _dt(m, d, 18),
+            )
+            for vid, (p, m, d) in enumerate(
+                [
+                    (p, rng.randint(1, 6), rng.randint(1, 28))
+                    for p in range(1, 9)
+                    for _ in range(6)
+                ],
+                start=100,
+            )
+        ]
+        # two visits with IDENTICAL start for the tie-break path
+        + [
+            (900, 1, 9202, _dt(2, 2).date(), _dt(2, 2, 8), _dt(2, 2).date(), _dt(2, 2, 20)),
+            (901, 1, 9202, _dt(2, 2).date(), _dt(2, 2, 8), _dt(2, 2).date(), _dt(2, 2, 20)),
+        ],
+    )
+    events = spark.createDataFrame(
+        [
+            (
+                p,
+                f"E{p}_{i}",
+                _dt(rng.randint(1, 7), rng.randint(1, 28)).date(),
+                None,
+                None,
+                0,
+            )
+            for p in range(1, 10)  # person 9 has NO visits at all
+            for i in range(20)
+        ],
+        "person_id: long, standard_concept_id: string, date: date, "
+        "datetime: timestamp, visit_occurrence_id: long, visit_concept_id: int",
+    ).withColumn("datetime", F.to_timestamp(F.col("date")) + F.expr("INTERVAL 10 HOURS"))
+
+    def snapshot(form):
+        ev, vi = construct_artificial_visits(events, visits, relink_form=form)
+        key = lambda r: (r["person_id"], r["standard_concept_id"])
+        return (
+            sorted((key(r), r["visit_occurrence_id"], r["visit_concept_id"])
+                   for r in ev.collect()),
+            sorted((r["visit_occurrence_id"], r["person_id"],
+                    r["visit_start_datetime"], r["visit_end_datetime"])
+                   for r in vi.collect()),
+        )
+
+    ev_w, vi_w = snapshot("window")
+    ev_a, vi_a = snapshot("agg")
+    assert ev_w == ev_a
+    assert vi_w == vi_a
+    # the tie actually exercised: some event on 2-2 links to visit 900 (not 901)
+    linked_ids = {v for (_, v, _) in ev_w if v is not None}
+    assert 901 not in linked_ids
+
+
+def test_relink_form_validated(spark):
+    visits = _visit_df(
+        spark,
+        [(10, 1, 9202, _dt(1, 1).date(), _dt(1, 1, 9), _dt(1, 1).date(), _dt(1, 1, 17))],
+    )
+    events = spark.createDataFrame(
+        [(1, "C1", _dt(1, 1).date(), _dt(1, 1, 10), None, 0)],
+        "person_id: long, standard_concept_id: string, date: date, "
+        "datetime: timestamp, visit_occurrence_id: long, visit_concept_id: int",
+    )
+    with pytest.raises(ValueError, match="relink_form"):
+        construct_artificial_visits(events, visits, relink_form="nope")
