@@ -208,6 +208,9 @@ def pagerank(
     damp_num: int = 85,
     damp_den: int = 100,
     emit_prev: bool = False,
+    broadcast_ranks: bool = False,
+    barrier_ranks: bool = False,
+    barrier_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge list in EXACT integer fixed-point
     (beyond-ref; the flagship iterative-graph workload, done so any engine
@@ -235,6 +238,31 @@ def pagerank(
     small side as iterations proceed) plus one map-side-combined agg on
     dst. Iteration count is FIXED, so the plan is a static 3-deep tree —
     no driver-side convergence reads.
+
+    Billion-edge levers (both default OFF — the defaults keep the static
+    single-action tree the registry/oracle pin; measured at the 1.17e9-
+    edge rung by tools/pagerank_gate.py where the default shape spilled
+    ~25 GB of sort-merge shuffle PER ITERATION and heap-OOM'd its spill
+    readers):
+
+    * ``broadcast_ranks``: hint the node-grain rank side broadcast in the
+      per-iteration join. Ranks are |nodes|×16 B (the vertex-broadcast
+      regime); the edge table then NEVER shuffles or sorts — each
+      iteration streams it once from the barrier. Use when ranks fit
+      executor memory; beyond that, pre-bucket edges by src instead.
+    * ``barrier_ranks``: DISK_ONLY-checkpoint the rank table after every
+      iteration. Cuts lineage per iteration so completed iterations'
+      shuffle files become collectable mid-run (pair with
+      ``spark.cleaner.periodicGC.interval``) — peak disk is one
+      iteration's footprint, not the sum of all four. Node-grain writes,
+      negligible next to the edge barrier.
+    * ``barrier_dir``: materialize the edge/node barriers as PARQUET under
+      this directory instead of serialized RDD blocks. Columnar encoding
+      (delta/dictionary on clustered BIGINT keys) stores the same
+      1.17e9-row edge table ~4× smaller than lz4'd row blocks (measured
+      ~8 GB vs ~32 GB at the gate rung) — the difference between fitting
+      on this box's disk and not. On a real cluster this is just "write
+      the decorated edge table once", which is what you'd do anyway.
     """
     from cehrbert_data_spark.sources.writers import checkpoint_barrier
 
@@ -243,25 +271,45 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    e2 = checkpoint_barrier(e.join(outw, "src"), storage_level="DISK_ONLY")
-    nodes = checkpoint_barrier(
-        e2.select(F.col("src").alias("node"))
-        .union(e2.select(F.col("dst").alias("node")))
-        .distinct(),
-        storage_level="DISK_ONLY",
-    )
+    if broadcast_ranks:
+        # outw is node-grain like the ranks — same vertex-broadcast regime.
+        # Without this the e2 build sort-merge-joins the full edge table
+        # against a 16M-row aggregate (measured: the sort spill alone
+        # exceeded the billion-edge rung's disk budget).
+        outw = F.broadcast(outw)
+    if barrier_dir is not None:
+        import os as _os
+
+        e2 = checkpoint_barrier(
+            e.join(outw, "src"), path=_os.path.join(barrier_dir, "pr_edges")
+        )
+        nodes = checkpoint_barrier(
+            e2.select(F.col("src").alias("node"))
+            .union(e2.select(F.col("dst").alias("node")))
+            .distinct(),
+            path=_os.path.join(barrier_dir, "pr_nodes"),
+        )
+    else:
+        e2 = checkpoint_barrier(e.join(outw, "src"), storage_level="DISK_ONLY")
+        nodes = checkpoint_barrier(
+            e2.select(F.col("src").alias("node"))
+            .union(e2.select(F.col("dst").alias("node")))
+            .distinct(),
+            storage_level="DISK_ONLY",
+        )
     base = scale * (damp_den - damp_num) // damp_den
     r = nodes.select("node", F.lit(scale).cast("long").alias("r"))
     prev = r
     for i in range(iters):
-        if emit_prev and i == iters - 1:
+        if emit_prev and not barrier_ranks and i == iters - 1:
             # r_{t−1} feeds BOTH the last iteration and the output join;
             # without a barrier the whole (t−1)-iteration subtree would
             # evaluate twice. Node-grain — tiny next to the edge table.
             r = checkpoint_barrier(r, storage_level="DISK_ONLY")
         prev = r
+        r_side = F.broadcast(r) if broadcast_ranks else r
         contrib = (
-            e2.join(r, e2["src"] == r["node"])
+            e2.join(r_side, e2["src"] == r_side["node"])
             .select("dst", F.expr("(r * w) div outw").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -277,6 +325,8 @@ def pagerank(
             .cast("long")
             .alias("r"),
         )
+        if barrier_ranks:
+            r = checkpoint_barrier(r, storage_level="DISK_ONLY")
     if emit_prev:
         # (node, rank after `iters`, rank after `iters`-1) from ONE run —
         # the residual |r_t − r_{t−1}| gate at the billion-edge rung needs

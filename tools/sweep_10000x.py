@@ -1,0 +1,241 @@
+"""10,000× stretch rung for the three cheapest scale-invariant queries
+(round-9 verdict stretch ask): r1_transitive_closure, o1_global_topk,
+d_exact_dedup at 10× the 1000× dir — 1.5B orders / 150M customers / 50M
+documents flowing through the UNCHANGED query code on both engines.
+
+A materialized 10,000× dir would be ~240 GB of parquet — more than this
+box's disk — so the extra decade is synthesized EXACTLY the way
+tools/make_scaled_sf.py materializes one, just lazily:
+
+* Spark side: ``queries.*.read_table`` is shimmed (documented monkeypatch,
+  restored after) to return the 10-way union of key-shifted scans of the
+  1000× dir — same SHIFTED column map as make_scaled_sf, wrapper offset
+  10¹⁰ per replica (the 1000× keys live below 10¹⁰, so replica key spaces
+  stay disjoint), document text perturbed per replica ('q<i> ' prefix)
+  so corpora aren't pure clones. The query functions themselves run
+  unchanged — zero construction drift.
+* DuckDB side: views with the IDENTICAL construction via a
+  ``CROSS JOIN range(10)`` — lazy, never materialized.
+
+Each query's full output is folded to one row per engine with the
+checksum discipline of queries/checksums.py (COUNT + BIT_XOR + DECIMAL
+SUM over a 60-bit md5 of a canonical integer serialization), so the
+compare is exact over the FULL population with no megarow collect.
+Doubles are canonicalized as ROUND(x·100) BIGINT (o_totalprice is
+cents-exact; both engines hold bit-identical doubles, pinned by the o1
+oracle at every materialized rung).
+
+Usage:  python tools/sweep_10000x.py [scaled_dir] [wrap] [out.json]
+        # defaults: /tmp/sf1000x 10 SWEEP_10000x_r10.json
+Run solo; SPARK_DRIVER_MEMORY=16g recommended.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+#: wrapper key offset: 1000x keys are < 10^10 (base < 10M + 999*10M).
+WRAP_OFFSET = 10_000_000_000
+
+#: table -> key columns to shift, mirroring tools/make_scaled_sf.SHIFTED.
+SHIFTED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = ["r1_transitive_closure", "o1_global_topk", "d_exact_dedup"]
+
+#: canonical BIGINT serializations of each query's output columns.
+CANON_SPARK = {
+    "r1_transitive_closure": lambda: [F.col("src"), F.col("dst"), F.col("distance")],
+    "o1_global_topk": lambda: [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    ],
+    "d_exact_dedup": lambda: [F.col("digest"), F.col("n_docs"), F.col("keep_id")],
+}
+CANON_SQL = {
+    "r1_transitive_closure": ["src", "dst", "distance"],
+    "o1_global_topk": [
+        "o_orderkey",
+        "o_custkey",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
+    ],
+    "d_exact_dedup": ["digest", "n_docs", "keep_id"],
+}
+
+
+def fold_spark(df, canon):
+    from cehrbert_data_spark.operators.text import md5_long
+
+    parts = [F.coalesce(c.cast("string"), F.lit("N")) for c in canon]
+    h = md5_long(F.concat_ws(",", *parts), 60)
+    return df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("xor_h"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_h"),
+    ).collect()[0].asDict()
+
+
+def fold_sql(con, base_sql, canon_exprs):
+    parts = ", ".join(f"COALESCE(CAST({e} AS VARCHAR), 'N')" for e in canon_exprs)
+    row = con.execute(
+        f"""
+WITH base AS ({base_sql}),
+canon AS (
+  SELECT CAST(('0x' || SUBSTRING(md5(CONCAT_WS(',', {parts})), 1, 15)) AS BIGINT) AS h
+  FROM base
+)
+SELECT COUNT(*) AS n_rows, BIT_XOR(h) AS xor_h,
+       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_h
+FROM canon
+"""
+    ).fetchone()
+    return {"n_rows": row[0], "xor_h": row[1], "sum_h": row[2]}
+
+
+def shifted_read_table_factory(real_read_table, wrap: int):
+    def shifted(spark, sf_dir, name):
+        base = real_read_table(spark, sf_dir, name)
+        shift_cols = set(SHIFTED.get(name, []))
+        outs = []
+        for rep in range(wrap):
+            cols = []
+            for c in base.columns:
+                if c in shift_cols:
+                    cols.append((F.col(c) + rep * WRAP_OFFSET).alias(c))
+                elif name == "documents" and c == "text":
+                    cols.append(
+                        F.concat(F.lit(f"q{rep} "), F.col(c)).alias(c)
+                    )
+                elif name == "documents" and c == "n_chars":
+                    cols.append(
+                        (F.col(c) + len(f"q{rep} ")).cast("long").alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            outs.append(base.select(cols))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    return shifted
+
+
+def duck_views(con, sf_dir: str, wrap: int) -> None:
+    for name, shift_cols in SHIFTED.items():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()
+        ]
+        exprs = []
+        for c in cols:
+            if c in shift_cols:
+                exprs.append(f"{c} + rep * {WRAP_OFFSET} AS {c}")
+            elif name == "documents" and c == "text":
+                exprs.append(f"'q' || rep || ' ' || text AS text")
+            elif name == "documents" and c == "n_chars":
+                exprs.append(f"n_chars + LENGTH('q' || rep || ' ') AS n_chars")
+            else:
+                exprs.append(c)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT {', '.join(exprs)} FROM '{path}' "
+            f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS rep FROM range({wrap}))"
+        )
+    for name in ("region", "nation"):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{path}'")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1000x"
+    wrap = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "SWEEP_10000x_r10.json"
+
+    from cehrbert_data_spark.queries import graph, llm, relational
+    from cehrbert_data_spark.session import build_session
+
+    spark = build_session("sweep_10000x")
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    duck_views(con, sf_dir, wrap)
+
+    q_fns = {
+        "r1_transitive_closure": graph.QUERIES["r1_transitive_closure"],
+        "o1_global_topk": relational.QUERIES["o1_global_topk"],
+        "d_exact_dedup": llm.QUERIES["d_exact_dedup"],
+    }
+
+    results, ok = {}, True
+    mods = (graph, relational, llm)
+    real = {m: m.read_table for m in mods}
+    try:
+        for m in mods:
+            m.read_table = shifted_read_table_factory(real[m], wrap)
+        for name in QUERIES:
+            fn, oracle_sql = q_fns[name]
+            t0 = time.time()
+            s = fold_spark(fn(spark, sf_dir), CANON_SPARK[name]())
+            spark_wall = time.time() - t0
+            t1 = time.time()
+            d = fold_sql(con, oracle_sql, CANON_SQL[name])
+            duck_wall = time.time() - t1
+            match = (
+                s["n_rows"] == d["n_rows"]
+                and s["xor_h"] == d["xor_h"]
+                and s["sum_h"] == d["sum_h"]
+            )
+            ok = ok and match
+            results[name] = {
+                "status": "PASS" if match else "FAIL",
+                "n_rows": s["n_rows"],
+                "spark": s,
+                "duckdb": d,
+                "spark_sec": round(spark_wall, 1),
+                "duckdb_sec": round(duck_wall, 1),
+            }
+            print(
+                f"{'PASS' if match else 'FAIL'}  {name} "
+                f"({s['n_rows']} rows) [spark {spark_wall:.1f}s, duck {duck_wall:.1f}s]",
+                flush=True,
+            )
+    finally:
+        for m in mods:
+            m.read_table = real[m]
+
+    record = {
+        "rung": f"{wrap}x wrapper over {sf_dir} (lazy key-shifted union, "
+        "construction identical to make_scaled_sf)",
+        "tables": "orders 1.5B, customer 150M, documents 50M at default args",
+        "compare": "full-population checksum fold (COUNT + BIT_XOR + SUM of 60-bit md5)",
+        "results": results,
+        "pass": sum(1 for r in results.values() if r["status"] == "PASS"),
+        "fail": sum(1 for r in results.values() if r["status"] == "FAIL"),
+    }
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({k: v["status"] for k, v in results.items()}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
