@@ -51,7 +51,7 @@ def main(
     with_drug_rollup: bool = False,
     with_diagnosis_rollup: bool = False,
     should_construct_artificial_visits: bool = False,
-    artificial_visit_relink_form: str = "window",
+    artificial_visit_relink_form: str = "agg",
     apply_age_filter: bool = True,
     aggregate_by_hour: bool = False,
     bucket_by_person: int | None = None,

@@ -31,7 +31,7 @@ def construct_artificial_visits(
     visit_occurrence: DataFrame,
     duplicate_records: bool = False,
     disconnect_problem_list_records: bool = False,
-    relink_form: str = "window",
+    relink_form: str = "agg",
 ) -> tuple[DataFrame, DataFrame]:
     """Re-link orphan events to covering visits, then mint artificial visits
     for the rest (reference: utils/spark_utils.py:662-825). Returns
@@ -44,7 +44,10 @@ def construct_artificial_visits(
 
     * ``'window'``: the reference's shape — ``row_number`` over record_id
       (spark_utils.py:752-755). Shuffles and SORTS every candidate row.
-    * ``'agg'``: ``min(struct(start, id, payload))`` per record. The
+      Kept as the cross-check; the r10 A/B at 1000 OMOP replicas measured
+      the agg form 23% faster END-TO-END (47.0 s vs 61.1 s, identical
+      output, same 39-exchange census — the win is the dropped sort).
+    * ``'agg'`` (default): ``min(struct(start, id, payload))`` per record. The
       candidate join is already partitioned by person_id, so partial
       aggregation collapses each record's candidate fan-out MAP-SIDE —
       the shuffle carries ~one row per orphan event instead of one per

@@ -40,6 +40,15 @@ CONFIGS = {
         inpatient_att_type="mix",
         should_construct_artificial_visits=True,
     ),
+    # A/B partner for the covering-visit rank-1 strategy (round-9 verdict
+    # ask 6): identical output (parity-pinned), different physical plan —
+    # min-struct partial agg instead of shuffle+sort window.
+    "cehrbert_mix_artificial_agg": dict(
+        att_type="cehr_bert",
+        inpatient_att_type="mix",
+        should_construct_artificial_visits=True,
+        artificial_visit_relink_form="agg",
+    ),
 }
 
 #: must match tests/volume_sample.py OFFSET — replica r of person p has id
