@@ -58,7 +58,14 @@ SHIFTED = {
     "embeddings": ["vec_id"],
 }
 
-QUERIES = ["r1_transitive_closure", "o1_global_topk", "d_exact_dedup"]
+QUERIES = [
+    "r1_transitive_closure",
+    "o1_global_topk",
+    "d_exact_dedup",
+    # round-10 extension: a 1B-row hash agg and a scan + 1-row broadcast
+    "a6_conditional_agg",
+    "j5_scalar_max",
+]
 
 #: canonical BIGINT serializations of each query's output columns.
 CANON_SPARK = {
@@ -69,6 +76,16 @@ CANON_SPARK = {
         F.round(F.col("o_totalprice") * 100).cast("long"),
     ],
     "d_exact_dedup": lambda: [F.col("digest"), F.col("n_docs"), F.col("keep_id")],
+    # high_rate = n_high/n is a pure function of the hashed operands
+    # (the cs_a2 convention); hashing a formatted double is not portable.
+    "a6_conditional_agg": lambda: [F.col("event_type"), F.col("n"), F.col("n_high")],
+    # prices are cents-exact doubles straight from parquet (identical bits
+    # on both engines), so ROUND(x*100) is an exact integer canon.
+    "j5_scalar_max": lambda: [
+        F.col("p_partkey"),
+        F.round(F.col("p_retailprice") * 100).cast("long"),
+        F.round(F.col("max_price") * 100).cast("long"),
+    ],
 }
 CANON_SQL = {
     "r1_transitive_closure": ["src", "dst", "distance"],
@@ -78,6 +95,12 @@ CANON_SQL = {
         "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
     ],
     "d_exact_dedup": ["digest", "n_docs", "keep_id"],
+    "a6_conditional_agg": ["event_type", "n", "n_high"],
+    "j5_scalar_max": [
+        "p_partkey",
+        "CAST(ROUND(p_retailprice * 100) AS BIGINT)",
+        "CAST(ROUND(max_price * 100) AS BIGINT)",
+    ],
 }
 
 
@@ -183,6 +206,8 @@ def main() -> int:
         "r1_transitive_closure": graph.QUERIES["r1_transitive_closure"],
         "o1_global_topk": relational.QUERIES["o1_global_topk"],
         "d_exact_dedup": llm.QUERIES["d_exact_dedup"],
+        "a6_conditional_agg": relational.QUERIES["a6_conditional_agg"],
+        "j5_scalar_max": relational.QUERIES["j5_scalar_max"],
     }
 
     results, ok = {}, True
@@ -225,7 +250,7 @@ def main() -> int:
     record = {
         "rung": f"{wrap}x wrapper over {sf_dir} (lazy key-shifted union, "
         "construction identical to make_scaled_sf)",
-        "tables": "orders 1.5B, customer 150M, documents 50M at default args",
+        "tables": "orders 1.5B, events 1B, lineitem 6B untouched, customer 150M, part 2M, documents 50M at default args",
         "compare": "full-population checksum fold (COUNT + BIT_XOR + SUM of 60-bit md5)",
         "results": results,
         "pass": sum(1 for r in results.values() if r["status"] == "PASS"),
