@@ -1,7 +1,8 @@
-"""10,000× stretch rung for the three cheapest scale-invariant queries
-(round-9 verdict stretch ask): r1_transitive_closure, o1_global_topk,
-d_exact_dedup at 10× the 1000× dir — 1.5B orders / 150M customers / 50M
-documents flowing through the UNCHANGED query code on both engines.
+"""10,000× stretch rung (round-9 verdict stretch ask): five cheap
+scale-invariant queries — r1_transitive_closure, o1_global_topk,
+d_exact_dedup, a6_conditional_agg, j5_scalar_max — at 10× the 1000× dir:
+1.5B orders / 1B events / 150M customers / 50M documents flowing through
+the UNCHANGED query code on both engines.
 
 A materialized 10,000× dir would be ~240 GB of parquet — more than this
 box's disk — so the extra decade is synthesized EXACTLY the way
