@@ -24,8 +24,9 @@ The registry now computes the order mechanically: OLDEST DRIVER VERDICT
 FIRST. Each query's most recent verdict round is read from the
 ``CORRECTNESS_r{N}.json`` records the driver leaves at the repo root;
 never-checked queries sort before everything else, and ties (same verdict
-round, including the never-checked class) break by declaration order so the
-schedule is a deterministic function of the on-disk records. Under this
+round, including the never-checked class) break by NAME so the schedule is
+a deterministic function of the on-disk records alone — independent of the
+module merge order, which drifts when query modules are added. Under this
 policy every query receives a driver verdict at least every
 ``ceil(N / _DRIVER_SLOTS)`` rounds (for 115/50: every 3 rounds, i.e. a
 verdict's age never exceeds 2 rounds) — pinned by a simulation test in
@@ -85,16 +86,22 @@ def verdict_history(root: Path | None = None) -> dict[str, int]:
 
 def rotation_order(names: list[str], history: dict[str, int]) -> list[str]:
     """Total order over ``names``: oldest driver verdict first, never-checked
-    (absent from ``history``) before everything, ties by position in
-    ``names`` (declaration order). Deterministic given the same inputs.
+    (absent from ``history``) before everything, ties by NAME. Deterministic
+    given the same inputs.
+
+    Ties break by name, not declaration position: declaration order shifts
+    whenever a query module is added to the merge list (round 10 added
+    ``checksums`` mid-round and the window's tie-class picks stopped being
+    re-derivable from the end-state tree — VERDICT.md r10 "what's wrong").
+    Name order is a property of the query set itself, so the computed window
+    reproduces from any tree state with the same CORRECTNESS records.
 
     Soundness: checking the first S of this order each round and recording
     verdicts guarantees every name is checked at least every ceil(N/S)
     rounds — a name just checked can be deferred only while >= S names hold
     strictly older verdicts, and each round retires S of those.
     """
-    decl_index = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (history.get(n, 0), decl_index[n]))
+    return sorted(names, key=lambda n: (history.get(n, 0), n))
 
 
 def _merged():

@@ -104,9 +104,24 @@ def test_rotation_order_deterministic_and_total():
     order2 = rotation_order(list(names), dict(hist))
     assert order1 == order2
     assert sorted(order1) == sorted(names)
-    # never-checked before checked; among checked, older first; ties by decl
+    # never-checked before checked; among checked, older first; ties by name
     assert order1[:7] == ["q0", "q2", "q4", "q5", "q6", "q8", "q9"]
     assert order1[7:] == ["q1", "q3", "q7"]
+
+
+def test_rotation_ties_break_by_name_not_declaration_order():
+    """The r10 verdict's reproducibility nit: the window's tie-class picks
+    must re-derive from the CORRECTNESS records alone. Declaration order
+    shifts when a query module is added to the merge list, so ties break by
+    name — the computed order must be invariant to any permutation of the
+    declared-name list."""
+    names = ["zeta", "alpha", "mid", "beta"]  # declaration order != name order
+    hist = {"mid": 1, "alpha": 1}
+    order = rotation_order(names, hist)
+    assert order == ["beta", "zeta", "alpha", "mid"]
+    # permuting the declaration order (module reshuffle) changes nothing
+    for perm in (list(reversed(names)), sorted(names), names[2:] + names[:2]):
+        assert rotation_order(perm, hist) == order
 
 
 def test_registry_shape():
