@@ -165,10 +165,20 @@ def construct_artificial_visits(
         # form's rank 1. A record with NO covering visit contributes its
         # single null-extended row (left join), so orphans survive with
         # NULL visit fields, same as the window form.
+        #
+        # Collision-safe key field names (r10 advice): an event column
+        # literally named __s/__i would duplicate a struct field and make
+        # the __best.<col> extraction ambiguous — suffix underscores until
+        # the names are free of the event columns (weighted_sample pattern).
+        s_field, i_field = "__s", "__i"
+        while s_field in event_cols:
+            s_field += "_"
+        while i_field in event_cols or i_field == s_field:
+            i_field += "_"
         payload = F.struct(
             *[
-                F.col("visit.visit_start_datetime").alias("__s"),
-                F.col("visit.visit_occurrence_id").cast("long").alias("__i"),
+                F.col("visit.visit_start_datetime").alias(s_field),
+                F.col("visit.visit_occurrence_id").cast("long").alias(i_field),
             ],
             *[F.col("event." + c).alias(c) for c in event_cols],
             F.col("visit.visit_occurrence_id").alias("visit_occurrence_id"),

@@ -250,10 +250,11 @@ def weighted_sample(
     g = math.gcd(rate_num, rate_den)
     rate_num //= g
     rate_den //= g
-    if rate_den > 10**18:
+    if max(rate_num, rate_den) > 10**18:
         raise ValueError(
-            f"rate_den={rate_den} (after gcd reduction) exceeds 1e18; the"
-            " exact DECIMAL(38,0) keep test cannot hold u*max_w*rate_den"
+            f"rate={rate_num}/{rate_den} (after gcd reduction) has a term"
+            " exceeding 1e18; the exact DECIMAL(38,0) keep test cannot hold"
+            " its side of u*max_w*rate_den < 2^60*w*rate_num"
         )
     from cehrbert_data_spark.operators.joins import with_scalar_max
 
@@ -272,25 +273,32 @@ def weighted_sample(
     out = with_scalar_max(
         df.withColumn(w_col, F.col(weight_col).cast("long")), w_col, maxw_col
     )
-    # u < 2^60, so lhs = u*max_w*rate_den stays inside DECIMAL(38,0) iff
-    # max_w*rate_den <= (10^38-1) // (2^60-1). Outside that range non-ANSI
-    # Spark would NULL the product and silently DROP the row while an
-    # int128/HUGEINT mirror keeps computing — a cross-engine membership
-    # divergence. assert_true raises in every mode (pattern:
+    # BOTH sides of the keep test must stay inside DECIMAL(38,0):
+    #   lhs = u * max_w * rate_den   with u < 2^60
+    #   rhs = 2^60 * w * rate_num    with w <= max_w
+    # so it suffices that max_w * max(rate_num, rate_den) <= (10^38-1)//2^60
+    # (the 2^60 factor bounds u on the lhs and is literal on the rhs).
+    # Outside that range non-ANSI Spark would NULL the overflowing product
+    # and silently DROP the row while an int128/HUGEINT mirror keeps
+    # computing — a cross-engine membership divergence. Guarding only the
+    # lhs (pre-r11) left rate_num > rate_den (rate > 1 is legal: the keep
+    # probability min(1, rate*w/max_w) just saturates) able to overflow the
+    # rhs unguarded. assert_true raises in every mode (pattern:
     # aggregations.py corr_regression guard) and folds in as +0 so kept
     # rows are untouched. The guard product itself cannot overflow:
-    # max_w <= 2^63 and rate_den <= 1e18 (validated above) => < 1e37.
-    bound = (10**38 - 1) // ((1 << 60) - 1)
+    # max_w <= 2^63 and max rate term <= 1e18 (validated above) => < 1e37.
+    bound = (10**38 - 1) // (1 << 60)
     guard = F.assert_true(
         F.col(maxw_col).isNull()
         | (
-            F.col(maxw_col).cast(dec) * F.lit(rate_den).cast(dec)
+            F.col(maxw_col).cast(dec)
+            * F.lit(max(rate_num, rate_den)).cast(dec)
             <= F.lit(str(bound)).cast(dec)
         ),
         F.lit(
-            "weighted_sample: max(weight) * rate_den exceeds the exact"
-            " DECIMAL(38,0) range of the keep test; reduce the weights or"
-            " the rate denominator"
+            "weighted_sample: max(weight) * max(rate_num, rate_den) exceeds"
+            " the exact DECIMAL(38,0) range of the keep test; reduce the"
+            " weights or the rate terms"
         ),
     )
     # Fold the guard into a MULTIPLICAND (not a trailing +0): operands are

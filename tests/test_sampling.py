@@ -187,7 +187,29 @@ def test_weighted_sample_validates_rate_den_magnitude(spark):
     df = spark.createDataFrame([(1, 10)], "id: long, w: long")
     from cehrbert_data_spark.operators.sampling import weighted_sample
 
-    with pytest.raises(ValueError, match="rate_den"):
+    with pytest.raises(ValueError, match="1e18"):
         weighted_sample(df, "id", "w", 1, 10**18 + 1)
     # but a reducible huge denominator is fine after gcd (10^19/10 -> 10^18)
     weighted_sample(df, "id", "w", 10, 10**19).collect()
+    # the numerator is bounded the same way (r10 advice: rate > 1 is legal
+    # but an unvalidated rate_num could overflow the rhs product)
+    with pytest.raises(ValueError, match="1e18"):
+        weighted_sample(df, "id", "w", 10**18 + 1, 1)
+
+
+def test_weighted_sample_overflow_guard_covers_rate_num(spark):
+    # round-10 advice: the guard bounded only the lhs (max_w * rate_den);
+    # with rate_num > rate_den the rhs 2^60*w*rate_num could overflow
+    # DECIMAL(38,0) unguarded, NULL under non-ANSI, and silently drop every
+    # row. The guard now bounds max_w * max(rate_num, rate_den).
+    rows = [(1, 1 << 62), (2, 1 << 61), (3, 1000)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    from cehrbert_data_spark.operators.sampling import weighted_sample
+
+    # 2^62 * 33 = 1.52e20 > (10^38-1)//2^60 = 8.67e19 -> must raise
+    with pytest.raises(Exception, match="weighted_sample"):
+        weighted_sample(df, "id", "w", 33, 1).collect()
+    # just inside: 2^62 * 2 = 9.2e18 < bound; rate 2/1 saturates P(keep)=1
+    # for the max-weight row, which must therefore be in the sample
+    kept = {r["id"] for r in weighted_sample(df, "id", "w", 2, 1).collect()}
+    assert 1 in kept

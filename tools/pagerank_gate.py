@@ -20,8 +20,10 @@ and the 16k-row base rank table ever reach the driver):
 2. exact rank-sum conservation: Σ r3(N×) == N · Σ r3(base)
                                 Σ r4(N×) == N · Σ r4(base)
 3. replica exactness:           r3/r4 of EVERY scaled node equals its
-                                base twin's (broadcast join on
-                                node % 20M; 0 mismatches, 0 orphans)
+                                base twin's (INNER broadcast join on
+                                node % 20M — full_outer can't broadcast,
+                                r10 advice — orphans derived from the
+                                matched counts; 0 mismatches, 0 orphans)
 4. residual conservation:       Σ|r4−r3|(N×) == N · Σ|r4−r3|(base)
 5. residual tolerance:          Σ|r4−r3| ≤ 2·d⁴·N·scale + 3·E
                                 L1 mass form: the update operator is an
@@ -165,33 +167,41 @@ def main() -> int:
     big_wall = time.time() - t1
     print(f"scaled: {big} [{big_wall:.1f}s]", flush=True)
 
-    # replica exactness: every scaled node's (r3, r4) equals its base twin
+    # replica exactness: every scaled node's (r3, r4) equals its base twin.
+    # INNER broadcast join (honored: BroadcastHashJoin Inner) — r10 advice:
+    # Spark cannot broadcast either side of a full_outer join, so the
+    # previous full_outer + broadcast() hint silently ran as a shuffle
+    # join. Orphans on both sides derive from the matched counts instead:
+    # b_node is unique in the base table, so each scaled node matches at
+    # most one twin — matched == n_big means no scaled orphan — and a base
+    # node missed by every replica shows up as distinct(b_node) < n_base.
     t2 = time.time()
     twin = base_rp.select(
         F.col("node").alias("b_node"),
         F.col("prev_scaled").alias("b_r3"),
         F.col("rank_scaled").alias("b_r4"),
     )
-    joined = big_rp.join(
-        F.broadcast(twin),
-        (big_rp["node"] % NODE_OFFSET) == F.col("b_node"),
-        "full_outer",
-    )
-    mism = joined.agg(
-        F.sum(F.when(F.col("b_node").isNull(), 1).otherwise(0)).alias("orphan_scaled"),
-        F.sum(F.when(F.col("node").isNull(), 1).otherwise(0)).alias("orphan_base"),
-        F.sum(
-            F.when(
-                F.col("node").isNotNull()
-                & F.col("b_node").isNotNull()
-                & (
+    mism = (
+        big_rp.join(
+            F.broadcast(twin),
+            (big_rp["node"] % NODE_OFFSET) == F.col("b_node"),
+            "inner",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("matched"),
+            F.countDistinct("b_node").alias("matched_base"),
+            F.sum(
+                F.when(
                     (F.col("prev_scaled") != F.col("b_r3"))
-                    | (F.col("rank_scaled") != F.col("b_r4"))
-                ),
-                1,
-            ).otherwise(0)
-        ).alias("value_mismatch"),
-    ).collect()[0]
+                    | (F.col("rank_scaled") != F.col("b_r4")),
+                    1,
+                ).otherwise(0)
+            ).alias("value_mismatch"),
+        )
+        .collect()[0]
+    )
+    orphan_scaled = big["n_nodes"] - (mism["matched"] or 0)
+    orphan_base = base["n_nodes"] - (mism["matched_base"] or 0)
     match_wall = time.time() - t2
 
     mean_resid = big["resid_l1"] / big["n_nodes"]
@@ -202,9 +212,8 @@ def main() -> int:
         "rank_sum_r3_conserved": big["sum_r3"] == reps * base["sum_r3"],
         "rank_sum_r4_conserved": big["sum_r4"] == reps * base["sum_r4"],
         "residual_l1_conserved": big["resid_l1"] == reps * base["resid_l1"],
-        "replica_value_mismatches_zero": mism["value_mismatch"] == 0,
-        "replica_orphans_zero": (mism["orphan_scaled"] or 0) == 0
-        and (mism["orphan_base"] or 0) == 0,
+        "replica_value_mismatches_zero": (mism["value_mismatch"] or 0) == 0,
+        "replica_orphans_zero": orphan_scaled == 0 and orphan_base == 0,
         "residual_l1_within_tolerance": big["resid_l1"] <= tol,
     }
     record = {
@@ -216,8 +225,8 @@ def main() -> int:
         "scaled": big,
         "replica_check": {
             "value_mismatch": mism["value_mismatch"],
-            "orphan_scaled": mism["orphan_scaled"],
-            "orphan_base": mism["orphan_base"],
+            "orphan_scaled": orphan_scaled,
+            "orphan_base": orphan_base,
         },
         "mean_residual_per_node": mean_resid,
         "residual_l1_tolerance_2d4_N_scale_plus_3E": tol,

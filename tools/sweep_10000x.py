@@ -106,31 +106,17 @@ CANON_SQL = {
 
 
 def fold_spark(df, canon):
-    from cehrbert_data_spark.operators.text import md5_long
+    # Single definition of the byte-sensitive checksum fold (r10 advice:
+    # two independent copies of a canonical-serialization contract drift).
+    from cehrbert_data_spark.queries.checksums import _fold
 
-    parts = [F.coalesce(c.cast("string"), F.lit("N")) for c in canon]
-    h = md5_long(F.concat_ws(",", *parts), 60)
-    return df.select(h.alias("h")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(h)").alias("xor_h"),
-        F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_h"),
-    ).collect()[0].asDict()
+    return _fold(df, canon).collect()[0].asDict()
 
 
 def fold_sql(con, base_sql, canon_exprs):
-    parts = ", ".join(f"COALESCE(CAST({e} AS VARCHAR), 'N')" for e in canon_exprs)
-    row = con.execute(
-        f"""
-WITH base AS ({base_sql}),
-canon AS (
-  SELECT CAST(('0x' || SUBSTRING(md5(CONCAT_WS(',', {parts})), 1, 15)) AS BIGINT) AS h
-  FROM base
-)
-SELECT COUNT(*) AS n_rows, BIT_XOR(h) AS xor_h,
-       CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_h
-FROM canon
-"""
-    ).fetchone()
+    from cehrbert_data_spark.queries.checksums import _fold_sql
+
+    row = con.execute(_fold_sql(base_sql, canon_exprs)).fetchone()
     return {"n_rows": row[0], "xor_h": row[1], "sum_h": row[2]}
 
 
