@@ -19,7 +19,14 @@ ambient load are unreadable): every query runs BEST_OF times back-to-back
 and reports the minimum — the best run is the one least polluted by other
 tenants' CPU, and modulo noise it converges to the plan's true cost. The
 1-min load average at start is recorded so a contaminated round is visible
-in the JSON itself. Override with $SPARK_GRAFT_BENCH_RUNS (>=1)."""
+in the JSON itself. Override with $SPARK_GRAFT_BENCH_RUNS (>=1).
+
+Round-11 additions (verdict asks 7/8): a LOAD GATE — before the JVM starts,
+wait up to $SPARK_GRAFT_BENCH_WAIT (300 s) for the ambient 1-min load to
+drop under $SPARK_GRAFT_BENCH_MAX_LOAD (2.0); the record carries
+load_gate.status PASS/CONTAMINATED either way — and a HOT/COLD SPLIT:
+queries_cold/value_cold record each query's first run (cold page cache),
+queries/value keep the best-of-N warm semantics of every prior round."""
 
 from __future__ import annotations
 
@@ -62,6 +69,43 @@ def main() -> None:
 
     from cehrbert_data_spark.queries import all_queries
     from cehrbert_data_spark.session import build_session
+
+    def load_now() -> float | None:
+        return round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+
+    # Load gate (round-10 verdict ask 7: BENCH_r9 and r10 both ran under
+    # ambient load and needed idle re-runs to interpret). Before spinning up
+    # the JVM — i.e. while the 1-min load average is still purely AMBIENT —
+    # wait for the box to go idle; if it never does within the budget, run
+    # anyway but stamp the record CONTAMINATED so no reader has to infer the
+    # contamination from footnotes.
+    gate_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT", "300"))
+    waited = 0.0
+    start_load = load_now()
+    while (
+        start_load is not None
+        and start_load > gate_threshold
+        and waited < gate_wait
+    ):
+        print(
+            f"bench: ambient load {start_load:.1f} > {gate_threshold:.1f}, "
+            f"waiting ({waited:.0f}/{gate_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(min(30.0, gate_wait - waited))
+        waited += 30.0
+        start_load = load_now()
+    load_gate = {
+        "threshold": gate_threshold,
+        "start_load": start_load,
+        "waited_sec": round(min(waited, gate_wait), 0),
+        "status": (
+            "PASS"
+            if start_load is None or start_load <= gate_threshold
+            else "CONTAMINATED"
+        ),
+    }
 
     spark = build_session("bench")
     # JVM/JIT + codegen warmup so timings measure the queries, not
@@ -125,14 +169,18 @@ def main() -> None:
 
     best_of = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    def load_now() -> float | None:
-        return round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
-
     load_avg = load_now()
 
     # Failure-isolated: one broken query must never erase the other
     # measurements (round 3 lost ALL perf numbers to a single crash).
     timings: dict[str, float | None] = {}
+    # Hot/cold split (round-10 verdict ask 8: ~10 s cold-page-cache runs vs
+    # 7.6 s warm runs conflated under one "idle" number): each query's FIRST
+    # run is its cold figure (first touch of its parquet pages this
+    # process), min(runs) is the warm figure. value/queries keep the warm
+    # (best-of) semantics every prior round recorded, so round-over-round
+    # comparison is unbroken; value_cold/queries_cold are the new axis.
+    timings_cold: dict[str, float | None] = {}
     all_runs: dict[str, list[float]] = {}
     # 1-min load at the start of EVERY run (round-7 verdict ask: a load
     # spike mid-bench was only visible as a start-of-bench footnote; now
@@ -141,6 +189,7 @@ def main() -> None:
     run_loads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     total = 0.0
+    total_cold = 0.0
     for name in HEADLINE:
         fn = qs[name]
         runs: list[float] = []
@@ -183,22 +232,28 @@ def main() -> None:
                 break
         if not runs:
             timings[name] = None
+            timings_cold[name] = None
             continue
         all_runs[name] = [round(t, 3) for t in runs]
         if loads:
             run_loads[name] = loads
         best = min(runs)
         timings[name] = round(best, 3)
+        timings_cold[name] = round(runs[0], 3)
         total += best
+        total_cold += runs[0]
 
     out = {
         "metric": "headline_total",
         "value": round(total, 3),
+        "value_cold": round(total_cold, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": timings_cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "best_of": best_of,
         "runs": all_runs,
+        "load_gate": load_gate,
     }
     if run_loads:
         out["run_loads"] = run_loads
