@@ -182,18 +182,23 @@ def create_omop_person(ehr_shot_data: DataFrame, concept: DataFrame) -> DataFram
 
 def drop_duplicate_visits(data: DataFrame) -> DataFrame:
     """Keep one row per visit_id by code priority: IP/ERIP > ER > rest
-    (reference: :744-783)."""
+    (reference: :744-783).
+
+    Agg form (r11, the relink promotion generalized — see
+    operators/windows.py top1_per_group_agg): visit_id is the table's
+    near-PK, so the old row_number window shuffled and SORTED the whole
+    event stream to elect one row per ~unique key; min(struct) elects it by
+    map-side partial aggregation instead (no sort, hot keys spread). Ties
+    beyond __priority fall through the payload columns deterministically —
+    the window form left them to physical row order."""
+    from cehrbert_data_spark.operators.windows import top1_per_group_agg
+
     priority = F.when(F.col("code").isin(INPATIENT_CODES), 1).otherwise(
         F.when(F.col("code") == "Visit/ER", 2).otherwise(3)
     )
-    return (
-        data.withColumn("__priority", priority)
-        .withColumn(
-            "__rank", F.row_number().over(W.partitionBy("visit_id").orderBy("__priority"))
-        )
-        .where(F.col("__rank") == 1)
-        .drop("__rank", "__priority")
-    )
+    return top1_per_group_agg(
+        data.withColumn("__priority", priority), ["visit_id"], ["__priority"]
+    ).drop("__priority")
 
 
 def generate_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
@@ -225,7 +230,16 @@ def generate_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
     )
 
     inpatient = real_visits.where(F.col("code").isin(INPATIENT_CODES))
-    linked = (
+    # Best-candidate visit match as the AGG form (r11; same promotion as
+    # omop/visits.py relink): flatten the candidate pairs, then
+    # min(struct(abs_gap, visit_id, payload)) per record_id — the winner is
+    # the window form's rank 1, elected map-side with no candidate sort.
+    # The explicit candidate visit_id tie-break makes equal-gap ties
+    # deterministic (the window form left them to physical row order).
+    from cehrbert_data_spark.operators.windows import top1_per_group_agg
+
+    out_cols = [c for c in domain_records.columns if c != "visit_id"]
+    candidates = (
         domain_records.alias("domain")
         .join(
             inpatient.alias("visit"),
@@ -233,20 +247,18 @@ def generate_visit_id(data: DataFrame, day_cutoff: int = 1) -> DataFrame:
             & F.col("domain.start").between(F.col("visit.start"), F.col("visit.end")),
             "left_outer",
         )
-        .withColumn(
-            "__rank",
-            F.row_number().over(
-                W.partitionBy("domain.record_id").orderBy(
-                    F.abs(F.unix_timestamp("visit.start") - F.unix_timestamp("domain.start"))
-                )
-            ),
-        )
-        .where(F.col("__rank") == 1)
         .select(
-            [F.col("domain." + c).alias(c) for c in domain_records.columns if c != "visit_id"]
-            + [F.coalesce(F.col("visit.visit_id"), F.col("domain.visit_id")).alias("visit_id")]
+            *[F.col("domain." + c).alias(c) for c in out_cols],
+            F.abs(
+                F.unix_timestamp("visit.start") - F.unix_timestamp("domain.start")
+            ).alias("__gap"),
+            F.col("visit.visit_id").cast(T.LongType()).alias("__cand_vid"),
+            F.coalesce(F.col("visit.visit_id"), F.col("domain.visit_id")).alias("visit_id"),
         )
     )
+    linked = top1_per_group_agg(
+        candidates, ["record_id"], ["__gap", "__cand_vid"]
+    ).drop("__gap", "__cand_vid").select(out_cols + ["visit_id"])
 
     max_visit_id = real_visits.select(
         F.max(F.col("visit_id").cast(T.LongType())).alias("__max_visit_id")

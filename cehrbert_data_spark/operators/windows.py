@@ -48,9 +48,80 @@ def top_n_per_group(
     n: int = 1,
 ) -> DataFrame:
     """O2: keep the best ``n`` rows per group (rank-1 dedup,
-    reference: cohorts/spark_app_base.py:517-520)."""
+    reference: cohorts/spark_app_base.py:517-520).
+
+    For ``n=1`` with single-direction ordering prefer
+    :func:`top1_per_group_agg` — same rows, map-side combinable, immune to
+    hot partition keys."""
     ranked = ordered_rank(df, partition_by, order_by, out="__rn")
     return ranked.where(F.col("__rn") <= n).drop("__rn")
+
+
+def top1_per_group_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    descending: bool = False,
+) -> DataFrame:
+    """O2 (agg form): the best row per group as ``min(struct(order_keys…,
+    payload))`` — the relink promotion (omop/visits.py, r10: 1.30×
+    end-to-end at 1000 OMOP replicas) generalized to any rank-1 site.
+
+    Identical rows to ``top_n_per_group(…, n=1)`` with the same keys
+    (parity-pinned in tests), but the winner is elected by PARTIAL
+    AGGREGATION: each map task keeps one candidate per group before the
+    shuffle, so (a) the exchange carries ~|groups| rows instead of |rows|,
+    and (b) a HOT GROUP never serializes one reducer — the window form
+    funnels every row of the hottest key through a single task's sort, the
+    one skew shape AQE cannot split (skew-join splitting only rewrites
+    joins). Measured on the zipf rung: see SWEEP_SKEW_r11.
+
+    Physical note: a STRUCT-typed min/max buffer is not hash-agg mutable,
+    so Spark compiles SortAggregate (verified: even an all-numeric struct)
+    — each map task sorts ITS OWN rows by group key before
+    partial-aggregating. That local pre-shuffle sort is nothing like the
+    window form's post-shuffle whole-key sort: the exchange stays
+    ~|groups·tasks|-sized, the hot key stays spread across map tasks, and
+    the r10 relink A/B (1.30× end-to-end at 1000 OMOP replicas) was
+    measured with exactly this plan shape. Plan-pinned in
+    tests/test_windows.py: partial_min before the exchange, no Window.
+
+    Ties beyond ``order_by`` resolve by the remaining payload columns
+    (struct comparison is field-order lexicographic) — include a unique key
+    in ``order_by`` for total determinism, exactly as the window form
+    requires for a deterministic rank 1.
+
+    ``descending=True`` elects ``max(struct(...))`` — single-direction
+    orderings only; mixed asc/desc rankings need the window form (or a
+    per-key negation the caller applies upstream).
+    """
+    parts = list(partition_by)
+    order = list(order_by)
+    if not parts:
+        raise ValueError(
+            "global (unpartitioned) top-1 reduces everything to one group; "
+            "use an explicit group key"
+        )
+    overlap = [c for c in order if c in parts]
+    if overlap:
+        raise ValueError(f"order_by columns {overlap} are group keys")
+    payload_cols = [c for c in df.columns if c not in parts]
+    # order keys first (they decide), then the remaining payload
+    rest = [c for c in payload_cols if c not in order]
+    packed = F.struct(*[F.col(c) for c in order + rest])
+    best_col = "__best"
+    while best_col in df.columns:  # collision-safe temp name
+        best_col += "_"
+    best = F.max(packed) if descending else F.min(packed)
+    return (
+        df.groupBy(*[F.col(c) for c in parts])
+        .agg(best.alias(best_col))
+        .select(
+            *[F.col(c) for c in parts],
+            *[F.col(best_col + "." + c).alias(c) for c in payload_cols],
+        )
+        .select(df.columns)
+    )
 
 
 def prev_value(

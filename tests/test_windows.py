@@ -50,6 +50,53 @@ def test_top_n_per_group(spark):
     assert "__rn" not in out[0].asDict()
 
 
+def test_top1_agg_matches_window_form(spark):
+    """top1_per_group_agg (min/max-struct, map-side combinable) must return
+    row-for-row the window form's rank 1 — the relink-promotion contract
+    generalized (r10 verdict ask 5). Randomized inputs with duplicate order
+    values exercise the tie fall-through; event_id in order_by makes both
+    forms total, so parity is exact."""
+    import random
+
+    from cehrbert_data_spark.operators.windows import top1_per_group_agg
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(1, 20), rng.randint(1, 5), i, f"p{i}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g: int, v: int, event_id: int, tag: string")
+
+    def snap(out):
+        return sorted((r["g"], r["v"], r["event_id"], r["tag"]) for r in out.collect())
+
+    win_asc = snap(top_n_per_group(df, ["g"], [F.col("v").asc(), F.col("event_id").asc()], n=1))
+    agg_asc = snap(top1_per_group_agg(df, ["g"], ["v", "event_id"]))
+    assert win_asc == agg_asc
+    win_desc = snap(top_n_per_group(df, ["g"], [F.col("v").desc(), F.col("event_id").desc()], n=1))
+    agg_desc = snap(top1_per_group_agg(df, ["g"], ["v", "event_id"], descending=True))
+    assert win_desc == agg_desc
+    # map-side-combine contract: a partial_ min/max must run BEFORE the
+    # exchange, so the shuffle carries ~|groups·tasks| rows, not |rows| —
+    # the skew-immunity claim. (Struct agg buffers are not hash-mutable,
+    # so the plan is a SortAggregate PAIR — local map-side sort by group
+    # key, partial min, exchange, final min — never a Window's
+    # post-shuffle whole-key sort; see the operator docstring.)
+    plan = top1_per_group_agg(df, ["g"], ["v", "event_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan or "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_top1_agg_validates_inputs(spark):
+    from cehrbert_data_spark.operators.windows import top1_per_group_agg
+
+    df = spark.createDataFrame([(1, 2, 3)], "g: int, v: int, x: int")
+    with pytest.raises(ValueError, match="group key"):
+        top1_per_group_agg(df, ["g"], ["g", "v"])
+    with pytest.raises(ValueError, match="global"):
+        top1_per_group_agg(df, [], ["v"])
+
+
 def test_prev_value(spark):
     df = spark.createDataFrame([(1, 1, "a"), (1, 2, "b"), (1, 3, "c")], "g: int, o: int, v: string")
     out = prev_value(df, "v", ["g"], [F.col("o")], out="p").collect()
