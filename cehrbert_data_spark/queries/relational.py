@@ -1032,15 +1032,26 @@ def st_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stream(ev, ["user_id"], "ts", gap="30 minutes")
 
 
+# Sessionization happens at DISTINCT-(user, ts) grain, counts joined back
+# via SUM(n). The naive row-grain lag/cumsum is row-order-dependent under
+# DUPLICATE timestamps: among N tied rows, only one draws is_new=1 and the
+# running sum splits the tie group by the engine's arbitrary sort order —
+# found by the r11 zipf rung, where the hot-key remap funnels replicas'
+# identical timestamps into one user (first oracle bug a skewed dir caught;
+# Spark's native session_window is set-based and was right all along).
+# At distinct grain the ORDER BY is total, so the cumsum is deterministic.
 ST_SESSION_SQL = """
-WITH flagged AS (
-  SELECT user_id, ts,
+WITH dts AS (
+  SELECT user_id, ts, COUNT(*) AS n FROM events GROUP BY user_id, ts
+),
+flagged AS (
+  SELECT user_id, ts, n,
          CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS is_new
-  FROM events
+  FROM dts
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, n,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
@@ -1048,7 +1059,7 @@ sess AS (
 SELECT user_id,
        MIN(ts) AS window_start,
        MAX(ts) + INTERVAL 30 MINUTE AS window_end,
-       COUNT(*) AS n_events,
+       CAST(SUM(n) AS BIGINT) AS n_events,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end
 FROM sess GROUP BY user_id, sid
