@@ -1,8 +1,11 @@
-"""10,000× stretch rung (round-9 verdict stretch ask): five cheap
-scale-invariant queries — r1_transitive_closure, o1_global_topk,
-d_exact_dedup, a6_conditional_agg, j5_scalar_max — at 10× the 1000× dir:
-1.5B orders / 1B events / 150M customers / 50M documents flowing through
-the UNCHANGED query code on both engines.
+"""10,000× stretch rung (round-9 verdict stretch ask): scale-invariant
+queries — r1_transitive_closure, o1_global_topk, d_exact_dedup,
+a6_conditional_agg, j5_scalar_max, and (r11, verdict ask 3) the dedup/
+similarity pillar rows d_minhash_capped (50M docs) and sim_cosine_topk
+(5 queries × 20M vectors) — at 10× the 1000× dir: 1.5B orders / 1B events /
+150M customers / 50M documents flowing through the UNCHANGED query code on
+both engines. Optional trailing args select a query subset so the long
+dedup rows run in their own sessions.
 
 A materialized 10,000× dir would be ~240 GB of parquet — more than this
 box's disk — so the extra decade is synthesized EXACTLY the way
@@ -66,6 +69,21 @@ QUERIES = [
     # round-10 extension: a 1B-row hash agg and a scan + 1-row broadcast
     "a6_conditional_agg",
     "j5_scalar_max",
+    # round-11 extension (verdict ask 3): the dedup/similarity pillar.
+    # d_minhash_capped CAN run at 50M docs precisely because the cap
+    # bounds pair volume by cap·rows (the capped-LSH scale argument,
+    # now measured at its fourth decade). sim_cosine_topk is the
+    # query-vs-corpus ANN shape — linear in the corpus (5 queries × 20M
+    # vectors). The ALL-PAIRS similarity forms (sim_ivf/sim_lsh/
+    # d_minhash_lsh uncapped) are excluded by arithmetic, not engine
+    # limits: their candidate volume is Σ|bucket|² — for ivf_topk's
+    # fraction-parameterized codebook the assignment alone is
+    # n²·nprobe/mod ≈ 1.25e13 centroid scores at 20M vectors — so their
+    # documented ceiling stays the 100× full-corpus verdicts, and the
+    # linear-scale paths (capped buckets, query-vs-corpus, trained
+    # fixed-k codebook via ml_kmeans at 1000×) are what ship at 100 TB.
+    "d_minhash_capped",
+    "sim_cosine_topk",
 ]
 
 #: canonical BIGINT serializations of each query's output columns.
@@ -87,6 +105,18 @@ CANON_SPARK = {
         F.round(F.col("p_retailprice") * 100).cast("long"),
         F.round(F.col("max_price") * 100).cast("long"),
     ],
+    "d_minhash_capped": lambda: [
+        F.col("id_a"), F.col("id_b"), F.col("n_bands")
+    ],
+    # cosine = exact-int dot / (sqrt·sqrt): identical IEEE doubles on both
+    # engines (the sim_* oracle discipline), so ROUND(x·1e12) is a shared
+    # integer canon — never hash a formatted double.
+    "sim_cosine_topk": lambda: [
+        F.col("q_id"),
+        F.col("n_id"),
+        F.round(F.col("cosine") * 1e12).cast("long"),
+        F.col("rank"),
+    ],
 }
 CANON_SQL = {
     "r1_transitive_closure": ["src", "dst", "distance"],
@@ -101,6 +131,13 @@ CANON_SQL = {
         "p_partkey",
         "CAST(ROUND(p_retailprice * 100) AS BIGINT)",
         "CAST(ROUND(max_price * 100) AS BIGINT)",
+    ],
+    "d_minhash_capped": ["id_a", "id_b", "n_bands"],
+    "sim_cosine_topk": [
+        "q_id",
+        "n_id",
+        "CAST(ROUND(cosine * 1e12) AS BIGINT)",
+        "rank",
     ],
 }
 
@@ -180,6 +217,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1000x"
     wrap = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     out_path = sys.argv[3] if len(sys.argv) > 3 else "SWEEP_10000x_r10.json"
+    # optional query subset (heartbeat lesson: run the long dedup rows in
+    # their own sessions)
+    subset = [q for q in sys.argv[4:]] or QUERIES
+    unknown = [q for q in subset if q not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries {unknown}; declared: {QUERIES}")
 
     from cehrbert_data_spark.queries import graph, llm, relational
     from cehrbert_data_spark.session import build_session
@@ -189,13 +232,11 @@ def main() -> int:
     con.execute("SET threads TO 32")
     duck_views(con, sf_dir, wrap)
 
-    q_fns = {
-        "r1_transitive_closure": graph.QUERIES["r1_transitive_closure"],
-        "o1_global_topk": relational.QUERIES["o1_global_topk"],
-        "d_exact_dedup": llm.QUERIES["d_exact_dedup"],
-        "a6_conditional_agg": relational.QUERIES["a6_conditional_agg"],
-        "j5_scalar_max": relational.QUERIES["j5_scalar_max"],
-    }
+    q_fns = {}
+    for mod in (graph, relational, llm):
+        for name in QUERIES:
+            if name in mod.QUERIES:
+                q_fns[name] = mod.QUERIES[name]
 
     results, ok = {}, True
     mods = (graph, relational, llm)
@@ -203,7 +244,7 @@ def main() -> int:
     try:
         for m in mods:
             m.read_table = shifted_read_table_factory(real[m], wrap)
-        for name in QUERIES:
+        for name in subset:
             fn, oracle_sql = q_fns[name]
             t0 = time.time()
             s = fold_spark(fn(spark, sf_dir), CANON_SPARK[name]())
