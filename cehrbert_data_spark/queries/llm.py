@@ -208,7 +208,14 @@ WITH w AS (
   SELECT doc_id AS id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
 ),
 sh AS (
-  SELECT DISTINCT id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
+  -- no DISTINCT (r11): every consumer of this chain reads only `banded`,
+  -- which derives from per-id MINs -- MIN over duplicated shingles equals
+  -- MIN over the distinct set, and the 2.2B-row dedup hash was the oracle's
+  -- memory wall at the 50M-doc rung. (The Spark operator still dedups
+  -- shingles, per the reference semantics; signatures are identical either
+  -- way. d_minhash_verified's exact-Jaccard oracle keeps ITS DISTINCT --
+  -- set sizes matter there.)
+  SELECT id, ARRAY_TO_STRING(words[i:i+2], ' ') AS shingle
   FROM w, UNNEST(GENERATE_SERIES(1, LEN(words))) AS g(i)
   WHERE i <= LEN(words) - 2
 ),

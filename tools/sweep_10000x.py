@@ -230,6 +230,14 @@ def main() -> int:
     spark = build_session("sweep_10000x")
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # Bound the oracle's memory and let it spill: the unbounded default
+    # (80% of RAM) plus the resident Spark JVM OOM-killed the process on
+    # the 50M-doc minhash row (2.2B-row DISTINCT(id, shingle)) — and the
+    # kill was silent under `| tee` (pipeline status is tee's). 48 GB cap
+    # + explicit temp_directory turns that into disk spill.
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET temp_directory = '/tmp/duck_spill'")
+    con.execute("SET preserve_insertion_order = false")
     duck_views(con, sf_dir, wrap)
 
     q_fns = {}
@@ -249,6 +257,13 @@ def main() -> int:
             t0 = time.time()
             s = fold_spark(fn(spark, sf_dir), CANON_SPARK[name]())
             spark_wall = time.time() - t0
+            # print the Spark fold IMMEDIATELY: if the oracle side dies
+            # (OOM, spill-disk exhaustion) the engine evidence survives in
+            # the log
+            print(
+                f"spark  {name}: {s} [{spark_wall:.1f}s]; oracle starting",
+                flush=True,
+            )
             t1 = time.time()
             d = fold_sql(con, oracle_sql, CANON_SQL[name])
             duck_wall = time.time() - t1
