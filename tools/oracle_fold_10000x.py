@@ -61,7 +61,56 @@ def main() -> int:
     duck_views(con, sf_dir, wrap)
 
     t0 = time.time()
-    d = fold_sql(con, oracle_sql, CANON_SQL[name])
+    from cehrbert_data_spark.queries.llm import _minhash_banded_cte
+
+    cte = _minhash_banded_cte()
+    if cte in oracle_sql:
+        # Chunked evaluation of the shared banded CTE. The minhash
+        # signature is PER-DOCUMENT, so `banded` can be built in doc-id
+        # chunks with bounded intermediates — the single-query form's
+        # ungrouped 2.2B-row shingle stream needed >100 GB RAM + 57 GB
+        # spill at 50M docs (three deaths on this box). The materialized
+        # banded table is only |docs|·8 skinny rows (~400M at the 10,000×
+        # rung); the tail (bucket cap + pair join + fold) runs against it
+        # unchanged via exact CTE-prefix substitution, so WHAT is computed
+        # is byte-identical to the registry oracle.
+        chunks = 8
+        # clone the wrap-construction view under a new name (views bind
+        # lazily by name — documents_all AS SELECT * FROM documents would
+        # recurse once documents is redefined)
+        ddl = con.execute(
+            "SELECT sql FROM duckdb_views() WHERE view_name = 'documents'"
+        ).fetchone()[0]
+        con.execute(
+            ddl.replace("VIEW documents", "VIEW documents_all", 1).replace(
+                "CREATE VIEW", "CREATE OR REPLACE VIEW", 1
+            )
+        )
+        con.execute("DROP TABLE IF EXISTS banded_mat")
+        first = True
+        for i in range(chunks):
+            con.execute(
+                "CREATE OR REPLACE VIEW documents AS "
+                f"SELECT * FROM documents_all WHERE doc_id % {chunks} = {i}"
+            )
+            chunk_sql = f"{cte}\nSELECT id, band, band_key FROM banded"
+            if first:
+                con.execute(f"CREATE TABLE banded_mat AS {chunk_sql}")
+                first = False
+            else:
+                con.execute(f"INSERT INTO banded_mat {chunk_sql}")
+            print(f"banded chunk {i + 1}/{chunks} done "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
+        # restore the full view (tail SQL may reference documents via the
+        # substituted prefix only, but keep the catalog consistent)
+        con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM documents_all")
+        tail_sql = oracle_sql.replace(
+            cte, "WITH banded AS (SELECT * FROM banded_mat)"
+        )
+        assert tail_sql != oracle_sql
+        d = fold_sql(con, tail_sql, CANON_SQL[name])
+    else:
+        d = fold_sql(con, oracle_sql, CANON_SQL[name])
     duck_wall = time.time() - t0
     match = (
         spark["n_rows"] == d["n_rows"]
