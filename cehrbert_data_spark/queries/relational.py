@@ -613,6 +613,22 @@ SELECT o_custkey, o_orderkey, o_orderdate FROM (
 """
 
 
+def o2_top1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2, agg form under its own driver verdict: the same latest-order
+    rank-1 as w1_latest_order, elected by max(struct(...)) partial
+    aggregation instead of a window (operators/windows.py
+    top1_per_group_agg — the r10 relink promotion generalized; flat under
+    hot keys, SWEEP_SKEW_r11). (o_orderdate, o_orderkey) is a total order
+    within each custkey, so the winner — and therefore the oracle — is
+    identical to the window form's."""
+    from cehrbert_data_spark.operators.windows import top1_per_group_agg
+
+    orders = read_table(spark, sf_dir, "orders")
+    return top1_per_group_agg(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], descending=True
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+
+
 # --- W2: dense_rank ---------------------------------------------------------------
 
 def w2_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2237,6 +2253,7 @@ QUERIES = {
     "a7_winsorize": (a7_winsorize, A7_SQL),
     "a8_stats": (a8_stats, A8_SQL),
     "w1_latest_order": (w1_latest_order, W1_SQL),
+    "o2_top1_agg": (o2_top1_agg, W1_SQL),
     "w2_dense_rank": (w2_dense_rank, W2_SQL),
     "w4_days_since_prev": (w4_days_since_prev, W4_SQL),
     "w5_first_and_span": (w5_first_and_span, W5_SQL),
