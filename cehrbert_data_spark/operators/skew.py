@@ -8,6 +8,22 @@ reducers (the reference's hazard shape: a few patients with 100k+ events).
 
 Salting contract: results are identical to the unsalted operator — the salt
 only changes the physical key distribution.
+
+Measured boundaries (r11 zipf rung, SWEEP_SKEW_r11.json — one key owning
+1%/10%/50% of 150M orders / 100M events, outputs checksum-identical at
+every point):
+
+* ``salted_join`` vs plain + AQE: AQE wins at 1% and 50% hotness, the
+  salt wins at 10% — AQE's runtime split is the correct FIRST line for
+  equi-joins; reach for the salt only where AQE's thresholds miss.
+* ``salted_count`` vs plain ``groupBy().count()``: plain wins at every
+  hotness (map-side partial aggregation already spreads combinable
+  aggregates) — exactly the boundary the docstring below states. The
+  pattern matters for NON-combinable aggregates only.
+* The skew shape AQE can never fix is a window over the hot key — for
+  those, use ``joins.asof_join_union(salt_bucket_seconds=...)`` (2.4×
+  at 50% hotness, SLOWER below the crossover) or the always-flat
+  ``windows.top1_per_group_agg`` for single-direction rank-1.
 """
 
 from __future__ import annotations
