@@ -84,13 +84,23 @@ def hourly_rollup_stream(
 ) -> DataFrame:
     """A2 as a tumbling 1-hour window aggregate: earliest timestamp + mean
     value per (keys, hour). Streaming emits finalized windows once the
-    watermark passes."""
+    watermark passes.
+
+    The mean aggregates over ``decimal(20,6)`` (exact sum, one division at
+    output) rather than raw double: double partial sums merge in
+    micro-batch arrival order on a stream but partition order in batch, so
+    a double ``avg`` makes stream and batch outputs differ in the last ulp
+    — the 20M-event throughput bench (tools/bench_streaming.py) caught
+    exactly that drift. Same discipline as ``sliding_rollup_stream``'s
+    exact decimal sum."""
     df = _ensure_watermark(df, ts, watermark)
     return (
         df.groupBy(F.window(F.col(ts), "1 hour").alias("w"), *keys)
         .agg(
             F.min(ts).alias("first_ts"),
-            F.avg(value).alias("mean_value"),
+            F.avg(F.col(value).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("mean_value"),
             F.count(value).alias("n"),
         )
         .select(
