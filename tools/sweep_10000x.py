@@ -84,7 +84,26 @@ QUERIES = [
     # fixed-k codebook via ml_kmeans at 1000×) are what ship at 100 TB.
     "d_minhash_capped",
     "sim_cosine_topk",
+    # round-11 continuation: the full-population checksum duals of the
+    # megarow agg/window queries (r10's cs_* battery entries), whose
+    # largest measured rung was 1000x. Each ALREADY returns a single
+    # (n_rows, xor_h, sum_h) fold row, so the sweep's outer fold is a
+    # symmetric double-fold on both engines. cs_a1 hash-aggregates 1.5B
+    # orders into 150M customer groups; cs_a2 1B events into hourly
+    # buckets; cs_w7 sessionizes 1B events per user; cs_w1 is the window
+    # rank-1 over 1.5B orders (the one full-width shuffle - run it in its
+    # own session last, per the heartbeat lesson). cs_a5 is excluded by
+    # disk arithmetic, not engine limits: lineitem at this rung is 6B
+    # rows and its 1.5B-group shuffle plus the DuckDB spill exceeds the
+    # box's free disk.
+    "cs_a1_multi_agg",
+    "cs_a2_hourly_mean",
+    "cs_w7_sessionize",
+    "cs_w1_latest_order",
 ]
+
+#: the cs_* queries return one fold row; canon is the fold triple itself.
+_CS_CANON = ["n_rows", "xor_h", "sum_h"]
 
 #: canonical BIGINT serializations of each query's output columns.
 CANON_SPARK = {
@@ -117,6 +136,10 @@ CANON_SPARK = {
         F.round(F.col("cosine") * 1e12).cast("long"),
         F.col("rank"),
     ],
+    "cs_a1_multi_agg": lambda: [F.col(c) for c in _CS_CANON],
+    "cs_a2_hourly_mean": lambda: [F.col(c) for c in _CS_CANON],
+    "cs_w7_sessionize": lambda: [F.col(c) for c in _CS_CANON],
+    "cs_w1_latest_order": lambda: [F.col(c) for c in _CS_CANON],
 }
 CANON_SQL = {
     "r1_transitive_closure": ["src", "dst", "distance"],
@@ -139,6 +162,10 @@ CANON_SQL = {
         "CAST(ROUND(cosine * 1e12) AS BIGINT)",
         "rank",
     ],
+    "cs_a1_multi_agg": _CS_CANON,
+    "cs_a2_hourly_mean": _CS_CANON,
+    "cs_w7_sessionize": _CS_CANON,
+    "cs_w1_latest_order": _CS_CANON,
 }
 
 
@@ -224,7 +251,7 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"unknown queries {unknown}; declared: {QUERIES}")
 
-    from cehrbert_data_spark.queries import graph, llm, relational
+    from cehrbert_data_spark.queries import checksums, graph, llm, relational
     from cehrbert_data_spark.session import build_session
 
     spark = build_session("sweep_10000x")
@@ -241,13 +268,13 @@ def main() -> int:
     duck_views(con, sf_dir, wrap)
 
     q_fns = {}
-    for mod in (graph, relational, llm):
+    for mod in (graph, relational, llm, checksums):
         for name in QUERIES:
             if name in mod.QUERIES:
                 q_fns[name] = mod.QUERIES[name]
 
     results, ok = {}, True
-    mods = (graph, relational, llm)
+    mods = (graph, relational, llm, checksums)
     real = {m: m.read_table for m in mods}
     try:
         for m in mods:
