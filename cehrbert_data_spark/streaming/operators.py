@@ -191,7 +191,7 @@ def asof_join_stream(
     right_value: str = "value",
     lookback_s: float = 86400.0,
     watermark: str = "1 hour",
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """Streaming as-of join (J7 analogue): attach to every left row the most
     recent right row for the same key with ``right.ts <= left.ts`` and within
@@ -297,7 +297,12 @@ def asof_join_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        buf_ts, buf_val = state.get() if state.exists else ([], [])
+        # GroupState.get is a PROPERTY (raises when absent), not a method —
+        # calling it invokes the returned state tuple and crashes on the
+        # first key that recurs across micro-batches. Single-batch parity
+        # tests never exercise that path; the 20M-event throughput bench
+        # (tools/bench_streaming.py) did.
+        buf_ts, buf_val = state.get if state.exists else ([], [])
         lefts, r_ts, r_val = [], list(buf_ts), list(buf_val)
         for pdf in pdfs:
             is_right = pdf["__side"] == 1
@@ -330,7 +335,8 @@ def asof_join_stream(
             kept = [(t, v) for t, v in zip(r_ts, r_val) if t >= horizon]
             r_ts, r_val = [t for t, _ in kept], [v for _, v in kept]
         state.update((r_ts, r_val))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -339,7 +345,9 @@ def asof_join_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if state_timeout_ms is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 
@@ -350,7 +358,7 @@ def minhash_dedup_stream(
     k: int = 3,
     num_hashes: int = 16,
     band_size: int = 2,
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """Streaming MinHash near-dup detection: emit (id, band, keeper) for
     every document that collides with an earlier-seen document in an LSH
@@ -408,10 +416,12 @@ def minhash_dedup_stream(
             ids.extend(int(v) for v in pdf["id"])
         if not ids:
             return
-        seen_keeper = state.get()[0] if state.exists else None
+        # state.get is a property, not a method (see asof update above)
+        seen_keeper = state.get[0] if state.exists else None
         keeper = min(ids) if seen_keeper is None else min(seen_keeper, min(ids))
         state.update((keeper,))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         dups = sorted(set(i for i in ids if i != keeper))
         if seen_keeper is not None and seen_keeper != keeper:
             # a later batch brought a lower id: the dethroned keeper is
@@ -428,7 +438,9 @@ def minhash_dedup_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if state_timeout_ms is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 
@@ -438,7 +450,7 @@ def running_key_stats_stream(
     ts: str,
     value: str,
     watermark: str = "1 hour",
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: int | None = 3_600_000,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running (count, sum, max-timestamp) carried across micro-batches, emitting
@@ -486,14 +498,16 @@ def running_key_stats_stream(
     )
 
     def update(key, pdfs, state):
-        n, s, last = (state.get if state.exists else (lambda: (0, 0.0, None)))()
+        # state.get is a property, not a method (see asof update above)
+        n, s, last = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf[value].sum())
             batch_max = pdf[ts].max()
             last = batch_max if last is None else max(last, batch_max)
         state.update((n, s, last))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             [list(key) + [n, s, last]],
             columns=[*keys, "n_events", "sum_value", "last_ts"],
@@ -509,7 +523,9 @@ def running_key_stats_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if state_timeout_ms is not None
+                     else GroupStateTimeout.NoTimeout),
         )
     )
 

@@ -348,3 +348,132 @@ def test_hist_bin_stream_matches_batch_and_quantile(spark, tmp_path):
         for r in histogram_quantile(df, ["g"], "v", 9, 10, 8.0).collect()
     }
     assert {g: fold(g, 9, 10) for g in ("g0", "g1")} == batch_q
+
+
+# --- cross-batch state recurrence --------------------------------------------
+# GroupState.get is a PROPERTY; the three applyInPandasWithState operators
+# once called it as a method, which only explodes when a key RECURS across
+# micro-batches (state.exists True). Every earlier streaming test was a
+# single availableNow batch, so the 20M-event throughput bench found it
+# first. These tests pin the fix: two time-ordered files, maxFilesPerTrigger
+# = 1, same keys in both batches.
+
+
+def _two_file_stream(tmp_path, spark, schema, rows1, rows2, sub):
+    src = os.path.join(str(tmp_path), sub)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    # force batch order = declaration order (the file source sorts by mtime)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (1_600_000_000 + i,) * 2)
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+
+def test_running_key_stats_state_recurs_across_batches(spark, tmp_path):
+    from cehrbert_data_spark.streaming import running_key_stats_stream as rks
+
+    t = datetime.datetime
+    stream = _two_file_stream(
+        tmp_path, spark, "uid int, ts timestamp, v double",
+        [(1, t(2020, 1, 1, 10, 0), 1.0), (1, t(2020, 1, 1, 10, 5), 3.0)],
+        [(1, t(2020, 1, 1, 11, 0), 10.0), (2, t(2020, 1, 1, 11, 5), 5.0)],
+        "rks_src",
+    )
+    q = (
+        rks(stream, ["uid"], "ts", "v", state_timeout_ms=None)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rks_recur_mem")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "rks_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()  # state_timeout_ms=None (NoTimeout): with a
+    # ProcessingTimeTimeout registered, availableNow spins forever on
+    # empty timeout-check batches and never self-terminates
+    q.stop()
+    rows = spark.sql("SELECT * FROM rks_recur_mem").collect()
+    final = {}
+    for r in rows:  # update mode: later emissions overwrite
+        if r["uid"] not in final or r["n_events"] > final[r["uid"]][0]:
+            final[r["uid"]] = (r["n_events"], r["sum_value"])
+    # uid 1 accumulated ACROSS batches: 2 events in batch 1 + 1 in batch 2
+    assert final == {1: (3, 14.0), 2: (1, 5.0)}
+    assert any(r["uid"] == 1 and r["n_events"] == 2 for r in rows)  # batch-1 emission
+
+
+def test_minhash_dedup_state_recurs_across_batches(spark, tmp_path):
+    from cehrbert_data_spark.streaming import minhash_dedup_stream
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    stream = _two_file_stream(
+        tmp_path, spark, "doc_id long, text string",
+        [(1, text_a)],
+        [(2, text_a)],  # exact dup arrives one batch LATER
+        "mhd_src",
+    )
+    q = (
+        minhash_dedup_stream(stream, "doc_id", "text", state_timeout_ms=None)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mhd_recur_mem")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "mhd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()  # state_timeout_ms=None (NoTimeout): with a
+    # ProcessingTimeTimeout registered, availableNow spins forever on
+    # empty timeout-check batches and never self-terminates
+    q.stop()
+    got = {(r["id"], r["keeper"]) for r in spark.sql("SELECT * FROM mhd_recur_mem").collect()}
+    # doc 2 must collide with the BUFFERED batch-1 keeper, not a fresh bucket
+    assert (2, 1) in got
+
+
+def test_asof_state_recurs_across_batches(spark, tmp_path):
+    """Left rows in batch 2 must join rights BUFFERED from batch 1."""
+    t = datetime.datetime
+    lsrc = os.path.join(str(tmp_path), "asof_l")
+    rsrc = os.path.join(str(tmp_path), "asof_r")
+    spark.createDataFrame(
+        [(1, t(2020, 1, 1, 10, 0), "early")], "uid int, ts timestamp, tag string"
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(
+        [(1, t(2020, 1, 1, 12, 0), "late")], "uid int, ts timestamp, tag string"
+    ).coalesce(1).write.mode("append").parquet(lsrc)
+    lparts = sorted(
+        f for f in os.listdir(lsrc) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    for i, f in enumerate(lparts):
+        os.utime(os.path.join(lsrc, f), (1_600_000_000 + i,) * 2)
+    spark.createDataFrame(
+        [(1, t(2020, 1, 1, 11, 0), 20.0)], "uid int, ts timestamp, value double"
+    ).write.parquet(rsrc)
+
+    lstream = (
+        spark.readStream.schema("uid int, ts timestamp, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc)
+    )
+    rstream = spark.readStream.schema("uid int, ts timestamp, value double").parquet(rsrc)
+    joined = asof_join_stream(lstream, rstream, ["uid"], "ts", "value",
+                              lookback_s=86400.0, state_timeout_ms=None)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_recur_mem")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()  # state_timeout_ms=None (NoTimeout): with a
+    # ProcessingTimeTimeout registered, availableNow spins forever on
+    # empty timeout-check batches and never self-terminates
+    q.stop()
+    got = {r["tag"]: r["asof_value"] for r in spark.sql("SELECT * FROM asof_recur_mem").collect()}
+    # batch 2's left row ('late', 12:00) sees the right (11:00, 20.0) only
+    # through the cross-batch buffer
+    assert got["late"] == 20.0

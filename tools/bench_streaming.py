@@ -130,9 +130,11 @@ def _fold_df(df):
     return {"n_rows": r["n_rows"], "xor_h": r["xor_h"], "sum_h": r["sum_h"]}
 
 
-def run_stream(spark, data_dir: str, work_dir: str, name: str, build):
+def run_stream(spark, data_dir: str, work_dir: str, name: str, build,
+               mode: str = "append"):
     """Drive `build(df) -> df` over the chunked file stream; return metrics +
-    the sink fold."""
+    the sink fold. ``mode='update'`` (applyInPandasWithState operators)
+    routes through foreachBatch — the parquet sink only accepts append."""
     src = os.path.join(data_dir, "events")
     sink = os.path.join(work_dir, f"sink_{name}")
     ckpt = os.path.join(work_dir, f"ckpt_{name}")
@@ -145,17 +147,25 @@ def run_stream(spark, data_dir: str, work_dir: str, name: str, build):
     )
     out = build(stream)
     t0 = time.time()
+    writer = out.writeStream.outputMode(mode)
+    if mode == "append":
+        writer = writer.format("parquet").option("path", sink)
+    else:
+        writer = writer.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+        )
     q = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
+        writer.option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # availableNow never self-terminates while an applyInPandasWithState
+    # ProcessingTimeTimeout is registered (the engine waits to fire it);
+    # block on the data instead, then stop.
+    q.processAllAvailable()
     wall = time.time() - t0
     progress = q.recentProgress
+    q.stop()
     n_batches = len([p for p in progress if p["numInputRows"] > 0])
     in_rows = sum(p["numInputRows"] for p in progress)
     from pyspark.sql import functions as F
@@ -185,8 +195,10 @@ def main() -> int:
     print(f"[gen] {census}", flush=True)
 
     from pyspark.sql import SparkSession, functions as F
+    from cehrbert_data_spark.operators.windows import top1_per_group_agg
     from cehrbert_data_spark.streaming import (
         hourly_rollup_stream,
+        running_key_stats_stream,
         session_window_stream,
         sliding_rollup_stream,
         stream_static_enrich,
@@ -216,17 +228,45 @@ def main() -> int:
     # real row is EVER late relative to a finalized window and stream output
     # is exactly the batch output (the parity contract this bench asserts).
     WM = "4 hours"
+
+    # key_stats (applyInPandasWithState — the Arrow-state escape hatch,
+    # the only Python-side state path in the tree) emits RUNNING totals
+    # per key per batch; its batch fallback returns final totals. Parity:
+    # reduce the sink to the last emission per key (n_events is strictly
+    # monotone within a key, so rank-1 by n_events desc — dogfooding the
+    # agg-form top-1 operator) and canonicalize the double sum to exact
+    # cents: v carries 2 decimals, so the true sum is an integer number of
+    # cents and the ~1e-11 arrival-order double drift rounds away exactly.
+    def _last_per_key(df):
+        return top1_per_group_agg(
+            df, ["uid"], ["n_events", "last_ts", "sum_value"],
+            descending=True,
+        )
+
+    def _cents_canon(df):
+        return df.select(
+            "uid", "n_events", "last_ts",
+            F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+        )
+
+    # name -> (stream builder, sink post-reduction, canonicalizer)
     OPS = {
-        "hourly_rollup": lambda df: hourly_rollup_stream(
-            df, ["uid"], "ts", "v", watermark=WM),
-        "sliding_rollup": lambda df: sliding_rollup_stream(
-            df, ["uid"], "ts", "v", watermark=WM),
-        "session_window": lambda df: session_window_stream(
-            df, ["uid"], "ts", watermark=WM),
-        "streaming_dedup": lambda df: streaming_dedup(
-            df, ["uid", "ts", "v"], "ts", watermark=WM),
-        "static_enrich": lambda df: stream_static_enrich(df, dim, ["uid"]),
+        "hourly_rollup": (lambda df: hourly_rollup_stream(
+            df, ["uid"], "ts", "v", watermark=WM), None, None),
+        "sliding_rollup": (lambda df: sliding_rollup_stream(
+            df, ["uid"], "ts", "v", watermark=WM), None, None),
+        "session_window": (lambda df: session_window_stream(
+            df, ["uid"], "ts", watermark=WM), None, None),
+        "streaming_dedup": (lambda df: streaming_dedup(
+            df, ["uid", "ts", "v"], "ts", watermark=WM), None, None),
+        "static_enrich": (lambda df: stream_static_enrich(
+            df, dim, ["uid"]), None, None),
+        "key_stats_state": (lambda df: running_key_stats_stream(
+            df, ["uid"], "ts", "v", watermark=WM,
+            state_timeout_ms=None), _last_per_key,
+            _cents_canon),
     }
+    MODES = {"key_stats_state": "update"}
 
     record = {
         "metric": "streaming_micro_batch_throughput",
@@ -242,13 +282,22 @@ def main() -> int:
         "operators": {},
     }
     ok = True
-    for name, build in OPS.items():
+    for name, (build, post, canon) in OPS.items():
         print(f"[run] {name} (stream)", flush=True)
-        metrics, sunk = run_stream(spark, data_dir, work_dir, name, build)
+        metrics, sunk = run_stream(
+            spark, data_dir, work_dir, name, build,
+            mode=MODES.get(name, "append"),
+        )
+        if post is not None:
+            sunk = post(sunk)
+        if canon is not None:
+            sunk = canon(sunk)
         print(f"[run] {name} (batch dual + folds)", flush=True)
         tb = time.time()
         # The batch dual: the SAME operator on the batch read (unified API).
         bout = build(batch)
+        if canon is not None:
+            bout = canon(bout)
         bfold = _fold_df(bout)
         batch_wall = round(time.time() - tb, 2)
         sfold = _fold_df(sunk)
