@@ -83,8 +83,23 @@ def transitive_closure(
     if hop_batch is None:
         n_edges = n_pairs if seeds is None else edges.count()
         hop_batch = 4 if max(n_pairs, n_edges) <= 100_000 else 2
+    else:
+        n_edges = n_pairs if seeds is None else edges.count()
+    # Small-graph broadcast levers (r11, guide §3.1): when the edge set is
+    # provably tiny (same ≤100k signal that picks hop_batch=4 — the counts
+    # are already paid for), hint the powered-step side of the per-hop join
+    # and the closure side of the anti-join broadcast. The frontier then
+    # never shuffles for the join, and candidates never shuffle for the
+    # anti-join — each iteration drops from ~3 exchanges to 1 (the
+    # min-distance agg). At scale the flag is False and the loop keeps its
+    # shuffle-join shape unchanged. Closure size is re-checked per
+    # iteration (it grows); the broadcast is dropped past the bound.
+    bcast_small = max(n_pairs, n_edges) <= 100_000
     if loop_width >= session_width:
-        return _closure_loop(closure, frontier, step, max_iterations, hop_batch)
+        return _closure_loop(
+            closure, frontier, step, max_iterations, hop_batch,
+            bcast_small=bcast_small, pairs_so_far=n_pairs,
+        )
     # Narrow the loop's shuffle width WITHOUT touching the caller's session:
     # a cloned session (same SparkContext/executors, independent SQLConf)
     # carries the narrowed spark.sql.shuffle.partitions, and global temp
@@ -104,7 +119,10 @@ def transitive_closure(
     try:
         seed = loop_spark.table(f"{gt_db}.{tag}_seed")
         loop_step = loop_spark.table(f"{gt_db}.{tag}_step")
-        result = _closure_loop(seed, seed, loop_step, max_iterations, hop_batch)
+        result = _closure_loop(
+            seed, seed, loop_step, max_iterations, hop_batch,
+            bcast_small=bcast_small, pairs_so_far=n_pairs,
+        )
         # Re-root the RESULT back onto the caller's session (the reverse of
         # the seed/step re-rooting above): the loop's DataFrames are bound
         # to loop_spark, whose shuffle width is pinned to loop_width (as low
@@ -123,7 +141,15 @@ def transitive_closure(
         spark.catalog.dropGlobalTempView(f"{tag}_step")
 
 
-def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):
+def _closure_loop(
+    closure,
+    frontier,
+    step,
+    max_iterations,
+    hop_batch: int = 2,
+    bcast_small: bool = False,
+    pairs_so_far: int = 0,
+):
     """Hop-batched BFS: each iteration advances the frontier by 1..B edges
     at once (frontier ⋈ (E ∪ E² ∪ … ∪ E^B)), dividing the number of
     iterations by B — the dominant cost of the driver loop is per-iteration
@@ -160,13 +186,14 @@ def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):
     width = int(steps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     steps = steps.coalesce(width).localCheckpoint(eager=False)
     for _ in range(max_iterations):
+        step_side = F.broadcast(steps) if bcast_small else steps
         candidates = (
-            frontier.join(steps, frontier["dst"] == steps["e_src"])
+            frontier.join(step_side, frontier["dst"] == step_side["e_src"])
             .groupBy(
                 frontier["src"].alias("src"),
-                steps["e_dst"].alias("dst"),
+                step_side["e_dst"].alias("dst"),
             )
-            .agg(F.min(frontier["distance"] + steps["e_d"]).alias("distance"))
+            .agg(F.min(frontier["distance"] + step_side["e_d"]).alias("distance"))
         )
         # Keep only genuinely new (src, dst) pairs; the batched BFS still
         # discovers pairs in nondecreasing distance order, so first recorded
@@ -175,10 +202,21 @@ def _closure_loop(closure, frontier, step, max_iterations, hop_batch: int = 2):
         # lineage stays one union deep and needs no barrier of its own. The
         # checkpoint is lazy and the emptiness count is its materializing
         # action: ONE job per iteration, not checkpoint + isEmpty.
-        new_pairs = candidates.join(closure, ["src", "dst"], "left_anti")
+        # Anti-join side: broadcast while the accumulated closure is still
+        # provably under the small-graph bound (its exact size is known —
+        # it is the running sum of counted deltas); a closure that outgrows
+        # the bound falls back to the shuffle anti-join mid-run.
+        closure_side = (
+            F.broadcast(closure.select("src", "dst"))
+            if bcast_small and pairs_so_far <= 100_000
+            else closure
+        )
+        new_pairs = candidates.join(closure_side, ["src", "dst"], "left_anti")
         new_pairs = new_pairs.coalesce(width).localCheckpoint(eager=False)
-        if new_pairs.count() == 0:
+        delta = new_pairs.count()
+        if delta == 0:
             break
+        pairs_so_far += delta
         closure = closure.unionByName(new_pairs)
         frontier = new_pairs
     return closure

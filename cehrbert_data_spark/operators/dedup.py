@@ -67,7 +67,11 @@ def doc_shingles(
         F.array().cast("array<int>")
     )
     pairs = (
-        widen_for_fanout(df)
+        # by=id: hash widen (no round-robin pre-sort) AND the signature /
+        # size groupBy("id") downstream reuses this exchange — Project is
+        # alias-aware and Generate preserves partitioning, so the explode
+        # output stays hash(id)-clustered (r11, one Exchange removed).
+        widen_for_fanout(df, by=id_col)
         .select(F.col(id_col).alias("id"), w.alias("__w"))
         .select("id", "__w", F.explode(idx).alias("__i"))
         .select(
@@ -568,7 +572,9 @@ def remove_duplicated_ngrams(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     out_col = out_col or text_col
     w = words(F.col(text_col))
-    base = widen_for_fanout(df).select(F.col(id_col).alias("id"), w.alias("__w"))
+    base = widen_for_fanout(df, by=id_col).select(
+        F.col(id_col).alias("id"), w.alias("__w")
+    )
     n_tok = F.size("__w")
     toks = base.select(
         "id", F.posexplode("__w").alias("__p0", "__word")
@@ -656,7 +662,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFr
     bit arithmetic (portable across engines).
     """
     word_counts = (
-        widen_for_fanout(df).select(
+        widen_for_fanout(df, by=id_col).select(
             F.col(id_col).alias("id"),
             F.explode(words(F.col(text_col))).alias("word"),
         )
@@ -745,7 +751,7 @@ def embedding_neardup_pairs(
         with_quantized_norm,
     )
 
-    sided = with_quantized_norm(widen_for_fanout(df), vec_col).select(
+    sided = with_quantized_norm(widen_for_fanout(df, by=id_col), vec_col).select(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
     cos = (

@@ -90,6 +90,7 @@ def asof_join(
     metric: Column | Sequence[Column],
     left_key: str | Sequence[str] = None,
     how: str = "inner",
+    strategy: str = "window",
 ) -> DataFrame:
     """J7: interval join, then rank-1 per left row by ``metric``.
 
@@ -98,12 +99,45 @@ def asof_join(
     ties broken deterministically by appending the metric columns only —
     callers needing total determinism include a unique right column in
     ``metric``.
+
+    ``strategy`` (r11, guide §2.3 "aggregate before you shuffle"):
+
+    * ``"window"`` (default) — row_number over the candidate fan-out, then
+      keep rank 1. Every candidate pair crosses the rank exchange and the
+      hottest left key funnels through one reducer's sort.
+    * ``"agg"`` — elect the winner by ``min(struct(metrics…, payload))``
+      partial aggregation (the relink/o2 promotion applied to the as-of):
+      each map task keeps ONE candidate per left key before the shuffle, so
+      the exchange carries ~|left| rows instead of Σ|candidates|, and a hot
+      key stays spread across map tasks (the skew shape AQE cannot split —
+      it only rewrites joins). Restrictions, asserted: ``how='inner'``,
+      every ``metric`` is a plain column NAME (election is ascending
+      min(struct); pass the window form for mixed/desc orderings), and the
+      metric columns must be non-null on candidates (NULL field ordering in
+      struct min differs from the window's NULLS FIRST). Rows identical to
+      the window form whenever (metrics…) is a total order within each left
+      key — the same precondition a deterministic rank 1 already requires.
     """
     on_list = [on] if isinstance(on, str) else list(on)
     lk = left_key if left_key is not None else on_list
     lk = [lk] if isinstance(lk, str) else list(lk)
-    metrics = [metric] if isinstance(metric, Column) else list(metric)
     joined = interval_join(left, right, on_list, point, lower, upper, how)
+    if strategy == "agg":
+        if how != "inner":
+            raise ValueError("asof_join(strategy='agg') requires how='inner'")
+        metric_names = [metric] if isinstance(metric, str) else list(metric)
+        bad = [m for m in metric_names if not isinstance(m, str)]
+        if bad:
+            raise ValueError(
+                "asof_join(strategy='agg') needs metric column NAMES "
+                f"(ascending election); got {bad}"
+            )
+        from cehrbert_data_spark.operators.windows import top1_per_group_agg
+
+        return top1_per_group_agg(joined, lk, metric_names)
+    if strategy != "window":
+        raise ValueError(f"unknown asof strategy {strategy!r}")
+    metrics = [metric] if isinstance(metric, Column) else list(metric)
     w = Window.partitionBy(*[F.col(c) for c in lk]).orderBy(*metrics)
     return (
         joined.withColumn("__asof_rank", F.row_number().over(w))

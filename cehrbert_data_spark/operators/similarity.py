@@ -60,7 +60,7 @@ def cosine_topk(
     """
     from cehrbert_data_spark.operators.partitioning import widen_for_fanout
 
-    c = with_quantized_norm(widen_for_fanout(corpus), vec_col).select(
+    c = with_quantized_norm(widen_for_fanout(corpus, by=id_col), vec_col).select(
         F.col(id_col).alias("n_id"), F.col("ivec").alias("n_vec"), F.col("inorm2").alias("n_norm2")
     )
     q = with_quantized_norm(queries, vec_col).select(
@@ -104,7 +104,7 @@ def lsh_buckets_multi(
     """
     from cehrbert_data_spark.operators.partitioning import widen_for_fanout
 
-    q = with_quantized_norm(widen_for_fanout(df), vec_col)
+    q = with_quantized_norm(widen_for_fanout(df, by=id_col), vec_col)
     total = num_planes * num_tables
     planes = df.sparkSession.range(total).select(F.col("id").alias("p"))
     exploded = q.select(

@@ -35,7 +35,12 @@ def _md5_long_sql(expr: str, bits: int = 60) -> str:
 # --- text analysis -----------------------------------------------------------
 
 def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # Hash widen (guide §2.5): the regex/array feature projection otherwise
+    # runs on the single-row-group scan's ONE task (r11: 0.44 s -> 0.20 s
+    # median exec at sf0.1; no-op at real scale).
+    from cehrbert_data_spark.operators.partitioning import widen_for_fanout
+
+    docs = widen_for_fanout(read_table(spark, sf_dir, "documents"), by="doc_id")
     return quality_features(docs).select(
         "doc_id",
         "q_n_chars",

@@ -24,6 +24,7 @@ from cehrbert_data_spark.operators.joins import (
     semi_filter,
     with_scalar_max,
 )
+from cehrbert_data_spark.operators.partitioning import widen_for_fanout
 from cehrbert_data_spark.operators.windows import (
     ordered_rank,
     prev_value,
@@ -36,7 +37,14 @@ from cehrbert_data_spark.sources.readers import read_table
 # --- A1: multi-function hash aggregation (TPC-H Q1 shape) -------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
+    # widen_for_fanout (guide §2.5): the testdata parquet is a single row
+    # group, so the scan — and with it the whole decimal partial-agg map
+    # side — is ONE task no matter how many cores exist. The hash widen on
+    # the high-cardinality orderkey spreads the partial aggregation across
+    # the cluster without round-robin's pre-sort; at real scale the input
+    # is already wide and this is a no-op (r11: exec median 1.23 s -> 0.54 s,
+    # OPTIMIZATION_r11.md).
+    li = widen_for_fanout(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(20,6)"
     )
@@ -281,9 +289,21 @@ def j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     then rank-1 per left row (the reference's best-candidate-visit match,
     utils/spark_utils.py:748-752)."""
     orders = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
+    # Hash widen (guide §2.5): the broadcast probe of 600k lineitems against
+    # the orders hash table otherwise runs on the single-row-group scan's
+    # one task (r11: window-form exec 0.75 s -> 0.56 s median; no-op at
+    # real scale).
+    li = widen_for_fanout(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
     od = orders.select(F.col("o_orderkey").alias("k"), "o_orderdate")
     sh = li.select(F.col("l_orderkey").alias("k"), "l_shipdate", "l_linenumber")
+    # strategy="agg" (r11, guide §2.3): the rank-1 winner is elected by
+    # min(struct(l_shipdate, l_linenumber, …)) partial aggregation instead
+    # of a row_number over the full candidate fan-out — the exchange carries
+    # ~|orders| rows, not Σ|candidates|, and a hot order key cannot
+    # serialize one reducer's sort. (l_shipdate, l_linenumber) is a total
+    # order within each order (linenumber is unique per order), so the
+    # winner — and the oracle — is identical to the window form's
+    # (re-gated against the DuckDB oracle at sf0.001/sf0.01 this round).
     matched = asof_join(
         od,
         sh,
@@ -291,8 +311,9 @@ def j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         point=sh["l_shipdate"],
         lower=od["o_orderdate"],
         upper=F.expr("o_orderdate + INTERVAL 365 DAYS"),
-        metric=[F.col("l_shipdate").asc(), F.col("l_linenumber").asc()],
+        metric=["l_shipdate", "l_linenumber"],
         left_key="k",
+        strategy="agg",
     )
     return matched.select(
         F.col("k").alias("o_orderkey"), "l_shipdate", "l_linenumber"
@@ -470,7 +491,12 @@ GROUP BY o.o_orderpriority
 # --- A2: hourly-bucket mean ---------------------------------------------------
 
 def a2_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = read_table(spark, sf_dir, "events")
+    # Hash widen on the group key (guide §2.5 + §2.4): parallelizes the
+    # single-row-group scan's decimal partial agg, and because user_id is a
+    # subset of the groupBy keys the aggregation reuses this exchange — the
+    # query still shuffles exactly once (r11: exec 0.47 s -> 0.38 s median;
+    # no-op at real scale where the scan is already wide).
+    events = widen_for_fanout(read_table(spark, sf_dir, "events"), by="user_id")
     return hourly_mean(events, ["user_id"], "ts", "value")
 
 

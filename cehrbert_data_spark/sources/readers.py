@@ -58,6 +58,16 @@ def _nanos_timestamp_fields(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+#: (path, mtime) -> inferred Spark schema. Metadata-only cache (r11, guide
+#: §1/§6): ``spark.read.parquet`` re-reads the footer to infer the schema on
+#: EVERY call (~55-85 ms/table on this box); passing the schema explicitly
+#: skips that, the standard production practice. The mtime key invalidates
+#: the entry whenever the file (or directory listing) changes, so re-written
+#: sink paths re-infer. No row data is ever cached — execution always scans
+#: the parquet.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named testdata/OMOP table under ``sf_dir``.
 
@@ -79,7 +89,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(path)
+    try:
+        cache_key = (path, os.path.getmtime(path))
+    except OSError:
+        cache_key = None
+    schema = _SCHEMA_CACHE.get(cache_key) if cache_key else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if cache_key is not None:
+            if len(_SCHEMA_CACHE) > 1024:
+                _SCHEMA_CACHE.clear()
+            _SCHEMA_CACHE[cache_key] = df.schema
     for col in nanos_cols:
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df

@@ -32,10 +32,10 @@ def test_closure_loop_never_mutates_caller_session_conf(spark, monkeypatch):
         seen = {}
         real_loop = closure_mod._closure_loop
 
-        def probing_loop(closure, frontier, step, max_iterations, hop_batch=2):
+        def probing_loop(closure, frontier, step, max_iterations, hop_batch=2, **kw):
             seen["caller_width_during_loop"] = spark.conf.get(key)
             seen["loop_width"] = step.sparkSession.conf.get(key)
-            return real_loop(closure, frontier, step, max_iterations, hop_batch)
+            return real_loop(closure, frontier, step, max_iterations, hop_batch, **kw)
 
         monkeypatch.setattr(closure_mod, "_closure_loop", probing_loop)
         edges = spark.createDataFrame(
