@@ -168,9 +168,12 @@ def _closure_loop(
     arms = [step.withColumn("e_d", F.lit(1))]
     prev = step
     for k in range(2, hop_batch + 1):
+        # Small graphs: broadcast the right side of each powering join so
+        # the one steps-materialization job runs shuffle-free (r11).
+        step_b = F.broadcast(step) if bcast_small else step
         prev = (
             prev.alias("a")
-            .join(step.alias("b"), F.col("a.e_dst") == F.col("b.e_src"))
+            .join(step_b.alias("b"), F.col("a.e_dst") == F.col("b.e_src"))
             .select(F.col("a.e_src").alias("e_src"), F.col("b.e_dst").alias("e_dst"))
         )
         arms.append(prev.withColumn("e_d", F.lit(k)))
