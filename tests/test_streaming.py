@@ -359,13 +359,19 @@ def test_hist_bin_stream_matches_batch_and_quantile(spark, tmp_path):
 # = 1, same keys in both batches.
 
 
+def _list_parts(src):
+    return {
+        f for f in os.listdir(src) if f.endswith(".parquet") and not f.startswith("_")
+    }
+
+
 def _two_file_stream(tmp_path, spark, schema, rows1, rows2, sub):
     src = os.path.join(str(tmp_path), sub)
     spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    batch1 = _list_parts(src)  # part names embed a random uuid: capture the
+    # write-1 files NOW — sorting names later would order batches by uuid
     spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
-    parts = sorted(
-        f for f in os.listdir(src) if f.endswith(".parquet") and not f.startswith("_")
-    )
+    parts = sorted(batch1) + sorted(_list_parts(src) - batch1)
     # force batch order = declaration order (the file source sorts by mtime)
     for i, f in enumerate(parts):
         os.utime(os.path.join(src, f), (1_600_000_000 + i,) * 2)
@@ -441,12 +447,11 @@ def test_asof_state_recurs_across_batches(spark, tmp_path):
     spark.createDataFrame(
         [(1, t(2020, 1, 1, 10, 0), "early")], "uid int, ts timestamp, tag string"
     ).coalesce(1).write.mode("append").parquet(lsrc)
+    lbatch1 = _list_parts(lsrc)  # write-order capture, as in _two_file_stream
     spark.createDataFrame(
         [(1, t(2020, 1, 1, 12, 0), "late")], "uid int, ts timestamp, tag string"
     ).coalesce(1).write.mode("append").parquet(lsrc)
-    lparts = sorted(
-        f for f in os.listdir(lsrc) if f.endswith(".parquet") and not f.startswith("_")
-    )
+    lparts = sorted(lbatch1) + sorted(_list_parts(lsrc) - lbatch1)
     for i, f in enumerate(lparts):
         os.utime(os.path.join(lsrc, f), (1_600_000_000 + i,) * 2)
     spark.createDataFrame(
