@@ -188,6 +188,18 @@ def _closure_loop(
     # — coalesce (narrow, no shuffle) pins them back to the loop width.
     width = int(steps.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     steps = steps.coalesce(width).localCheckpoint(eager=False)
+    # Early-termination capacity: iteration i discovers exactly the pairs
+    # with min-distance in (cap, cap + B] (the nondecreasing-distance
+    # invariant above). Min-distances of a closure are downward-closed —
+    # every prefix of a shortest path is itself a shortest path, so a pair
+    # at distance d implies pairs at every distance 1..d (from the same
+    # source, so this holds for seeded runs too). Hence when an iteration's
+    # max discovered distance lands SHORT of its capacity, no deeper pair
+    # can exist anywhere and the would-be-empty next iteration (a full
+    # frontier⋈steps + anti-join job) is skipped. The max rides the same
+    # job as the delta count; with B=1 new distances always equal the
+    # capacity, so the check never fires and plain BFS is unchanged.
+    cap = 1  # level_1 seeds the closure at distance 1
     for _ in range(max_iterations):
         step_side = F.broadcast(steps) if bcast_small else steps
         candidates = (
@@ -216,12 +228,17 @@ def _closure_loop(
         )
         new_pairs = candidates.join(closure_side, ["src", "dst"], "left_anti")
         new_pairs = new_pairs.coalesce(width).localCheckpoint(eager=False)
-        delta = new_pairs.count()
+        delta, max_d = new_pairs.agg(
+            F.count(F.lit(1)), F.max("distance")
+        ).first()
         if delta == 0:
             break
         pairs_so_far += delta
         closure = closure.unionByName(new_pairs)
         frontier = new_pairs
+        cap += hop_batch
+        if max_d < cap:
+            break
     return closure
 
 

@@ -58,13 +58,16 @@ def doc_shingles(
     every shingle-based operator (measured ~20% faster at sf0.1). Same
     shingle strings as :func:`operators.text.shingles` by construction.
     """
-    w = words(F.col(text_col))
     # Guarded range: sequence(1, 0) infers a NEGATIVE step ([1, 0], two
     # bogus indices), so docs shorter than k words must yield an empty
     # array explicitly — matching GENERATE_SERIES(1, n-k+1) in the oracles.
-    n = F.size("__w")
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
+    # selectExpr strings, not composed Columns: this chain was ~150 Py4J
+    # round trips of per-operator chatter on EVERY shingle-consumer build
+    # (guide §1 fixed overheads; same analyzed plan — words() is
+    # split(trim(.), '\s+'), the default parser keeps '\\s+' as \s+).
+    idx = (
+        f"CASE WHEN size(__w) >= {k} THEN sequence(1, size(__w) - {k - 1})"
+        f" ELSE CAST(array() AS array<int>) END"
     )
     pairs = (
         # by=id: hash widen (no round-robin pre-sort) AND the signature /
@@ -72,12 +75,11 @@ def doc_shingles(
         # alias-aware and Generate preserves partitioning, so the explode
         # output stays hash(id)-clustered (r11, one Exchange removed).
         widen_for_fanout(df, by=id_col)
-        .select(F.col(id_col).alias("id"), w.alias("__w"))
-        .select("id", "__w", F.explode(idx).alias("__i"))
-        .select(
-            "id",
-            F.concat_ws(" ", F.slice(F.col("__w"), F.col("__i"), k)).alias("shingle"),
+        .selectExpr(
+            f"`{id_col}` AS id", f"split(trim(`{text_col}`), '\\\\s+') AS __w"
         )
+        .selectExpr("id", "__w", f"explode({idx}) AS __i")
+        .selectExpr("id", f"concat_ws(' ', slice(__w, __i, {k})) AS shingle")
     )
     return pairs.distinct() if distinct else pairs
 
@@ -410,7 +412,7 @@ def semantic_dedup(
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = (
-        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        int_dot("a.ivec", "b.ivec").cast("double")
         / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
     )
     dup_anchor = (
@@ -760,7 +762,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), "ivec", "inorm2"
     )
     cos = (
-        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        int_dot("a.ivec", "b.ivec").cast("double")
         / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
     )
     if candidates == "lsh":

@@ -22,14 +22,37 @@ from pyspark.sql import functions as F
 from cehrbert_data_spark.operators.text import md5_long
 
 
-def quantize(vec: Column, scale: int = 1000) -> Column:
+def _sqlref(name: str) -> str:
+    """SQL reference for a column name: backtick plain names; pass
+    alias-qualified ``a.col`` refs through (same dot ambiguity as F.col)."""
+    return name if "." in name or name.startswith("`") else f"`{name}`"
+
+
+def quantize(vec: Column | str, scale: int = 1000) -> Column:
     """array<float> → array<long> by round(x*scale): exact arithmetic from
-    here on."""
+    here on.
+
+    Pass the column NAME when you have one: the whole expression then builds
+    in a single F.expr round trip instead of one Py4J RPC per lambda
+    operator (guide §1 fixed overheads — same analyzed expression, measured
+    on the r11 minhash conversion). Column inputs keep the lambda path for
+    composed expressions.
+    """
+    if isinstance(vec, str):
+        return F.expr(
+            f"transform({_sqlref(vec)}, x -> CAST(round(x * {scale}) AS BIGINT))"
+        )
     return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
 
 
-def int_dot(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two array<long> columns."""
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two array<long> columns (names build via
+    one F.expr — see ``quantize``)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({_sqlref(a)}, {_sqlref(b)}, (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -39,9 +62,9 @@ def int_dot(a: Column, b: Column) -> Column:
 
 def with_quantized_norm(df: DataFrame, vec_col: str, out_vec: str = "ivec") -> DataFrame:
     """Attach the quantized vector and its exact squared norm."""
-    q = quantize(F.col(vec_col))
+    q = quantize(vec_col)
     return df.withColumn(out_vec, q).withColumn(
-        "inorm2", int_dot(F.col(out_vec), F.col(out_vec))
+        "inorm2", int_dot(out_vec, out_vec)
     )
 
 
@@ -68,7 +91,7 @@ def cosine_topk(
     )
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("n_id") != F.col("q_id"))
     cos = (
-        int_dot(F.col("q_vec"), F.col("n_vec")).cast("double")
+        int_dot("q_vec", "n_vec").cast("double")
         / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("n_norm2")))
     )
     scored = pairs.select("q_id", "n_id", cos.alias("cosine"))
@@ -171,7 +194,7 @@ def lsh_topk(
     a = side.alias("a")
     b = side.alias("b")
     cos = (
-        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        int_dot("a.ivec", "b.ivec").cast("double")
         / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
     )
     pairs = (
@@ -276,7 +299,7 @@ def ivf_assign(
         centroids = codebook.select(
             "cid",
             F.col("cvec").alias("cvec"),
-            int_dot(F.col("cvec"), F.col("cvec")).alias("cnorm2"),
+            int_dot("cvec", "cvec").alias("cnorm2"),
         )
     else:
         centroids = q.where(F.col("id") % centroid_mod == 0).select(
@@ -285,7 +308,7 @@ def ivf_assign(
             F.col("inorm2").alias("cnorm2"),
         )
     cos = (
-        int_dot(F.col("ivec"), F.col("cvec")).cast("double")
+        int_dot("ivec", "cvec").cast("double")
         / (F.sqrt(F.col("inorm2")) * F.sqrt(F.col("cnorm2")))
     )
     scored = q.crossJoin(F.broadcast(centroids)).select(
@@ -338,7 +361,7 @@ def ivf_topk(
     queries = q.join(probes.select("id", "cid"), "id")
     a, b = queries.alias("a"), corpus.alias("b")
     cos = (
-        int_dot(F.col("a.ivec"), F.col("b.ivec")).cast("double")
+        int_dot("a.ivec", "b.ivec").cast("double")
         / (F.sqrt(F.col("a.inorm2")) * F.sqrt(F.col("b.inorm2")))
     )
     pairs = a.join(
@@ -376,7 +399,7 @@ def pq_codes(
     aggregation, so the corpus shuffles only (id, m, best) triples, never
     the vectors.
     """
-    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("ivec"))
+    q = df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("ivec"))
     subvecs = q.select(
         "id",
         F.posexplode(
@@ -435,7 +458,7 @@ def pq_topk(
     codes = pq_codes(df, id_col, vec_col, num_subspaces, centroid_mod)
     # Query-to-centroid lookup table: |Q| × K × M rows, tiny → broadcast.
     qsub = (
-        queries.select(F.col(id_col).alias("q_id"), quantize(F.col(vec_col)).alias("ivec"))
+        queries.select(F.col(id_col).alias("q_id"), quantize(vec_col).alias("ivec"))
         .select(
             "q_id",
             F.posexplode(
@@ -453,7 +476,7 @@ def pq_topk(
         )
     )
     cent = (
-        df.select(F.col(id_col).alias("cid"), quantize(F.col(vec_col)).alias("ivec"))
+        df.select(F.col(id_col).alias("cid"), quantize(vec_col).alias("ivec"))
         .where(F.col("cid") % centroid_mod == 0)
         .select(
             "cid",
