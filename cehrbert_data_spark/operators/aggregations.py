@@ -324,8 +324,18 @@ def corr_regression(
     )
 
 
+def _plain_ident(name: object) -> bool:
+    return isinstance(name, str) and name.isidentifier()
+
+
 def exact_sum(col: str | Column, scale: str = "decimal(20,4)") -> Column:
-    """Order-independent sum of a double column via decimal accumulation."""
+    """Order-independent sum of a double column via decimal accumulation.
+
+    Plain column names build as ONE ``F.expr`` instead of four Column-op
+    Py4J round trips — identical analyzed expression (r11 §7 discipline);
+    Columns and non-identifier names take the composed form."""
+    if _plain_ident(col):
+        return F.expr(f"CAST(SUM(CAST({col} AS {scale})) AS DOUBLE)")
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(scale)).cast("double")
 
@@ -333,5 +343,9 @@ def exact_sum(col: str | Column, scale: str = "decimal(20,4)") -> Column:
 def exact_avg(col: str | Column, scale: str = "decimal(20,6)") -> Column:
     """Order-independent mean: exact decimal sum / count, divided as doubles
     so any two engines computing it bit-match."""
+    if _plain_ident(col):
+        return F.expr(
+            f"CAST(SUM(CAST({col} AS {scale})) AS DOUBLE) / COUNT({col})"
+        )
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(scale)).cast("double") / F.count(c)

@@ -146,10 +146,13 @@ def minhash_signatures(
     # F.expr strings, not composed Column arithmetic: each Column operator
     # is a Py4J round trip, and 16 hashes × ~6 operators dominated the
     # DataFrame BUILD time of every minhash caller (r11 profile: 0.19 s of
-    # 0.47 s build in this listcomp alone). One expr per hash keeps the
-    # analyzed plan identical (integer literals, same arithmetic).
+    # 0.47 s build in this listcomp alone). The alias rides INSIDE the expr
+    # string (`… AS mh_h`): a separate .alias() is another Java round trip
+    # plus reflection/GC chatter — measured 253 → 77 RPCs for this listcomp
+    # alone, analyzed plan identical (integer literals, same arithmetic,
+    # same Alias node).
     aggs = [
-        F.expr(f"min((({a} * x) + {b}) % {MINHASH_P})").alias(f"mh_{h}")
+        F.expr(f"min((({a} * x) + {b}) % {MINHASH_P}) AS mh_{h}")
         for h, (a, b) in enumerate(minhash_coefficients(num_hashes))
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -251,15 +254,16 @@ def minhash_lsh_pairs(
         )
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")
+    # Single-expr condition/grouping/agg builds (r11 §7 discipline): same
+    # analyzed trees as the composed-Column forms, a fraction of the Py4J
+    # round trips.
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            F.expr("a.band = b.band AND a.band_key = b.band_key AND a.id < b.id"),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .groupBy(F.expr("a.id AS id_a"), F.expr("b.id AS id_b"))
+        .agg(F.expr("count(1) AS n_bands"))
     )
 
 

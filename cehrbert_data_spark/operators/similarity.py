@@ -45,14 +45,20 @@ def quantize(vec: Column | str, scale: int = 1000) -> Column:
     return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
 
 
+def _int_dot_sql(a: str, b: str) -> str:
+    """SQL text of the exact integer dot product — shared by ``int_dot``
+    and call sites that inline it into a larger single-expr build."""
+    return (
+        f"aggregate(zip_with({_sqlref(a)}, {_sqlref(b)}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def int_dot(a: Column | str, b: Column | str) -> Column:
     """Exact integer dot product of two array<long> columns (names build via
     one F.expr — see ``quantize``)."""
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(
-            f"aggregate(zip_with({_sqlref(a)}, {_sqlref(b)}, (x, y) -> x * y),"
-            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
+        return F.expr(_int_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -83,18 +89,22 @@ def cosine_topk(
     """
     from cehrbert_data_spark.operators.partitioning import widen_for_fanout
 
-    c = with_quantized_norm(widen_for_fanout(corpus, by=id_col), vec_col).select(
-        F.col(id_col).alias("n_id"), F.col("ivec").alias("n_vec"), F.col("inorm2").alias("n_norm2")
+    # selectExpr strings and one inlined cosine expr (r11 §7 discipline):
+    # identical analyzed trees, a fraction of the Py4J build round trips.
+    ref = _sqlref(id_col)
+    c = with_quantized_norm(widen_for_fanout(corpus, by=id_col), vec_col).selectExpr(
+        f"{ref} AS n_id", "ivec AS n_vec", "inorm2 AS n_norm2"
     )
-    q = with_quantized_norm(queries, vec_col).select(
-        F.col(id_col).alias("q_id"), F.col("ivec").alias("q_vec"), F.col("inorm2").alias("q_norm2")
+    q = with_quantized_norm(queries, vec_col).selectExpr(
+        f"{ref} AS q_id", "ivec AS q_vec", "inorm2 AS q_norm2"
     )
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("n_id") != F.col("q_id"))
-    cos = (
-        int_dot("q_vec", "n_vec").cast("double")
-        / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("n_norm2")))
+    pairs = c.crossJoin(F.broadcast(q)).where("n_id != q_id")
+    scored = pairs.selectExpr(
+        "q_id",
+        "n_id",
+        f"CAST({_int_dot_sql('q_vec', 'n_vec')} AS DOUBLE)"
+        " / (SQRT(q_norm2) * SQRT(n_norm2)) AS cosine",
     )
-    scored = pairs.select("q_id", "n_id", cos.alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -108,17 +108,20 @@ def top1_per_group_agg(
     payload_cols = [c for c in df.columns if c not in parts]
     # order keys first (they decide), then the remaining payload
     rest = [c for c in payload_cols if c not in order]
-    packed = F.struct(*[F.col(c) for c in order + rest])
     best_col = "__best"
     while best_col in df.columns:  # collision-safe temp name
         best_col += "_"
-    best = F.max(packed) if descending else F.min(packed)
+    # Single-expr builds (r11 §7 discipline): same analyzed trees as the
+    # composed-Column forms (struct fields are named by column either way,
+    # groupBy takes names directly), a fraction of the Py4J round trips.
+    packed = "struct(" + ", ".join(f"`{c}`" for c in order + rest) + ")"
+    agg_fn = "max" if descending else "min"
     return (
-        df.groupBy(*[F.col(c) for c in parts])
-        .agg(best.alias(best_col))
-        .select(
-            *[F.col(c) for c in parts],
-            *[F.col(best_col + "." + c).alias(c) for c in payload_cols],
+        df.groupBy(*parts)
+        .agg(F.expr(f"{agg_fn}({packed}) AS `{best_col}`"))
+        .selectExpr(
+            *[f"`{c}`" for c in parts],
+            *[f"`{best_col}`.`{c}` AS `{c}`" for c in payload_cols],
         )
         .select(df.columns)
     )

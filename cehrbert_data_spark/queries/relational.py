@@ -45,19 +45,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is already wide and this is a no-op (r11: exec median 1.23 s -> 0.54 s,
     # OPTIMIZATION_r11.md).
     li = widen_for_fanout(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(20,6)"
-    )
+    # Single-expr agg builds (r11 §7 discipline): same analyzed trees as the
+    # composed-Column forms, a fraction of the Py4J round trips.
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity").alias("sum_qty"),
             exact_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                " AS DECIMAL(20,6))) AS DOUBLE) AS sum_disc_price"
+            ),
             exact_avg("l_quantity").alias("avg_qty"),
             exact_avg("l_extendedprice").alias("avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("COUNT(1) AS count_order"),
         )
     )
 
