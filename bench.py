@@ -204,10 +204,15 @@ def main() -> None:
                 # Force EVERY output column (see module docstring): one
                 # xxhash64 per row reduced to a single BIT_XOR row — full
                 # evaluation, zero result serialization, no overflow (a
-                # SUM of 64-bit hashes trips ANSI arithmetic).
+                # SUM of 64-bit hashes trips ANSI arithmetic). Built as one
+                # expression string (r11 RPC pass 4): same forced
+                # computation, byte-identical analyzed plan (seed-42
+                # xxhash64 + bit_xor either way), ~50 fewer Py4J round
+                # trips of harness overhead per timed run.
                 df = fn(spark, sf_dir)
-                df.select(F.xxhash64(*df.columns).alias("__h")).agg(
-                    F.bit_xor("__h")
+                cols = ", ".join(f"`{c}`" for c in df.columns)
+                df.selectExpr(f"xxhash64({cols}) AS __h").agg(
+                    F.expr("bit_xor(__h)")
                 ).collect()
             except Exception as exc:  # noqa: BLE001 — record and keep benching
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]

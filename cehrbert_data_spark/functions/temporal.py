@@ -43,6 +43,12 @@ def epoch_seconds(col: Column) -> Column:
     return col.cast("timestamp_ltz").cast("double")
 
 
+def epoch_seconds_sql(expr: str) -> str:
+    """SQL-text twin of :func:`epoch_seconds` (one contract, two renderings;
+    analyzed-plan identity pinned by tests/test_r11_optimizations.py)."""
+    return f"CAST(CAST({expr} AS TIMESTAMP_LTZ) AS DOUBLE)"
+
+
 def att_token(day_delta: Column) -> Column:
     """cehr_bert ATT (reference: patient_event_decorator_base.py:93-102):
     W-1 | W0..W3 | M0..M11 | LT."""

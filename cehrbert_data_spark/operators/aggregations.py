@@ -28,17 +28,21 @@ def hourly_mean(
     timestamp and the mean value in the bucket. The mean is an exact decimal
     sum divided by the count (order-independent across partitions).
     """
-    sum_exact = F.sum(F.col(value).cast(decimal_type))
+    # Expression strings (r11 RPC pass 4): identical analyzed tree to the
+    # Column form (pinned by tests/test_r11_optimizations.py) at ~1/4 the
+    # Py4J round trips per build.
+    t, v = f"`{ts}`", f"`{value}`"
+    sum_exact = f"sum(CAST({v} AS {decimal_type}))"
     return (
         df.groupBy(
             *keys,
-            F.to_date(ts).alias("bucket_date"),
-            F.hour(ts).alias("bucket_hour"),
+            F.expr(f"to_date({t}) AS bucket_date"),
+            F.expr(f"hour({t}) AS bucket_hour"),
         )
         .agg(
-            F.min(ts).alias("first_ts"),
-            (sum_exact.cast("double") / F.count(value)).alias("mean_value"),
-            F.count(value).alias("n"),
+            F.expr(f"min({t}) AS first_ts"),
+            F.expr(f"CAST({sum_exact} AS DOUBLE) / count({v}) AS mean_value"),
+            F.expr(f"count({v}) AS n"),
         )
     )
 

@@ -42,8 +42,11 @@ def transitive_closure(
     a small seed set over a large high-fanout edge list must not materialize
     E^2..E^8 of the whole graph.
     """
-    level_1 = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.lit(1).alias("distance")
+    # Expression strings here and through the loop (r11 RPC pass 4): the
+    # loop's DataFrame builds are driver wall time; identical analyzed
+    # trees at a fraction of the Py4J round trips.
+    level_1 = edges.selectExpr(
+        f"`{src}` AS src", f"`{dst}` AS dst", "1 AS distance"
     )
     if seeds is not None:
         seed_col = seeds.columns[0]
@@ -54,7 +57,7 @@ def transitive_closure(
     # materializing action, so setup costs ONE job instead of two.
     closure = level_1.distinct().localCheckpoint(eager=False)
     frontier = closure
-    step = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    step = edges.selectExpr(f"`{src}` AS e_src", f"`{dst}` AS e_dst")
 
     # Scope the loop's shuffle width to the frontier's actual size: the
     # per-hop joins move |frontier| rows, usually orders of magnitude smaller
@@ -165,7 +168,7 @@ def _closure_loop(
     graphs should pass hop_batch=1 (plain frontier BFS) — kept as a
     parameter because every reference use is a hierarchy.
     """
-    arms = [step.withColumn("e_d", F.lit(1))]
+    arms = [step.selectExpr("*", "1 AS e_d")]
     prev = step
     for k in range(2, hop_batch + 1):
         # Small graphs: broadcast the right side of each powering join so
@@ -173,10 +176,10 @@ def _closure_loop(
         step_b = F.broadcast(step) if bcast_small else step
         prev = (
             prev.alias("a")
-            .join(step_b.alias("b"), F.col("a.e_dst") == F.col("b.e_src"))
-            .select(F.col("a.e_src").alias("e_src"), F.col("b.e_dst").alias("e_dst"))
+            .join(step_b.alias("b"), F.expr("a.e_dst = b.e_src"))
+            .selectExpr("a.e_src AS e_src", "b.e_dst AS e_dst")
         )
-        arms.append(prev.withColumn("e_d", F.lit(k)))
+        arms.append(prev.selectExpr("*", f"{k} AS e_d"))
     steps = arms[0]
     for arm in arms[1:]:
         steps = steps.unionByName(arm)
@@ -202,13 +205,14 @@ def _closure_loop(
     cap = 1  # level_1 seeds the closure at distance 1
     for _ in range(max_iterations):
         step_side = F.broadcast(steps) if bcast_small else steps
+        # Column names are disjoint across the two sides (src/dst/distance
+        # vs e_src/e_dst/e_d), so unqualified expression strings resolve
+        # unambiguously — same analyzed tree as the DataFrame-qualified
+        # Column form.
         candidates = (
-            frontier.join(step_side, frontier["dst"] == step_side["e_src"])
-            .groupBy(
-                frontier["src"].alias("src"),
-                step_side["e_dst"].alias("dst"),
-            )
-            .agg(F.min(frontier["distance"] + step_side["e_d"]).alias("distance"))
+            frontier.join(step_side, F.expr("dst = e_src"))
+            .groupBy(F.expr("src AS src"), F.expr("e_dst AS dst"))
+            .agg(F.expr("min(distance + e_d) AS distance"))
         )
         # Keep only genuinely new (src, dst) pairs; the batched BFS still
         # discovers pairs in nondecreasing distance order, so first recorded
@@ -229,7 +233,7 @@ def _closure_loop(
         new_pairs = candidates.join(closure_side, ["src", "dst"], "left_anti")
         new_pairs = new_pairs.coalesce(width).localCheckpoint(eager=False)
         delta, max_d = new_pairs.agg(
-            F.count(F.lit(1)), F.max("distance")
+            F.expr("count(1)"), F.expr("max(distance)")
         ).first()
         if delta == 0:
             break

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.operators.partitioning import widen_for_fanout
-from cehrbert_data_spark.operators.text import md5_long, shingles, words
+from cehrbert_data_spark.operators.text import md5_long, md5_long_sql, shingles, words
 
 #: Mersenne prime 2^31−1 for universal minhash derivation: with a,b < p and
 #: x < p the product a·x + b stays under 2^62 — no BIGINT overflow in any
@@ -36,9 +36,9 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups: md5(text) → (digest, n_docs, keep_id) where
     ``keep_id`` is the smallest id (the canonical representative)."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        df.selectExpr(f"md5(`{text_col}`) AS digest", f"`{id_col}` AS id")
         .groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .agg(F.expr("count(1) AS n_docs"), F.expr("min(id) AS keep_id"))
     )
 
 
@@ -140,8 +140,8 @@ def minhash_signatures(
     One shuffle keyed on id with parallel min-aggregates (map-side partial
     aggregation); no seeds-crossJoin multiplying shingle rows, no n× md5.
     """
-    sh = doc_shingles(df, id_col, text_col, k, distinct=False).withColumn(
-        "x", md5_long(F.col("shingle")) % MINHASH_P
+    sh = doc_shingles(df, id_col, text_col, k, distinct=False).selectExpr(
+        "*", f"{md5_long_sql('shingle')} % {MINHASH_P} AS x"
     )
     # F.expr strings, not composed Column arithmetic: each Column operator
     # is a Py4J round trip, and 16 hashes × ~6 operators dominated the
@@ -242,14 +242,12 @@ def minhash_lsh_pairs(
         # ReusedExchange still computes the signature pipeline exactly once
         # (a broadcast anti-join against the heavy hitters would add a
         # second, differently-shaped exchange and recompute it).
-        from pyspark.sql import Window
-
-        bucket_n = F.count(F.lit(1)).over(
-            Window.partitionBy("band", "band_key")
-        )
         banded = (
-            banded.withColumn("__bucket_n", bucket_n)
-            .where(F.col("__bucket_n") <= max_bucket_size)
+            banded.selectExpr(
+                "*",
+                "count(1) OVER (PARTITION BY band, band_key) AS __bucket_n",
+            )
+            .where(f"`__bucket_n` <= {int(max_bucket_size)}")
             .drop("__bucket_n")
         )
     a = banded.alias("a")

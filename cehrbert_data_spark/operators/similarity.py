@@ -105,10 +105,13 @@ def cosine_topk(
         f"CAST({_int_dot_sql('q_vec', 'n_vec')} AS DOUBLE)"
         " / (SQRT(q_norm2) * SQRT(n_norm2)) AS cosine",
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY q_id "
+            "ORDER BY cosine DESC, n_id ASC) AS rank",
+        )
+        .where(f"`rank` <= {int(k)}")
         .select("q_id", "n_id", "cosine", "rank")
     )
 

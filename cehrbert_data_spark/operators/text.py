@@ -21,6 +21,20 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 TOKEN_REGEX = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
+def sql_str(s: str) -> str:
+    """Render a Python string as a Spark SQL string literal (backslashes and
+    quotes escaped) — for building expression strings that must carry regex
+    patterns verbatim."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def words_sql(text_expr: str) -> str:
+    """SQL-text twin of :func:`words` (same tree, one definition of the
+    tokenization contract rendered two ways; analyzed-plan identity is
+    pinned by tests/test_r11_optimizations.py)."""
+    return f"split(trim({text_expr}), '\\\\s+')"
+
+
 def words(text: Column) -> Column:
     """Whitespace tokenization (empty-string safe)."""
     return F.split(F.trim(text), "\\s+")
@@ -75,6 +89,13 @@ def md5_long(col: Column, bits: int = 60) -> Column:
     return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
 
 
+def md5_long_sql(expr: str, bits: int = 60) -> str:
+    """Spark-SQL-text twin of :func:`md5_long` (one hash contract, two
+    renderings; analyzed-plan identity pinned by
+    tests/test_r11_optimizations.py)."""
+    return f"CAST(conv(substring(md5({expr}), 1, {bits // 4}), 16, 10) AS BIGINT)"
+
+
 def stopword_ratio(word_arr: Column, stopwords: list[str] | None = None) -> Column:
     sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
     n_stop = F.size(F.filter(word_arr, lambda w: F.array_contains(sw, w)))
@@ -83,26 +104,28 @@ def stopword_ratio(word_arr: Column, stopwords: list[str] | None = None) -> Colu
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: char/word/token counts, mean word
-    length, distinct-word ratio, stopword ratio. All exact int/ratio math."""
-    w = words(F.col(text_col))
-    n_words = F.size(w)
-    n_chars = F.length(text_col)
-    total_word_chars = F.aggregate(
-        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    return df.select(
+    length, distinct-word ratio, stopword ratio. All exact int/ratio math.
+
+    Built as expression STRINGS (r11 RPC pass 4, guide §1.2): the Column
+    form cost ~290 Py4J round trips per build; one selectExpr builds the
+    same analyzed tree (identity pinned in tests/test_r11_optimizations.py,
+    lambda variable names aside) for a handful.
+    """
+    t = f"`{text_col}`"
+    w = words_sql(t)
+    n_words = f"size({w})"
+    ge = f"greatest({n_words}, 1)"
+    sw = "array(" + ", ".join(sql_str(s) for s in EN_STOPWORDS) + ")"
+    return df.selectExpr(
         "*",
-        n_chars.alias("q_n_chars"),
-        n_words.alias("q_n_words"),
-        F.size(regex_tokens(F.col(text_col))).alias("q_n_tokens"),
-        (total_word_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias(
-            "q_mean_word_len"
-        ),
-        (
-            F.size(F.array_distinct(w)).cast("double")
-            / F.greatest(n_words, F.lit(1))
-        ).alias("q_distinct_ratio"),
-        stopword_ratio(w).alias("q_stopword_ratio"),
+        f"length({t}) AS q_n_chars",
+        f"{n_words} AS q_n_words",
+        f"size(regexp_extract_all({t}, {sql_str(TOKEN_REGEX)}, 0)) AS q_n_tokens",
+        f"CAST(aggregate({w}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) AS DOUBLE)"
+        f" / {ge} AS q_mean_word_len",
+        f"CAST(size(array_distinct({w})) AS DOUBLE) / {ge} AS q_distinct_ratio",
+        f"CAST(size(filter({w}, x -> array_contains({sw}, x))) AS DOUBLE)"
+        f" / {ge} AS q_stopword_ratio",
     )
 
 

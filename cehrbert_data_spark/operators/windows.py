@@ -35,9 +35,25 @@ def ordered_rank(
     kind: str = "row_number",
 ) -> DataFrame:
     """W1/W2/W3: row_number / dense_rank / rank over a deterministic multi-key
-    order (the reference's 5-key orderings, utils/spark_utils.py:357-365)."""
+    order (the reference's 5-key orderings, utils/spark_utils.py:357-365).
+
+    ``order_by`` entries may be SQL fragments (``"o_orderdate DESC"``): the
+    all-string form builds one selectExpr — identical analyzed tree to the
+    Column form (pinned by tests/test_r11_optimizations.py) at a fraction
+    of the Py4J round trips (r11 RPC pass 4)."""
+    if kind not in ("row_number", "dense_rank", "rank"):
+        raise KeyError(kind)
+    parts = _require_partition(partition_by)
+    if all(isinstance(p, str) for p in parts) and all(
+        isinstance(o, str) for o in order_by
+    ):
+        return df.selectExpr(
+            "*",
+            f"{kind}() OVER (PARTITION BY {', '.join(parts)} "
+            f"ORDER BY {', '.join(order_by)}) AS `{out}`",
+        )
     fn = {"row_number": F.row_number, "dense_rank": F.dense_rank, "rank": F.rank}[kind]
-    w = Window.partitionBy(*_require_partition(partition_by)).orderBy(*order_by)
+    w = Window.partitionBy(*parts).orderBy(*order_by)
     return df.withColumn(out, fn().over(w))
 
 
@@ -54,7 +70,7 @@ def top_n_per_group(
     :func:`top1_per_group_agg` — same rows, map-side combinable, immune to
     hot partition keys."""
     ranked = ordered_rank(df, partition_by, order_by, out="__rn")
-    return ranked.where(F.col("__rn") <= n).drop("__rn")
+    return ranked.where(f"`__rn` <= {int(n)}").drop("__rn")
 
 
 def top1_per_group_agg(
@@ -325,9 +341,9 @@ def merge_intervals(
 def sessionize(
     df: DataFrame,
     partition_by: Sequence[str | Column],
-    order_by: Sequence[Column],
+    order_by: Sequence[Column | str],
     ts: str | Column,
-    gap: Column,
+    gap: Column | float | int,
     out: str = "session_id",
 ) -> DataFrame:
     """W7: split an ordered stream into sessions at gaps exceeding ``gap``.
@@ -335,10 +351,40 @@ def sessionize(
     The new-session flag is a lagged time-delta comparison; the session id is
     its running sum over an explicit rows-frame — the reference's visit-merge
     sessionization (tools/connect_omop_visit.py:44-49). ``gap`` is a Column
-    expression compared against ``ts - lag(ts)`` in seconds, e.g.
-    ``F.lit(24*3600)``. Sessions are numbered from 0 within each partition.
+    expression (or plain number of seconds) compared against ``ts - lag(ts)``
+    in seconds, e.g. ``F.lit(24*3600)``. ``order_by`` entries may be SQL
+    fragments (``"ts ASC"``). Sessions are numbered from 0 within each
+    partition.
     """
     parts = _require_partition(partition_by)
+    # Expression-string fast path (r11 RPC pass 4): when every input is a
+    # plain name / SQL fragment / numeric literal, build the whole nested
+    # window as ONE selectExpr — the analyzer extracts the inner lag exactly
+    # as it does for the Column form (identity pinned by
+    # tests/test_r11_optimizations.py), for ~1/5 the Py4J round trips.
+    if (
+        all(isinstance(p, str) for p in partition_by)
+        and all(isinstance(o, str) for o in order_by)
+        and isinstance(ts, str)
+        and isinstance(gap, (int, float))
+    ):
+        from cehrbert_data_spark.functions.temporal import epoch_seconds_sql
+
+        over = (
+            f"PARTITION BY {', '.join(partition_by)} "
+            f"ORDER BY {', '.join(order_by)}"
+        )
+        gap_lit = f"{gap}D" if isinstance(gap, float) else str(gap)
+        delta_sql = (
+            f"{epoch_seconds_sql(ts)} - "
+            f"{epoch_seconds_sql(f'lag({ts}) OVER ({over})')}"
+        )
+        return df.selectExpr(
+            "*",
+            f"sum(CASE WHEN {delta_sql} > {gap_lit} THEN 1 ELSE 0 END) "
+            f"OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS `{out}`",
+        )
     w = Window.partitionBy(*parts).orderBy(*order_by)
     ts_col = F.col(ts) if isinstance(ts, str) else ts
     # NTZ-safe epoch subtraction: the testdata's timestamp flavor has changed

@@ -18,17 +18,24 @@ _MAX_KEY = 200
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-tree edges k -> 2k, 2k+1 over custkeys <= _MAX_KEY."""
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k")
-    ).where(F.col("k") <= _MAX_KEY)
-    left = cust.select(F.col("k").alias("src"), (F.col("k") * 2).alias("dst"))
-    right = cust.select(F.col("k").alias("src"), (F.col("k") * 2 + 1).alias("dst"))
+    """Binary-tree edges k -> 2k, 2k+1 over custkeys <= _MAX_KEY.
+
+    Expression strings (r11 RPC pass 4): identical analyzed trees to the
+    Column form at a fraction of the Py4J build chatter — this builder runs
+    inside r1's driver loop wall time.
+    """
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .selectExpr("c_custkey AS k")
+        .where(f"k <= {_MAX_KEY}")
+    )
+    left = cust.selectExpr("k AS src", "k * 2 AS dst")
+    right = cust.selectExpr("k AS src", "k * 2 + 1 AS dst")
     # dst > src also drops the 0 -> 0 self-loop (custkeys start at 0), which
     # would make the oracle's recursive CTE non-terminating (distance grows
     # without bound on a cycle).
     return left.unionByName(right).where(
-        (F.col("dst") <= _MAX_KEY) & (F.col("dst") > F.col("src"))
+        f"dst <= {_MAX_KEY} AND dst > src"
     )
 
 

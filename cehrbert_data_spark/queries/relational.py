@@ -144,10 +144,10 @@ def j1_equi_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     return (
-        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, F.expr("o_custkey = c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("count(1) AS n_orders"),
             exact_sum("o_totalprice").alias("sum_price"),
         )
     )
@@ -257,10 +257,8 @@ def j6_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (utils/spark_utils.py:740-747)."""
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    od = orders.select(
-        F.col("o_orderkey").alias("k"), "o_orderpriority", "o_orderdate"
-    )
-    sh = li.select(F.col("l_orderkey").alias("k"), "l_shipdate", "l_linenumber")
+    od = orders.selectExpr("o_orderkey AS k", "o_orderpriority", "o_orderdate")
+    sh = li.selectExpr("l_orderkey AS k", "l_shipdate", "l_linenumber")
     joined = interval_join(
         sh,
         od,
@@ -270,8 +268,8 @@ def j6_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=F.expr("o_orderdate + INTERVAL 7 DAYS"),
     )
     return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_matches"),
-        F.countDistinct("k").alias("n_orders"),
+        F.expr("count(1) AS n_matches"),
+        F.expr("count(DISTINCT k) AS n_orders"),
     )
 
 
@@ -296,8 +294,8 @@ def j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one task (r11: window-form exec 0.75 s -> 0.56 s median; no-op at
     # real scale).
     li = widen_for_fanout(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
-    od = orders.select(F.col("o_orderkey").alias("k"), "o_orderdate")
-    sh = li.select(F.col("l_orderkey").alias("k"), "l_shipdate", "l_linenumber")
+    od = orders.selectExpr("o_orderkey AS k", "o_orderdate")
+    sh = li.selectExpr("l_orderkey AS k", "l_shipdate", "l_linenumber")
     # strategy="agg" (r11, guide §2.3): the rank-1 winner is elected by
     # min(struct(l_shipdate, l_linenumber, …)) partial aggregation instead
     # of a row_number over the full candidate fan-out — the exchange carries
@@ -317,9 +315,7 @@ def j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_key="k",
         strategy="agg",
     )
-    return matched.select(
-        F.col("k").alias("o_orderkey"), "l_shipdate", "l_linenumber"
-    )
+    return matched.selectExpr("k AS o_orderkey", "l_shipdate", "l_linenumber")
 
 
 J7_SQL = """
@@ -623,11 +619,13 @@ FROM c GROUP BY o_orderstatus
 # --- W1/O2: row_number top-1 per group -------------------------------------------
 
 def w1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String order fragments ride ordered_rank's expression-string fast
+    # path (r11 RPC pass 4); analyzed plan identical to the Column form.
     orders = read_table(spark, sf_dir, "orders")
     return top_n_per_group(
         orders,
         ["o_custkey"],
-        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        ["o_orderdate DESC", "o_orderkey DESC"],
         n=1,
     ).select("o_custkey", "o_orderkey", "o_orderdate")
 
@@ -761,18 +759,20 @@ FROM orders
 # --- W7: sessionization (running-sum window over explicit frame) ----------------------
 
 def w7_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # String inputs ride sessionize's expression-string fast path (r11 RPC
+    # pass 4); analyzed plan identical to the Column form (pinned by test).
     events = read_table(spark, sf_dir, "events")
     sessions = sessionize(
         events,
         ["user_id"],
-        [F.col("ts").asc(), F.col("event_id").asc()],
+        ["ts ASC", "event_id ASC"],
         ts="ts",
-        gap=F.lit(1800.0),
+        gap=1800.0,
     )
     return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.expr("count(1) AS n_events"),
+        F.expr("min(ts) AS session_start"),
+        F.expr("max(ts) AS session_end"),
     )
 
 

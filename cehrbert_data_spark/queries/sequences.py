@@ -58,25 +58,21 @@ def seq_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape here: order encoded in the struct's leading fields (ts, event_id)
     so the array sort is the deterministic 5-key ordering.
     """
+    # Expression strings (r11 RPC pass 4): same analyzed tree as the Column
+    # form (pinned by tests/test_r11_optimizations.py) for ~1/6 the Py4J
+    # round trips per build.
     events = read_table(spark, sf_dir, "events")
     packed = (
-        events.select(
-            "user_id",
-            F.struct(
-                F.col("ts").alias("ts"),
-                F.col("event_id").alias("event_id"),
-                F.col("event_type").alias("event_type"),
-            ).alias("s"),
-        )
+        events.selectExpr("user_id", "struct(ts, event_id, event_type) AS s")
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .agg(F.expr("sort_array(collect_list(s)) AS seq"))
     )
-    return packed.select(
+    return packed.selectExpr(
         "user_id",
-        F.col("seq.event_type").alias("event_types"),
-        F.col("seq.event_id").alias("event_ids"),
-        F.size("seq").alias("num_of_events"),
-        F.size(F.array_distinct(F.col("seq.event_type"))).alias("num_of_types"),
+        "seq.event_type AS event_types",
+        "seq.event_id AS event_ids",
+        "size(seq) AS num_of_events",
+        "size(array_distinct(seq.event_type)) AS num_of_types",
     )
 
 
@@ -85,10 +81,10 @@ def seq_user_sequence_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     '|'-joined strings (the driver's canonicalizer hashes scalar columns only
     — list cells raise ``unhashable type``). The array-shaped variant above
     stays the ``entry()`` flagship."""
-    return seq_user_sequence(spark, sf_dir).select(
+    return seq_user_sequence(spark, sf_dir).selectExpr(
         "user_id",
-        F.concat_ws("|", F.col("event_types")).alias("event_types"),
-        F.concat_ws("|", F.col("event_ids").cast("array<string>")).alias("event_ids"),
+        "concat_ws('|', event_types) AS event_types",
+        "concat_ws('|', CAST(event_ids AS ARRAY<STRING>)) AS event_ids",
         "num_of_events",
         "num_of_types",
     )

@@ -156,3 +156,119 @@ def test_closure_early_stop_diamond_fanout_distances_minimal(spark):
     assert batched == plain
     by_pair = {(s, d): dist for s, d, dist in batched}
     assert by_pair[(1, 7)] == 2  # 1->4->7 via the shortcuts, not 6 hops
+
+
+# --- r11 RPC pass 4: expression-string twins must build IDENTICAL trees ----
+
+def _norm_analyzed(df):
+    """Analyzed plan with expression ids and auto-generated lambda variable
+    names normalized away — the same discipline as
+    tools/snapshot_logical_plans.py."""
+    import re
+
+    s = df._jdf.queryExecution().analyzed().toString()
+    s = re.sub(r"lambda [a-z_0-9]+", "lambda <x>", s)
+    seen: dict[str, str] = {}
+
+    def sub(m):
+        k = m.group(0)
+        seen.setdefault(k, f"#{len(seen)}")
+        return seen[k]
+
+    return re.sub(r"#\d+", sub, s)
+
+
+def test_words_sql_twin_matches_words(spark):
+    from cehrbert_data_spark.operators.text import words, words_sql
+
+    df = spark.createDataFrame([("a b  c",)], "t: string")
+    a = df.select(words(F.col("t")).alias("w"))
+    b = df.selectExpr(f"{words_sql('t')} AS w")
+    assert _norm_analyzed(a) == _norm_analyzed(b)
+
+
+def test_md5_long_sql_twin_matches_md5_long(spark):
+    from cehrbert_data_spark.operators.text import md5_long, md5_long_sql
+
+    df = spark.createDataFrame([("abc",)], "t: string")
+    a = df.select(md5_long(F.col("t")).alias("h"), md5_long(F.col("t"), 48).alias("h48"))
+    b = df.selectExpr(f"{md5_long_sql('t')} AS h", f"{md5_long_sql('t', 48)} AS h48")
+    assert _norm_analyzed(a) == _norm_analyzed(b)
+
+
+def test_epoch_seconds_sql_twin_matches_epoch_seconds(spark):
+    from cehrbert_data_spark.functions.temporal import epoch_seconds, epoch_seconds_sql
+
+    df = spark.createDataFrame([("2020-01-01 00:00:01",)], "t: string").selectExpr(
+        "CAST(t AS TIMESTAMP) AS ts"
+    )
+    a = df.select(epoch_seconds(F.col("ts")).alias("e"))
+    b = df.selectExpr(f"{epoch_seconds_sql('ts')} AS e")
+    assert _norm_analyzed(a) == _norm_analyzed(b)
+
+
+def test_quality_features_tree_matches_column_form(spark):
+    """The selectExpr build of quality_features must produce the same
+    analyzed tree as the composed-Column original (lambda names aside)."""
+    from cehrbert_data_spark.operators.text import (
+        EN_STOPWORDS,
+        quality_features,
+        regex_tokens,
+        stopword_ratio,
+        words,
+    )
+
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id: long, text: string")
+    new = quality_features(df)
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    total_word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    old = df.select(
+        "*",
+        F.length("text").alias("q_n_chars"),
+        n_words.alias("q_n_words"),
+        F.size(regex_tokens(F.col("text"))).alias("q_n_tokens"),
+        (total_word_chars.cast("double") / F.greatest(n_words, F.lit(1))).alias(
+            "q_mean_word_len"
+        ),
+        (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.greatest(n_words, F.lit(1))
+        ).alias("q_distinct_ratio"),
+        stopword_ratio(w, EN_STOPWORDS).alias("q_stopword_ratio"),
+    )
+    assert _norm_analyzed(new) == _norm_analyzed(old)
+
+
+def test_sessionize_string_fast_path_matches_column_form(spark):
+    from cehrbert_data_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", 1), (1, "2020-01-01 02:00:00", 2), (2, "2020-01-01 00:00:00", 3)],
+        "user_id: int, ts: string, event_id: int",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id")
+    fast = sessionize(df, ["user_id"], ["ts ASC", "event_id ASC"], ts="ts", gap=1800.0)
+    slow = sessionize(
+        df, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()],
+        ts="ts", gap=F.lit(1800.0),
+    )
+    assert _norm_analyzed(fast) == _norm_analyzed(slow)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_ordered_rank_string_fast_path_matches_column_form(spark):
+    from cehrbert_data_spark.operators.windows import ordered_rank, top_n_per_group
+
+    df = spark.createDataFrame(
+        [(1, 10, 3), (1, 20, 1), (2, 5, 2)], "k: int, v: int, u: int"
+    )
+    for kind in ("row_number", "dense_rank", "rank"):
+        fast = ordered_rank(df, ["k"], ["v DESC", "u ASC"], kind=kind)
+        slow = ordered_rank(df, ["k"], [F.col("v").desc(), F.col("u").asc()], kind=kind)
+        assert _norm_analyzed(fast) == _norm_analyzed(slow), kind
+        assert _rows(fast) == _rows(slow), kind
+    fast_top = top_n_per_group(df, ["k"], ["v DESC", "u ASC"], n=1)
+    slow_top = top_n_per_group(df, ["k"], [F.col("v").desc(), F.col("u").asc()], n=1)
+    assert _rows(fast_top) == _rows(slow_top)
