@@ -210,7 +210,9 @@ def main() -> None:
                 # xxhash64 + bit_xor either way), ~50 fewer Py4J round
                 # trips of harness overhead per timed run.
                 df = fn(spark, sf_dir)
-                cols = ", ".join(f"`{c}`" for c in df.columns)
+                # Backtick-escape embedded backticks (r12 advice): the old
+                # F.xxhash64(*cols) handled any name; the string form must too.
+                cols = ", ".join(f"`{c.replace('`', '``')}`" for c in df.columns)
                 df.selectExpr(f"xxhash64({cols}) AS __h").agg(
                     F.expr("bit_xor(__h)")
                 ).collect()

@@ -17,29 +17,35 @@ import os
 from pyspark.sql import DataFrame
 
 
-def _estimated_scan_partitions(df: DataFrame) -> int | None:
-    """Cheap scan-width estimate: file count, refined by file bytes /
-    ``maxPartitionBytes`` when sizes are reachable (large files split into
-    multiple partitions). Uses only the analyzed plan's file listing — no
-    physical planning, unlike ``df.rdd.getNumPartitions()``, which builds
+def _estimated_scan_layout(df: DataFrame) -> tuple[int | None, int | None]:
+    """Cheap (scan width, total bytes) estimate: file count, refined by file
+    bytes / ``maxPartitionBytes`` when sizes are reachable (large files split
+    into multiple partitions). Uses only the analyzed plan's file listing —
+    no physical planning, unlike ``df.rdd.getNumPartitions()``, which builds
     the whole RDD lineage per call (flagged in round 3: this runs inside
-    every dedup/similarity/text operator). Returns None when the input has
-    no file scan (in-memory, streaming) or sizes are remote/unreadable.
+    every dedup/similarity/text operator). Returns (None, None) when the
+    input has no file scan (in-memory, streaming); bytes is None when sizes
+    are remote/unreadable.
     """
     try:
         files = df.inputFiles()
     except Exception:
-        return None
+        return None, None
     if not files:
-        return None
+        return None, None
     local = [f[len("file:"):] if f.startswith("file:") else f for f in files]
     try:
         total = sum(os.path.getsize(p) for p in local)
     except OSError:
-        return len(files)  # remote store: file count is the floor estimate
+        return len(files), None  # remote store: file count is the floor estimate
     raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     max_bytes = _parse_byte_string(raw)
-    return max(len(files), math.ceil(total / max_bytes))
+    return max(len(files), math.ceil(total / max_bytes)), total
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Back-compat shim: the width half of :func:`_estimated_scan_layout`."""
+    return _estimated_scan_layout(df)[0]
 
 
 _BYTE_SUFFIXES = {
@@ -101,9 +107,29 @@ def widen_for_fanout(
 
     Keys must spread: pass a key with far more distinct values than the
     target partition count (ids, not enum-ish columns).
+
+    Size-aware target (r12, guide §2.5 / verdict ask 2): the repartition
+    width is capped at ``ceil(scan_bytes / SPARK_GRAFT_WIDEN_BYTES_PER_PART)``
+    (default 64 KiB of compressed input per partition, env-overridable), so
+    a tiny table never fans out to ``defaultParallelism`` near-empty
+    partitions whose scheduling overhead exceeds the map-parallelism win —
+    the r11 scaling inversion (d_minhash_capped 2.3× FASTER on 8 cores than
+    32 at sf0.1). The cap grows linearly with input size and saturates at
+    the session parallelism, so at real scale behavior is unchanged (and the
+    widen itself is a no-op once the scan is already wide). An explicit
+    ``min_partitions`` bypasses the cap.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    width = _estimated_scan_partitions(df)
+    width, nbytes = _estimated_scan_layout(df)
+    if min_partitions:
+        target = min_partitions
+    else:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if nbytes is not None:
+            per_part = int(
+                os.environ.get("SPARK_GRAFT_WIDEN_BYTES_PER_PART", str(64 << 10))
+            )
+            if per_part > 0:
+                target = min(target, max(1, math.ceil(nbytes / per_part)))
     if width is None:
         width = df.rdd.getNumPartitions()  # fallback: exact but plans the RDD
     if width < target:

@@ -209,6 +209,7 @@ def bloom_probe(
     value: Column,
     m_bits: int = 4096,
     k: int = 4,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Probe rows against a :func:`bloom_build` filter.
 
@@ -216,37 +217,42 @@ def bloom_probe(
     positions are set (classic one-sided guarantee — false positives
     possible, false negatives impossible).
 
-    Scale: the filter is broadcast; the probe side explodes to k rows per
-    key, joins on word, and reduces with bool_and — cost k*|probe|, no
-    shuffle of the probe payload (only the k-row key stream aggregates).
+    Scale (r12 form, guide §2.3/§2.4): the ``m_bits/32``-row filter folds
+    into ONE map row (word -> bits) attached by a single-row broadcast
+    nested-loop join, and the k membership tests are a plain projection.
+    The previous form exploded the probe to k rows per key, hash-joined on
+    word, and re-aggregated with ``bool_and`` — a ``groupBy(probe_key)``
+    exchange carrying k×|probe| rows, i.e. it SHUFFLED the entire probe key
+    stream that a Bloom probe exists to avoid moving. Identical output
+    (same positions, same bits; parity- and oracle-gated).
+
+    ``assume_distinct=True`` skips the per-key dedup when the caller probes
+    a unique key (a primary key column): the probe path then has ZERO
+    exchanges — the whole probe is a map-side projection.
     """
     m = m_bits
-    h = md5_long(value.cast("string"), bits=60)
-    keyed = probe_df.select(
-        value.alias("probe_key"), (h % m).alias("h1"), (F.shiftright(h, 30) % m).alias("h2")
-    ).distinct()
-    pos = keyed.select(
-        "probe_key",
-        F.explode(
-            F.array(*[((F.col("h1") + i * F.col("h2")) % m) for i in range(k)])
-        ).alias("pos"),
-    ).select(
-        "probe_key",
-        F.expr("pos div 32").alias("word"),
-        F.expr("pos % 32").alias("bit"),
+    filt_map = filt.agg(
+        F.expr("map_from_arrays(collect_list(word), collect_list(bits)) AS __bm")
     )
-    hit = (
-        pos.join(F.broadcast(filt), "word", "left")
-        .select(
-            "probe_key",
-            F.coalesce(F.col("bits"), F.lit(0))
-            .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-            .alias("set_bit"),
-        )
-        .groupBy("probe_key")
-        .agg(F.expr("bool_and(set_bit != 0)").alias("bloom_maybe"))
+    keyed = probe_df.select(value.alias("probe_key"))
+    if not assume_distinct:
+        keyed = keyed.distinct()
+    from cehrbert_data_spark.operators.text import md5_long_sql
+
+    h = md5_long_sql("CAST(probe_key AS STRING)")
+    hashed = keyed.selectExpr(
+        "probe_key",
+        f"{h} % {m} AS __h1",
+        f"shiftright({h}, 30) % {m} AS __h2",
     )
-    return hit
+    tests = " AND ".join(
+        f"((coalesce(__bm[(__h1 + {i} * __h2) % {m} div 32], CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST((__h1 + {i} * __h2) % {m} % 32 AS INT))) != 0)"
+        for i in range(k)
+    )
+    return hashed.crossJoin(F.broadcast(filt_map)).selectExpr(
+        "probe_key", f"({tests}) AS bloom_maybe"
+    )
 
 
 # --- Count-Min sketch --------------------------------------------------------
@@ -292,42 +298,41 @@ def cms_estimate(
     value: Column,
     depth: int = 4,
     width: int = 256,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Point-frequency estimates from a :func:`cms_build` sketch.
 
     Returns (probe_key, cms_est) with ``cms_est = min_r counter[r][h_r(v)]``
     — the classic upper-bound estimate (never underestimates).
 
-    Scale: sketch is broadcast (depth*width rows); probe explodes to depth
-    rows per key and min-reduces.
+    Scale (r12 form, guide §2.3/§2.4): the depth×width sketch folds into
+    ONE map row (r*width+c -> counter) attached by a single-row broadcast
+    nested-loop join, and the estimate is ``least()`` of depth lookups in a
+    plain projection. The previous form exploded the probe to depth rows
+    per key, hash-joined on (r, c), and re-aggregated with ``min`` — a
+    ``groupBy(probe_key)`` exchange carrying depth×|probe| rows. Identical
+    output (same cells, same min; parity- and oracle-gated).
     """
-    pos = probe_df.select(value.alias("probe_key")).distinct()
-    cells = pos.select(
-        "probe_key",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        (
-                            md5_long(
-                                F.concat_ws(
-                                    ":", F.lit(str(r)), F.col("probe_key").cast("string")
-                                ),
-                                bits=60,
-                            )
-                            % width
-                        ).alias("c"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("cell"),
-    ).select("probe_key", "cell.r", "cell.c")
-    return (
-        cells.join(F.broadcast(sketch), ["r", "c"], "left")
-        .groupBy("probe_key")
-        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).cast("long").alias("cms_est"))
+    sketch_map = sketch.agg(
+        F.expr(
+            f"map_from_arrays(collect_list(CAST(r AS BIGINT) * {width} + c),"
+            " collect_list(counter)) AS __cm"
+        )
+    )
+    pos = probe_df.select(value.alias("probe_key"))
+    if not assume_distinct:
+        pos = pos.distinct()
+    from cehrbert_data_spark.operators.text import md5_long_sql
+
+    cells = [
+        f"coalesce(__cm[{r} * {width} + "
+        f"{md5_long_sql(f'''concat_ws(':', '{r}', CAST(probe_key AS STRING))''')} % {width}],"
+        " CAST(0 AS BIGINT))"
+        for r in range(depth)
+    ]
+    est = cells[0] if depth == 1 else f"least({', '.join(cells)})"
+    return pos.crossJoin(F.broadcast(sketch_map)).selectExpr(
+        "probe_key", f"CAST({est} AS BIGINT) AS cms_est"
     )
 
 
@@ -367,8 +372,19 @@ def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame, k: int = 256) -> DataFrame:
     exact counts will see that in the query output.
 
     Scale: inputs are k-row sketches — every join here is broadcast-sized.
+    Each sketch feeds THREE consumers (the union re-take, a semi-join, and
+    its own kth/count agg), and the TakeOrderedAndProject that produces a
+    sketch defeats exchange reuse, so without a barrier the full upstream
+    scan+distinct pipeline re-executes once per consumer (r12: a15's plan
+    carried 18 Exchanges for 6 recomputations of the orders scan). A k-row
+    eager localCheckpoint materializes each sketch ONCE per invocation —
+    within-query lineage cut, nothing persists across runs.
     """
+    from cehrbert_data_spark.sources.writers import checkpoint_barrier
+
     space = float(1 << 60)
+    sk_a = checkpoint_barrier(sk_a)
+    sk_b = checkpoint_barrier(sk_b)
     union_k = (
         sk_a.unionByName(sk_b).distinct().orderBy("h").limit(k)
     )

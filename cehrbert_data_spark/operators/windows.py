@@ -27,10 +27,46 @@ def _require_partition(partition_by: Sequence) -> list:
     return parts
 
 
+def _order_fragment_col(frag: str | Column) -> Column:
+    """Parse a SQL order fragment (``"v DESC"``, ``"ts ASC NULLS LAST"``)
+    into a sort Column for the Column-path fallbacks: when a fast-path guard
+    (out-column collision, non-literal gap) re-routes an all-string call to
+    the Window API, the string fragments must still order correctly (r12 —
+    previously the fallback would try to resolve ``"v DESC"`` as a name)."""
+    if not isinstance(frag, str):
+        return frag
+    s = frag.strip()
+    up = s.upper()
+    nulls = ""
+    for suffix in (" NULLS FIRST", " NULLS LAST"):
+        if up.endswith(suffix):
+            nulls = suffix.strip().replace("NULLS ", "").lower()  # first|last
+            s, up = s[: -len(suffix)], up[: -len(suffix)]
+            break
+    direction = "asc"
+    for suffix, d in ((" DESC", "desc"), (" ASC", "asc")):
+        if up.endswith(suffix):
+            direction = d
+            s = s[: -len(suffix)]
+            break
+    col = F.expr(s.strip())
+    method = direction if not nulls else f"{direction}_nulls_{nulls}"
+    return getattr(col, method)()
+
+
+def _quote_name(name: str) -> str:
+    """Backtick-quote a plain column NAME for SQL-string fast paths (r12
+    advice): reserved words ('order') and special characters parse the same
+    as the F.col path; embedded backticks escape by doubling. Only for
+    identifiers — order_by entries stay raw because they are documented SQL
+    fragments."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def ordered_rank(
     df: DataFrame,
     partition_by: Sequence[str | Column],
-    order_by: Sequence[Column],
+    order_by: Sequence[Column | str],
     out: str = "rank",
     kind: str = "row_number",
 ) -> DataFrame:
@@ -40,31 +76,39 @@ def ordered_rank(
     ``order_by`` entries may be SQL fragments (``"o_orderdate DESC"``): the
     all-string form builds one selectExpr — identical analyzed tree to the
     Column form (pinned by tests/test_r11_optimizations.py) at a fraction
-    of the Py4J round trips (r11 RPC pass 4)."""
+    of the Py4J round trips (r11 RPC pass 4). String ``partition_by``
+    entries are column NAMES (quoted), not fragments."""
     if kind not in ("row_number", "dense_rank", "rank"):
         raise KeyError(kind)
     parts = _require_partition(partition_by)
-    if all(isinstance(p, str) for p in parts) and all(
-        isinstance(o, str) for o in order_by
+    if (
+        all(isinstance(p, str) for p in parts)
+        and all(isinstance(o, str) for o in order_by)
+        and out not in df.columns  # selectExpr('*', …) cannot REPLACE a column
     ):
+        quoted = [_quote_name(p) for p in parts]
         return df.selectExpr(
             "*",
-            f"{kind}() OVER (PARTITION BY {', '.join(parts)} "
-            f"ORDER BY {', '.join(order_by)}) AS `{out}`",
+            f"{kind}() OVER (PARTITION BY {', '.join(quoted)} "
+            f"ORDER BY {', '.join(order_by)}) AS {_quote_name(out)}",
         )
     fn = {"row_number": F.row_number, "dense_rank": F.dense_rank, "rank": F.rank}[kind]
-    w = Window.partitionBy(*parts).orderBy(*order_by)
+    w = Window.partitionBy(*parts).orderBy(
+        *[_order_fragment_col(o) for o in order_by]
+    )
     return df.withColumn(out, fn().over(w))
 
 
 def top_n_per_group(
     df: DataFrame,
     partition_by: Sequence[str | Column],
-    order_by: Sequence[Column],
+    order_by: Sequence[Column | str],
     n: int = 1,
 ) -> DataFrame:
     """O2: keep the best ``n`` rows per group (rank-1 dedup,
-    reference: cohorts/spark_app_base.py:517-520).
+    reference: cohorts/spark_app_base.py:517-520). String ``order_by``
+    entries are SQL fragments (``"o_orderdate DESC"``, see
+    :func:`ordered_rank`); string partition entries are column names.
 
     For ``n=1`` with single-direction ordering prefer
     :func:`top1_per_group_agg` — same rows, map-side combinable, immune to
@@ -357,6 +401,11 @@ def sessionize(
     partition.
     """
     parts = _require_partition(partition_by)
+    if isinstance(gap, bool):
+        # bool is an int subclass: it would render as invalid SQL ('True')
+        # on the string path and fail boolean-vs-double analysis on the
+        # Column path — reject it crisply instead (r12 advice).
+        raise ValueError("sessionize gap must be a number of seconds or a Column, not bool")
     # Expression-string fast path (r11 RPC pass 4): when every input is a
     # plain name / SQL fragment / numeric literal, build the whole nested
     # window as ONE selectExpr — the analyzer extracts the inner lag exactly
@@ -367,25 +416,34 @@ def sessionize(
         and all(isinstance(o, str) for o in order_by)
         and isinstance(ts, str)
         and isinstance(gap, (int, float))
+        and out not in df.columns  # selectExpr('*', …) cannot REPLACE a column
+        # Floats whose shortest repr needs scientific notation ('1e-05') or
+        # is non-finite have no plan-identical 'nnnD' literal rendering —
+        # those take the Column path below (r12 advice). Plain positional
+        # reprs ('1800.0') render as the same double literal F.lit builds.
+        and (not isinstance(gap, float) or repr(gap).replace(".", "").replace("-", "").isdigit())
     ):
         from cehrbert_data_spark.functions.temporal import epoch_seconds_sql
 
         over = (
-            f"PARTITION BY {', '.join(partition_by)} "
+            f"PARTITION BY {', '.join(_quote_name(p) for p in partition_by)} "
             f"ORDER BY {', '.join(order_by)}"
         )
-        gap_lit = f"{gap}D" if isinstance(gap, float) else str(gap)
+        gap_lit = f"{gap!r}D" if isinstance(gap, float) else str(gap)
+        ts_q = _quote_name(ts)
         delta_sql = (
-            f"{epoch_seconds_sql(ts)} - "
-            f"{epoch_seconds_sql(f'lag({ts}) OVER ({over})')}"
+            f"{epoch_seconds_sql(ts_q)} - "
+            f"{epoch_seconds_sql(f'lag({ts_q}) OVER ({over})')}"
         )
         return df.selectExpr(
             "*",
             f"sum(CASE WHEN {delta_sql} > {gap_lit} THEN 1 ELSE 0 END) "
             f"OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-            f"AS `{out}`",
+            f"AS {_quote_name(out)}",
         )
-    w = Window.partitionBy(*parts).orderBy(*order_by)
+    w = Window.partitionBy(*parts).orderBy(
+        *[_order_fragment_col(o) for o in order_by]
+    )
     ts_col = F.col(ts) if isinstance(ts, str) else ts
     # NTZ-safe epoch subtraction: the testdata's timestamp flavor has changed
     # under us once already (TIMESTAMP(NANOS) -> plain micros / NTZ); never

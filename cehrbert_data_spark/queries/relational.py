@@ -1244,7 +1244,11 @@ def a13_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     filt = bloom_build(orders, F.col("o_custkey"), m_bits=65536, k=4)
-    probed = bloom_probe(cust, filt, F.col("c_custkey"), m_bits=65536, k=4)
+    # c_custkey is customer's primary key: the probe dedup is a no-op, so
+    # the probe path runs exchange-free (r12, operators/sketches.py).
+    probed = bloom_probe(
+        cust, filt, F.col("c_custkey"), m_bits=65536, k=4, assume_distinct=True
+    )
     present = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
         "present", F.lit(True)
     )
@@ -1323,7 +1327,10 @@ def a14_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier")
     sketch = cms_build(li, F.col("l_suppkey"), depth=4, width=256)
-    est = cms_estimate(supp, sketch, F.col("s_suppkey"), depth=4, width=256)
+    # s_suppkey is supplier's primary key: probe dedup is a no-op (r12).
+    est = cms_estimate(
+        supp, sketch, F.col("s_suppkey"), depth=4, width=256, assume_distinct=True
+    )
     exact = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
         F.count(F.lit(1)).cast("long").alias("exact_cnt")
     )

@@ -90,7 +90,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     try:
-        cache_key = (path, os.path.getmtime(path))
+        mtime = os.path.getmtime(path)
+        if os.path.isdir(path):
+            # Directory-table hardening (r12, verdict ask 7): an in-place
+            # rewrite of an existing part file does not bump the directory
+            # mtime on POSIX, so key on the newest ENTRY mtime too. Spark's
+            # own writers always create fresh part names (dir mtime moves),
+            # but external writers may not.
+            with os.scandir(path) as it:
+                newest = max(
+                    (e.stat().st_mtime for e in it), default=0.0
+                )
+            mtime = max(mtime, newest)
+        cache_key = (path, mtime)
     except OSError:
         cache_key = None
     schema = _SCHEMA_CACHE.get(cache_key) if cache_key else None

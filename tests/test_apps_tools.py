@@ -51,6 +51,7 @@ def omop_dir(spark, tmp_path):
     return str(root)
 
 
+@pytest.mark.slow
 def test_connect_then_update_visit(spark, omop_dir, tmp_path):
     out = str(tmp_path / "fixed")
     connect_omop_visit.main(omop_dir, out, spark=spark)

@@ -19,6 +19,7 @@ def emb(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_kmeans_partitions_input_and_is_deterministic(spark, emb):
     n = emb.count()
     s1 = {r["cid"]: (r["n_members"], r["inertia"])
@@ -69,6 +70,7 @@ def test_ml_kmeans_registry_entry(spark):
     assert "MATERIALIZED" in ML_KMEANS_SQL  # the PageRank-oracle lesson
 
 
+@pytest.mark.slow
 def test_kmeans_exact_mean_guard_raises_past_2_53(spark):
     # round-9 verdict nit: the floor-quantized centroid mean is exact only
     # while |per-cluster component sum| < 2^53; the guard must RAISE there

@@ -55,6 +55,7 @@ def _asof_expected(lrows, rrows, how):
 
 @pytest.mark.parametrize("seed", SEEDS)
 @pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.slow
 def test_asof_union_and_rank1_forms_agree_with_bruteforce(spark, seed, how):
     rng = random.Random(seed)
     # duplicate keys, heavy (key, ts) ties, ~8% NULL timestamps
@@ -187,6 +188,7 @@ def test_overlap_buckets_vs_bruteforce(spark, seed, bucket_seconds):
 
 
 @pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.slow
 def test_connected_components_vs_unionfind(spark, seed):
     rng = random.Random(seed)
     n = 200

@@ -4,6 +4,8 @@ person pivot, code mapping, value typing)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -233,6 +235,7 @@ def test_promote_inferred_inpatient(spark):
     assert len(rows) == 7
 
 
+@pytest.mark.slow
 def test_ehrshot_to_omop_app_end_to_end(spark, tmp_path):
     """Full CSV → OMOP folder conversion through the CLI app."""
     import csv as _csv

@@ -60,6 +60,7 @@ def omop_dir(spark, tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_readmission_end_to_end(spark, omop_dir, tmp_path):
     out = generate_prediction_cohort.main(
         input_folder=omop_dir,

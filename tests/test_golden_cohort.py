@@ -233,6 +233,9 @@ COHORT_CONFIGS = {
 }
 
 
+
+pytestmark = pytest.mark.slow  # golden pipelines: full-suite lane only (r12 driver-budget split)
+
 def _norm(v):
     if hasattr(v, "item"):
         v = v.item()

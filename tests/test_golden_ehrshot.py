@@ -59,6 +59,9 @@ CONTRACTS = {
 }
 
 
+
+pytestmark = pytest.mark.slow  # golden pipelines: full-suite lane only (r12 driver-budget split)
+
 def _norm(v):
     return None if v is None else str(v)
 

@@ -56,6 +56,7 @@ def _by_member(df):
     }
 
 
+@pytest.mark.slow
 def test_golden_external_cohort_features(spark, tmp_path):
     from feature_cohort import write_cohort_csv
     from cehrbert_data_spark.apps.extract_features import main

@@ -126,6 +126,9 @@ ALL_COLUMNS = [
 ]
 
 
+
+pytestmark = pytest.mark.slow  # golden pipelines: full-suite lane only (r12 driver-budget split)
+
 def _cell(v):
     if hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
         return [_cell(x) for x in v]

@@ -9,6 +9,8 @@ salted-join transparency.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -107,6 +109,7 @@ def test_interval_join_equals_filtered_cross(points, intervals):
     left_keys=st.lists(st.integers(0, 5), min_size=1, max_size=40),
     right_keys=st.lists(st.integers(0, 5), min_size=1, max_size=6),
 )
+@pytest.mark.slow
 def test_salted_join_transparent(left_keys, right_keys):
     """Salting changes physical distribution only — result sets identical."""
     spark = _get_spark()
@@ -135,6 +138,7 @@ def test_salted_join_transparent(left_keys, right_keys):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_connected_components_match_union_find(edges):
     """Distributed min-label propagation == driver-side union-find."""
     from cehrbert_data_spark.operators.dedup import connected_components

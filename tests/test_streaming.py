@@ -3,6 +3,8 @@ a file stream over a temp parquet dir) and checked against batch semantics."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import os
 import time
@@ -121,6 +123,7 @@ def test_asof_join_stream_batch_fallback(spark):
     assert set(out.columns) == {"uid", "ts", "tag", "asof_ts", "asof_value"}
 
 
+@pytest.mark.slow
 def test_asof_join_stream_end_to_end(spark, tmp_path):
     lefts, rights = _asof_sides(spark)
     lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
@@ -165,6 +168,7 @@ def test_minhash_dedup_batch(spark):
     assert not any(i == 3 or k == 3 for i, k in pairs)  # unrelated doc clean
 
 
+@pytest.mark.slow
 def test_minhash_dedup_stream_end_to_end(spark, tmp_path):
     docs = _dup_docs(spark)
     src = str(tmp_path / "docs")
@@ -220,6 +224,7 @@ def test_running_key_stats_batch_fallback(spark):
     assert got == {1: (3, 14.0), 2: (1, 5.0)}
 
 
+@pytest.mark.slow
 def test_running_key_stats_stream_stateful(spark, tmp_path):
     src = os.path.join(str(tmp_path), "src2")
     _events(spark).write.parquet(src)
@@ -244,6 +249,7 @@ def test_running_key_stats_stream_stateful(spark, tmp_path):
     assert final == {1: (3, 14.0), 2: (1, 5.0)}
 
 
+@pytest.mark.slow
 def test_hll_register_stream_matches_batch(spark, tmp_path):
     """Registers accumulated over micro-batches == batch registers over the
     same rows (mergeability-in-motion), and the streaming state is bounded
@@ -292,6 +298,7 @@ def test_hll_register_stream_matches_batch(spark, tmp_path):
     assert len(got) <= 2 * 32  # state bound: |groups| * 2^p
 
 
+@pytest.mark.slow
 def test_hist_bin_stream_matches_batch_and_quantile(spark, tmp_path):
     """Bins accumulated over micro-batches == batch bins over the same
     rows, and the quantile folded from the streamed bin table equals the

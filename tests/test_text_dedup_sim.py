@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cehrbert_data_spark.operators.dedup import (
@@ -49,6 +51,7 @@ def test_minhash_lsh_exact_dup_collides_all_bands(spark):
     assert got[(1, 2)] == 8  # identical docs collide in every band
 
 
+@pytest.mark.slow
 def test_minhash_lsh_max_bucket_cap(spark):
     import pytest
 
@@ -137,6 +140,7 @@ def test_remove_duplicated_ngrams(spark):
             remove_duplicated_ngrams(docs, "doc_id", "text", **bad)
 
 
+@pytest.mark.slow
 def test_remove_duplicated_ngrams_durable_barrier(spark, tmp_path):
     """barrier_path spills the gram set to a durable parquet round-trip
     instead of executor storage — identical output, files on disk."""
@@ -262,6 +266,7 @@ def test_lsh_candidate_pairs_self_consistent(spark):
     assert ((0, 1) in {(r["id_a"], r["id_b"]) for r in pairs})
 
 
+@pytest.mark.slow
 def test_lsh_candidate_pairs_max_bucket_cap(spark):
     # five identical vectors share every bucket (size 5); one distinct pair
     # of similar vectors lands in buckets of size 2. Cap 4 kills the clone
@@ -285,6 +290,7 @@ def test_lsh_candidate_pairs_max_bucket_cap(spark):
     assert all(a >= 10 for a, _ in capped) and (10, 11) in capped
 
 
+@pytest.mark.slow
 def test_ivf_assign_and_topk(spark):
     import math
 
@@ -311,6 +317,7 @@ def test_ivf_assign_and_topk(spark):
     assert math.isclose(cos[(1, 0)], 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-3)
 
 
+@pytest.mark.slow
 def test_connected_components_transitive(spark):
     from cehrbert_data_spark.operators.dedup import connected_components, dedup_keepers
 
@@ -326,6 +333,7 @@ def test_connected_components_transitive(spark):
     assert keepers == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain(spark):
     from cehrbert_data_spark.operators.dedup import connected_components
 

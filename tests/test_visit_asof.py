@@ -52,6 +52,7 @@ def _by_member(df):
 
 
 @pytest.mark.skipif(not os.path.isdir(OMOP_SAMPLE), reason="sample OMOP absent")
+@pytest.mark.slow
 def test_index_visit_features_merge_equals_rank1_on_sample(spark, tmp_path):
     from cehrbert_data_spark.omop.visits import index_visit_features
 
@@ -210,6 +211,7 @@ def test_concurrent_visit_census_mixed_schema_final_second(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(OMOP_SAMPLE), reason="sample OMOP absent")
+@pytest.mark.slow
 def test_extract_features_app_last_visit_feature(spark, tmp_path):
     """End-to-end: the app option surfaces the merge-form recency features,
     and they equal the rank-1 operator output member-for-member."""
