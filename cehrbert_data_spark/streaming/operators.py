@@ -465,10 +465,27 @@ def running_key_stats_stream(
 
     On a batch DataFrame, falls back to the equivalent groupBy aggregate
     (identical output for a single batch: running totals == final totals).
-    The batch fallback sums in DECIMAL(20,6) (order-independent, oracle-
-    exact — the battery's convention); the streaming path accumulates IEEE
-    doubles in arrival order, so stream-vs-batch sums agree to float
-    tolerance, exactly for sub-ulp workloads.
+
+    r12 fast path (guide §4 "prefer built-ins", verdict ask 3): with
+    ``state_timeout_ms=None`` the running totals are EXACTLY a built-in
+    update-mode streaming aggregation — count/sum/max keep running JVM
+    state per key and update mode emits the refreshed totals for every key
+    a micro-batch touches, row-for-row what the pandas path emitted. That
+    removes the JVM↔Python boundary outright (measured on the 21M-event
+    rig: the per-group Python call floor alone — a NO-OP update fn — cost
+    57% of the pandas path's wall). The built-in sum also uses the
+    battery's exact DECIMAL(20,6) convention, so stream output now matches
+    the batch fallback bit-for-bit instead of to float tolerance (the
+    pandas path accumulated IEEE doubles in arrival order), and all-NULL
+    value groups yield NULL like the batch dual, not pandas' 0.0.
+
+    A non-None ``state_timeout_ms`` keeps the applyInPandasWithState path:
+    built-in aggregation state cannot evict idle keys, and the idle-key
+    timeout is this operator's state bound — that semantics genuinely
+    needs the escape hatch (the measured price at 100k keys × 21 batches:
+    ~95 µs per group-call of Arrow/state/invoke floor; RocksDB state store
+    1.53× and arrow.maxRecordsPerBatch=100k 1.30× are the session-level
+    mitigations, BENCH_STREAM experiments in OPTIMIZATION_r12.md).
     """
     import pandas as pd
 
@@ -487,6 +504,18 @@ def running_key_stats_stream(
             .cast("double")
             .alias("sum_value"),
             F.max(ts).alias("last_ts"),
+        )
+    if state_timeout_ms is None:
+        return (
+            _ensure_watermark(df, ts, watermark)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(value).cast("decimal(20,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.max(ts).alias("last_ts"),
+            )
         )
 
     state_schema = T.StructType(

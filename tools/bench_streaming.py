@@ -27,7 +27,7 @@ real row is ever late-dropped and stream output == batch output exactly.
 
 Usage:
     python tools/bench_streaming.py [n_events] [out_json]
-    # defaults: 20_000_000 events, BENCH_STREAM_r11.json
+    # defaults: 20_000_000 events, BENCH_STREAM_r12.json
 
 Data (deterministic, DuckDB-generated): ~n_events rows over N_CHUNKS
 time-sliced parquet files spanning ~10 days, N_UIDS users, ~5% exact
@@ -183,7 +183,7 @@ def run_stream(spark, data_dir: str, work_dir: str, name: str, build,
 
 def main() -> int:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_STREAM_r11.json"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_STREAM_r12.json"
     work_dir = os.environ.get("SPARK_GRAFT_STREAM_DIR", "/tmp/stream_bench")
     data_dir = os.path.join(work_dir, "data")
     os.makedirs(work_dir, exist_ok=True)
@@ -270,7 +270,7 @@ def main() -> int:
 
     record = {
         "metric": "streaming_micro_batch_throughput",
-        "round": 11,
+        "round": 12,
         "config": {
             "n_events": n_events,
             "files_per_trigger": FILES_PER_TRIGGER,
